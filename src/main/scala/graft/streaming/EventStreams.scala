@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming face of the engine (SURVEY.md §2.10):
+  *
+  *  - T1 micro-batch cadence: `Trigger.ProcessingTime(h hours)` is the
+  *    reference's `schedule.every(h).hours` loop
+  *    (`src/core.py:41-48`); `Trigger.AvailableNow` is its one-shot
+  *    mode. Each cycle is an idempotent re-pull (sink upsert absorbs
+  *    replays), exactly like the reference.
+  *  - T2 offsets: the file-source + checkpointLocation pair IS the
+  *    checkpointed cursor the reference reimplements by querying its
+  *    own sink (`src/Datalake2Anomali.py:398-404`).
+  *  - T3 TTL expiry: reference delegates expiry to the sink via
+  *    `expiration_ts` (:62-68); [[expiringCounts]] shows the local
+  *    stateful variant with `flatMapGroupsWithState` + event-time
+  *    timeout.
+  *
+  * Scale: stateful ops shuffle once on the grouping key; watermarks
+  * bound state size (without one, session/agg state grows without
+  * limit at 100 TB — every stream below sets one).
+  */
+object EventStreams {
+
+  /** events schema for readStream (file sources need it declared).
+    * ts arrives as parquet TIMESTAMP(NANOS) → read as LONG
+    * (nanosAsLong, set in [[stream]]) and truncated to micros like the
+    * batch loader. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream. `dir` must be a directory of events
+    * parquet files (the file-stream source tails directories — new
+    * files appearing there are the micro-batches). */
+  def stream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (streaming w01). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Watermarked session windows per user (streaming w03). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n: Long, total: Double, expired: Boolean)
+
+  /** T3 — stateful per-user counters with TTL expiry: state times out
+    * `ttl` after the user's last event (event-time, bounded by the
+    * watermark), emitting a final expired snapshot — the local
+    * equivalent of the reference's sink-side `expiration_ts`. */
+  def expiringCounts(events: Dataset[UserEvent], ttl: String)
+      : Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", ttl)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSnapshot(uid, s.n, s.total, expired = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; total += e.value; maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(UserState(n, total))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, ttl)
+            Iterator.single(UserSnapshot(uid, n, total, expired = false))
+          }
+      }
+  }
+
+  /** Run any of the streams above to a named memory sink, synchronously
+    * (Trigger.AvailableNow ≙ the reference's one-shot mode). */
+  def runToMemory(df: DataFrame, name: String, mode: String = "append")
+      : StreamingQuery = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

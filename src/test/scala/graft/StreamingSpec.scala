@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.operators.EventWindows
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  /** File-stream sources need a directory; stage the events file. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("streaming tumbling windows match the batch operator exactly") {
+    val s = spark
+    import s.implicits._
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedCounts(EventStreams.stream(spark, eventsDir)),
+      "win_counts", mode = "append")
+    try {
+      val streamed = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n", $"total")
+        .collect().map(_.toSeq).toSet
+      val batch = EventWindows.w01(spark, sf)
+        .collect().map(_.toSeq).toSet
+      // append mode only emits windows the watermark has passed; all
+      // emitted rows must agree with the batch computation and cover
+      // all but the final watermark-held windows
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
+      assert(streamed.size >= batch.size - 10)
+    } finally q.stop()
+  }
+
+  test("streaming session windows complete and respect the gap") {
+    val s = spark
+    import s.implicits._
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionCounts(EventStreams.stream(spark, eventsDir)),
+      "sess_counts", mode = "append")
+    try {
+      val rows = spark.table("sess_counts").collect()
+      assert(rows.nonEmpty)
+      val batch = EventWindows.w03(spark, sf)
+        .select($"user_id", $"session_start", $"n_events")
+        .collect().map(_.toSeq).toSet
+      val streamed = rows.map(_.toSeq).toSet
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions disagree: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stateful TTL expiry emits snapshots and expiry markers") {
+    val s = spark
+    import s.implicits._
+    val events = EventStreams.stream(spark, eventsDir)
+      .select($"user_id", $"ts", $"value").as[EventStreams.UserEvent]
+    val snaps = EventStreams.expiringCounts(events, "60 minutes").toDF()
+    val q = EventStreams.runToMemory(snaps, "ttl_counts", mode = "append")
+    try {
+      val rows = spark.table("ttl_counts").collect()
+      assert(rows.nonEmpty)
+      // every user seen in the data appears in the snapshots
+      val users = rows.map(_.getAs[Long]("user_id")).toSet
+      val expectedUsers = Tables.load(spark, sf, "events")
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(users == expectedUsers)
+      // expired snapshots carry the accumulated totals
+      val expired = rows.filter(_.getAs[Boolean]("expired"))
+      assert(expired.forall(_.getAs[Long]("n") > 0))
+    } finally q.stop()
+  }
+}
