@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Native Catalyst expressions for the hot kernels of the LLM-pipeline
+  * operators. Why these exist (measured, see SCALING.md): the
+  * composed higher-order-function forms (`transform`/`aggregate`
+  * lambdas) are evaluated interpreted, re-evaluating their argument
+  * expression trees per element — the tokenize→shingle chain becomes
+  * O(tokens²) regex work per document and the 64-dim dot product
+  * allocates intermediate arrays per pair. Each expression here is one
+  * fused JVM pass with zero intermediate allocation.
+  *
+  * Semantics are bit-identical to the composed forms (and therefore to
+  * the DuckDB oracles): same md5-derived 60-bit hash family
+  * ([[TextOps.hash64]]), same left-to-right double accumulation.
+  *
+  * [[VecDot]] implements `doGenCode` (it sits inside whole-stage
+  * codegen of the pairwise joins); the string kernels are
+  * [[CodegenFallback]] — their cost is the md5/regex work itself, one
+  * virtual call per row is noise.
+  */
+object NativeKernels {
+
+  /** Fold-left double dot product over two float/double array columns.
+    * Null if either side is null; asserts equal lengths. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"vec_dot needs two numeric arrays, got ${left.dataType} / ${right.dataType}")
+      }
+
+    private def elemType(e: Expression): NumericType =
+      e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val lt = elemType(left); val rt = elemType(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = lt match {
+          case FloatType => a.getFloat(i).toDouble
+          case DoubleType => a.getDouble(i)
+          case IntegerType => a.getInt(i).toDouble
+          case LongType => a.getLong(i).toDouble
+          case _ => 0.0
+        }
+        val y = rt match {
+          case FloatType => b.getFloat(i).toDouble
+          case DoubleType => b.getDouble(i)
+          case IntegerType => b.getInt(i).toDouble
+          case LongType => b.getLong(i).toDouble
+          case _ => 0.0
+        }
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def getter(t: NumericType, arr: String, i: String): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case LongType => s"(double) $arr.getLong($i)"
+        case _ => s"0.0"
+      }
+      val lt = elemType(left); val rt = elemType(right)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared md5 → 60-bit-long kernel (= TextOps.hash64 semantics:
+    * first 15 hex chars of the md5 digest parsed base-16). */
+  @inline private def md5Hash64(md: java.security.MessageDigest,
+      bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    // first 15 hex chars = 7 full bytes + high nibble of byte 7
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  private def normTokens(s: String): Array[String] = {
+    val t = s.toLowerCase.trim.split("\\s+")
+    if (t.length == 1 && t(0).isEmpty) Array.empty else t
+  }
+
+  /** Normalized whitespace tokens (TextOps.tokens, fused). */
+  case class Tokens(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(normTokens(v.toString)
+        .map(t => UTF8String.fromString(t).asInstanceOf[Any]))
+    override protected def withNewChildInternal(c: Expression): Tokens = copy(c)
+  }
+
+  /** Distinct word n-gram shingles (TextOps.shingles, fused: one
+    * normalize + split + slide pass; first-occurrence order). */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = normTokens(v.toString)
+      val out = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
+  /** MinHash signature over a string-array column: element i =
+    * min over values of hash64(concat(i, ":", value)) — one pass,
+    * identical to min(TextOps.hash64Seeded(i, _)) per seed. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i).toString
+        var seed = 0
+        while (seed < k) {
+          val h = md5Hash64(md, (seed + ":" + s).getBytes("UTF-8"))
+          if (h < sig(seed)) sig(seed) = h
+          seed += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig.map(_.asInstanceOf[Any]))
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** SimHash over a string-array column: per-bit vote of the token
+    * hash64s, bit j set iff the vote is positive — identical to the
+    * 32-aggregate composed form, one pass. */
+  case class SimHash(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](bits)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = md5Hash64(md, arr.getUTF8String(i).toString.getBytes("UTF-8"))
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash =
+      copy(child = c)
+  }
+
+  /** 60-bit md5 hash of a string column (TextOps.hash64, fused). */
+  case class Hash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md5Hash64(md, v.asInstanceOf[UTF8String].getBytes)
+    }
+    override protected def withNewChildInternal(c: Expression): Hash64 = copy(c)
+  }
+
+  // ---- Column wrappers ----------------------------------------------
+  private def ex(c: Column) = ColumnBridge.toExpression(c)
+  private def col(e: Expression): Column = ColumnBridge.toColumn(e)
+  def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
+  def word_tokens(c: Column): Column = col(Tokens(ex(c)))
+  def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
+  def minhash_signature(c: Column, k: Int): Column =
+    col(MinHashSignature(ex(c), k))
+  def simhash(c: Column, bits: Int): Column = col(SimHash(ex(c), bits))
+  def hash64_native(c: Column): Column = col(Hash64(ex(c)))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps._
+import graft.functions.NativeKernels.{word_shingles, word_tokens, minhash_signature, simhash}
 
 /** Deduplication operators over `documents` (SURVEY.md §7.2): exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. All oracle-checkable — hash
@@ -42,10 +43,12 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** Doc → exploded distinct shingles (the join key for near-dup). */
+  /** Doc → exploded distinct shingles (the join key for near-dup).
+    * word_shingles is the fused native kernel (one tokenize pass; the
+    * composed HOF form re-tokenizes per element — O(tokens²)/doc). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir).select($"doc_id", explode(shingles($"text", N)).as("s"))
+    docs(s, dir).select($"doc_id", explode(word_shingles($"text", N)).as("s"))
   }
 
   /** N-gram Jaccard near-dup: pairs sharing ≥1 shingle, exact Jaccard
@@ -68,13 +71,19 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** MinHash signature: per doc, min over shingles of K seeded hashes. */
+  /** MinHash signature: per doc, min over shingles of K seeded hashes.
+    * Computed per-row by the fused kernel (shingle sets are per-doc, so
+    * no shuffle is needed at all — the groupBy-min formulation the
+    * oracle uses is the distributed fallback for when a single row's
+    * shingle set wouldn't fit, which at 3-gram/doc granularity it
+    * always does). */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shingleRows(s, dir)
-      .groupBy($"doc_id")
-      .agg(min(hash64Seeded(0, $"s")).as("mh0"),
-        (1 until K).map(i => min(hash64Seeded(i, $"s")).as(s"mh$i")): _*)
+    val sigCols = (0 until K).map(i => element_at($"sig", i + 1).as(s"mh$i"))
+    docs(s, dir)
+      .select($"doc_id",
+        minhash_signature(word_shingles($"text", N), K).as("sig"))
+      .select($"doc_id" +: sigCols: _*)
   }
 
   /** MinHash + LSH near-dup: band the K-long signature into BANDS
@@ -111,14 +120,10 @@ object Dedup {
     * Signature: sign of the per-bit vote over token hashes. */
   def d04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = transform(tokens($"text"), t => hash64(t))
-    val bitCols = (0 until SIMHASH_BITS).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
+    // fused kernel: one md5+vote pass per doc (the composed form is 32
+    // interpreted aggregate() lambdas, each re-hashing every token)
     val sim = docs(s, dir)
-      .select($"doc_id", bitCols.reduce(_ + _).as("simhash"))
+      .select($"doc_id", simhash(word_tokens($"text"), SIMHASH_BITS).as("simhash"))
     sim.as("x").join(sim.as("y"), $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
         bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))

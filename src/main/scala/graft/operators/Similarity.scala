@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.NativeKernels.vec_dot
 
 /** Similarity search over `embeddings.embedding` (ArrayType(Float), dim
   * 64) — SURVEY.md §7.2. Brute-force cosine top-k as the exactness
@@ -48,14 +49,12 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Fold-left double dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Fold-left double dot product — native codegen'd kernel
+    * (NativeKernels.VecDot), same accumulation order as the HOF
+    * zip_with+aggregate form and the DuckDB oracle. */
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
   private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
