@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NativeKernels.word_shingles
+
+/** Second tranche of operator coverage: exact distinct counts,
+  * continuous percentiles, arg-max aggregates, n-gram frequency
+  * (text), and near-dup application (the "make the corpus unique"
+  * step a training-data pipeline actually runs after detection). */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact COUNT(DISTINCT) per group (shuffle-dedup then count). */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Continuous percentiles (exact, interpolated — Spark `percentile`
+    * ≡ DuckDB `quantile_cont`; sort-based, no accumulation-order
+    * nondeterminism). */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** arg-max with a deterministic ordering key: (totalprice, orderkey)
+    * packed into one BIGINT (price is 2-decimal so cents are exact;
+    * DuckDB's arg_max has no composite-key overload). */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = round($"o_totalprice" * 100).cast("long") * 10000000L + $"o_orderkey"
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max_by($"o_orderkey", key).as("best_order"),
+        round(max($"o_totalprice"), 2).as("best_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Corpus n-gram frequency: top 20 trigrams by document frequency
+    * (shingles are per-doc distinct, so count = doc frequency). */
+  def t05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(word_shingles($"text", 3)).as("ngram"))
+      .groupBy($"ngram").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"ngram")
+      .limit(20)
+  }
+
+  /** Apply near-dup dedup: drop the higher-id member of every pair
+    * with Jaccard ≥ 0.5 (the detection operator is d02; this is the
+    * keep-lowest-id policy applied via a broadcast anti join). */
+  def d05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drops = Dedup.d02(s, dir).select($"b_id".as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_count_distinct" -> (q26 _),
+    "q27_percentile" -> (q27 _),
+    "q28_argmax" -> (q28 _),
+    "t05_top_ngrams" -> (t05 _),
+    "d05_dedup_apply" -> (d05 _),
+  )
+
+  import graft.functions.TextOps.{sqlTokens, sqlShinglesOfT}
+
+  val oracles: Map[String, String] = Map(
+    "q26_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q28_argmax" ->
+      """SELECT o_custkey,
+        | arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS best_order,
+        | round(max(o_totalprice), 2) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "t05_top_ngrams" ->
+      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(3)}) AS ngram FROM docs)
+         |SELECT ngram, count(*) AS df FROM sh
+         |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "d05_dedup_apply" ->
+      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(3)}) AS s FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT b_id FROM pairs
+         |  JOIN sizes na ON na.doc_id = a_id
+         |  JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.5)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT b_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
