@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.NativeKernels._
+
+/** SparkSessionExtensions wiring: exposes the native kernels to SQL
+  * users (`SELECT vec_dot(a.embedding, b.embedding) …`), so the whole
+  * operator surface is reachable from `spark.sql` as well as the
+  * DataFrame API.
+  *
+  * Use `spark.sql.extensions=graft.GraftExtensions` or
+  * [[GraftExtensions.install]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeKernels", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity argument(s)")
+          builder(args)
+        }))
+    }
+}
+
+object GraftExtensions {
+
+  private val registrations: Seq[(String, Int, Seq[Expression] => Expression)] =
+    Seq(
+      ("vec_dot", 2, args => VecDot(args(0), args(1))),
+      ("word_tokens", 1, args => Tokens(args.head)),
+      ("word_shingles_3", 1, args => WordShingles(args.head, 3)),
+      ("minhash_sig_16", 1, args => MinHashSignature(args.head, 16)),
+      ("simhash_32", 1, args => SimHash(args.head, 32)),
+      ("hash64", 1, args => Hash64(args.head)))
+
+  /** Register the functions on an already-built session (tests, REPL). */
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, arity, builder) =>
+      registry.createOrReplaceTempFunction(
+        name,
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity argument(s)")
+          builder(args)
+        },
+        "scala_udf")
+    }
+  }
+}

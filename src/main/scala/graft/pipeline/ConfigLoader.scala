@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import Model._
+
+/** Typed config loading (S6): the reference's `config.py` +
+  * env-var credentials (`src/config.py.default`,
+  * `src/Datalake2Anomali.py:268-269`) become one JSON document parsed
+  * into [[Model.PipelineConfig]] — declared, validated, and testable
+  * instead of an imported Python module. Unknown keys are ignored;
+  * missing keys take the reference's defaults. */
+object ConfigLoader {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def fromJson(json: String): PipelineConfig = {
+    val j = JsonMethods.parse(json)
+    def str(path: String, dflt: String): String =
+      (j \ path) match { case JString(s) => s; case _ => dflt }
+    def int(path: String, dflt: Int): Int =
+      (j \ path) match { case JInt(i) => i.toInt; case _ => dflt }
+    def bool(path: String, dflt: Boolean): Boolean =
+      (j \ path) match { case JBool(b) => b; case _ => dflt }
+    def strMap(v: JValue): Map[String, String] = v match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(s)) => k -> s
+      }.toMap
+      case _ => Map.empty
+    }
+    val dfltItype = PipelineConfig().defaultItype
+    val queries = (j \ "datalake_queries") match {
+      case JArray(qs) => qs.map { q =>
+        QueryDescriptor(
+          query_hash = (q \ "query_hash") match { case JString(s) => s; case _ => null },
+          dataset_name = (q \ "dataset_name") match { case JString(s) => s; case _ => null },
+          anomali_severity = (q \ "anomali_severity") match { case JString(s) => s; case _ => null },
+          anomali_itype = strMap(q \ "anomali_itype"))
+      }
+      case _ => Nil
+    }
+    PipelineConfig(
+      anomaliClassification = str("anomali_classification", "private"),
+      defaultItype = (j \ "default_itype") match {
+        case o: JObject => strMap(o); case _ => dfltItype
+      },
+      tagsTlp = str("tags_tlp", "white"),
+      expirationHours = int("anomali_expiration_period", 1),
+      runAsCron = bool("run_as_cron", false),
+      uploadFrequencyHours = int("upload_frequency", 1),
+      addDtlTags = bool("add_dtl_tags", false),
+      datalakeQueries = queries,
+      maxPayloadBytes = int("max_payload_bytes", 1 << 20).toLong)
+  }
+
+  def fromFile(path: String): PipelineConfig =
+    fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+}

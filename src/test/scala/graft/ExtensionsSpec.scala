@@ -1,0 +1,112 @@
+package graft
+
+import graft.pipeline.ConfigLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native kernels are callable from SQL after install") {
+    GraftExtensions.install(spark)
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT vec_dot(embedding, embedding) AS sq, hash64(CAST(vec_id AS STRING)) AS h,
+        |       size(word_shingles_3('a b c d')) AS nsh,
+        |       simhash_32(word_tokens('hello world')) AS sh,
+        |       element_at(minhash_sig_16(word_shingles_3('a b c d e')), 1) AS mh0
+        |FROM embeddings LIMIT 1""".stripMargin).head()
+    assert(r.getDouble(0) > 0)
+    assert(r.getLong(1) > 0)
+    assert(r.getInt(2) == 2)
+    assert(r.getLong(4) > 0)
+  }
+
+  test("SQL vec_dot equals DataFrame vec_dot") {
+    GraftExtensions.install(spark)
+    Tables.registerAll(spark, sf)
+    import graft.functions.NativeKernels.vec_dot
+    val s = spark
+    import s.implicits._
+    val viaSql = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM embeddings ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaDf = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", vec_dot($"embedding", $"embedding").as("d"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("config loader: reference defaults + overrides + query list") {
+    val cfg = ConfigLoader.fromJson(
+      """{"anomali_classification": "public", "tags_tlp": "red",
+        | "anomali_expiration_period": 3, "add_dtl_tags": true,
+        | "default_itype": {"srcip": "bot_ip"},
+        | "datalake_queries": [
+        |   {"query_hash": "abc", "dataset_name": "ds", "anomali_severity": "high",
+        |    "anomali_itype": {"srcip": "c2_ip"}},
+        |   {"dataset_name": "broken"}]}""".stripMargin)
+    assert(cfg.anomaliClassification == "public")
+    assert(cfg.tagsTlp == "red")
+    assert(cfg.expirationHours == 3)
+    assert(cfg.addDtlTags)
+    assert(cfg.defaultItype == Map("srcip" -> "bot_ip"))
+    assert(cfg.datalakeQueries.length == 2)
+    assert(cfg.datalakeQueries.head.anomali_itype == Map("srcip" -> "c2_ip"))
+    assert(cfg.datalakeQueries(1).query_hash == null) // F1 drops it later
+    val dflt = ConfigLoader.fromJson("{}")
+    assert(dflt.expirationHours == 1 && dflt.tagsTlp == "white" &&
+      dflt.defaultItype("md5") == "mal_md5")
+  }
+}
+
+/** Randomized property tests for the invariants SURVEY §5.3 calls out
+  * (seeded, 300 cases each — scalacheck's bridge artifact isn't in the
+  * offline cache, so the loops are hand-rolled). */
+class SinkPropertiesSpec extends AnyFunSuite {
+  import graft.pipeline.Sinks
+
+  private val rnd = new scala.util.Random(42)
+
+  test("chunking preserves the multiset and respects the bound (randomized)") {
+    (1 to 300).foreach { _ =>
+      val objs = List.fill(rnd.nextInt(60))("x" * (2 + rnd.nextInt(200)))
+      val maxBytes = 10L + rnd.nextInt(2000)
+      val overhead = rnd.nextInt(100).toLong
+      val chunks = Sinks.chunk(objs, maxBytes, overhead)
+      assert(chunks.flatten == objs, "multiset/order broken")
+      assert(chunks.forall(c =>
+        c.map(_.length + 1L).sum + overhead <= maxBytes || c.size == 1),
+        s"oversized multi-object chunk (max=$maxBytes overhead=$overhead)")
+      assert(chunks.forall(_.nonEmpty))
+    }
+  }
+
+  test("recursive halving: accepted + failed objects == input (randomized)") {
+    (1 to 300).foreach { _ =>
+      val objs = List.fill(1 + rnd.nextInt(40))("o" * (1 + rnd.nextInt(80)))
+      val limit = 5 + rnd.nextInt(500)
+      val uploaded = scala.collection.mutable.ListBuffer[String]()
+      val sink = new Sinks.IntelSink {
+        def upload(p: String): Sinks.UploadResult =
+          if (p.length > limit) Sinks.TooLarge
+          else { uploaded += p; Sinks.Accepted }
+      }
+      val results = Sinks.uploadWithSplit(sink, "{}", objs)
+      // count objects inside the array only (the key "objects" itself
+      // contains an 'o')
+      val okObjs = uploaded.flatMap { p =>
+        val body = p.substring(p.indexOf("\"objects\":[") + 11, p.length - 2)
+        "o+".r.findAllIn(body).toList
+      }.toList
+      // a non-Accepted terminal result is always a single-object payload
+      val failed = results.count(_ != Sinks.Accepted)
+      assert(okObjs.size + failed == objs.size,
+        s"objects lost/duplicated: ok=${okObjs.size} failed=$failed in=${objs.size}")
+      assert(okObjs.sorted == {
+        // accepted multiset must be a sub-multiset of the input
+        val in = objs.groupBy(identity).view.mapValues(_.size).toMap
+        assert(okObjs.groupBy(identity).forall { case (o, os) => os.size <= in.getOrElse(o, 0) })
+        okObjs.sorted
+      })
+    }
+  }
+}
