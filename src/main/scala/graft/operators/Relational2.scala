@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.NativeKernels.word_shingles
+import graft.functions.NativeKernels.{word_shingles, word_tokens}
 
 /** Second tranche of operator coverage: exact distinct counts,
   * continuous percentiles, arg-max aggregates, n-gram frequency
@@ -74,12 +74,50 @@ object Relational2 {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF: top-3 weighted terms per document. tf = in-doc term
+    * count, idf = ln((N+1)/(df+1)) + 1 (smoothed); log/division are
+    * per-value (no accumulation order), so weights are bit-equal
+    * across engines. */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count().toDouble
+    val terms = docs.select($"doc_id", explode(word_tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"weight".desc, $"term")
+    tf.join(df, Seq("term"))
+      .withColumn("weight",
+        round($"tf" * (log(lit(nDocs + 1.0) / ($"df" + lit(1.0))) + lit(1.0)), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"weight", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Per-label embedding centroids (per-dimension mean over the label's
+    * vectors), long-form output. The scale path for building IVF
+    * coarse quantizers: one shuffle on (label, dim). */
+  def e01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
+      .agg(round(avg($"v".cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_count_distinct" -> (q26 _),
     "q27_percentile" -> (q27 _),
     "q28_argmax" -> (q28 _),
     "t05_top_ngrams" -> (t05 _),
     "d05_dedup_apply" -> (d05 _),
+    "t06_tfidf" -> (t06 _),
+    "e01_label_centroids" -> (e01 _),
   )
 
   import graft.functions.TextOps.{sqlTokens, sqlShinglesOfT}
@@ -107,6 +145,27 @@ object Relational2 {
          |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(3)}) AS ngram FROM docs)
          |SELECT ngram, count(*) AS df FROM sh
          |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "t06_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |  round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS weight
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, weight,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY weight DESC, term) AS BIGINT) AS rk FROM scored)
+         |SELECT doc_id, term, weight, rk FROM ranked
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "e01_label_centroids" ->
+      s"""SELECT label, CAST(i AS BIGINT) AS dim,
+         | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+         | count(*) AS n_vecs
+         |FROM embeddings, range(1, 65) r(i)
+         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "d05_dedup_apply" ->
       s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(3)}) AS s FROM docs),
