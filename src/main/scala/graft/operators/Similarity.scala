@@ -117,10 +117,51 @@ object Similarity {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** IVF ANN: cells = per-label centroids (the coarse quantizer built
+    * exactly as e01), vectors assigned to their nearest cell by L2,
+    * queries search only their own cell. One broadcast of the 10-row
+    * centroid table + one shuffle for the window — the inverted-file
+    * scale path next to the LSH one (s02). Assignment is stable
+    * cross-engine: the measured best-vs-second cell distance gap
+    * (8.3e-6) dwarfs summation jitter (~1e-13). */
+  def s04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val cent = emb(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cvec"))
+    val sqDist = (v: Column, c: Column) =>
+      aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, d) => acc + d)
+    val wCell = Window.partitionBy($"vec_id").orderBy($"dist", $"label")
+    val assigned = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding", $"nrm", $"label",
+        sqDist($"embedding", $"cvec").as("dist"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"label".as("cell"))
+    val q = assigned.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"cell")
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
+    "s04_ann_ivf" -> (s04 _),
   )
 
   // ---- DuckDB oracles (identical arithmetic, generated literals) ----
@@ -164,6 +205,32 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+    "s04_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label, list(c ORDER BY dim) AS cvec FROM (
+         |    SELECT label, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS c
+         |    FROM embeddings, range(1, ${DIM + 1}) r(i) GROUP BY label, i)
+         |  GROUP BY label),
+         |e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |dists AS (SELECT e.vec_id, e.embedding, e.nrm, c.label,
+         |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+         |            (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+         |    for i in range(1, ${DIM + 1})]) AS dist
+         |  FROM e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, nrm, label AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, label) AS rn FROM dists) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cell
+         |  FROM assigned WHERE vec_id < $NQUERIES),
+         |scored AS (SELECT q_id, a.vec_id AS neighbor_id,
+         |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS cos
+         |  FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "s03_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings)
          |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
