@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (point-in-time) join — the feature-store primitive Spark has
+  * no built-in operator for. Per the custom-operator preference order
+  * (compose > custom Expression > custom Strategy), this composes from
+  * existing operators: tag both sides, union, one window sorted by
+  * (key, time, side), and `last(_, ignoreNulls)` carries the most
+  * recent left-side attributes forward to each right-side row. One
+  * shuffle on the key, one sort — exactly what a dedicated SortMerge
+  * as-of physical operator would do, so a custom `SparkPlan` buys
+  * nothing here. The DuckDB oracle uses its native ASOF JOIN, so the
+  * composition is validated against a real as-of implementation.
+  *
+  * Demo semantics: attribute each purchase event to the user's most
+  * recent prior view event (ties impossible — event times are
+  * microsecond-distinct).
+  */
+object AsOfJoin {
+
+  /** Generic as-of: for each row of `right`, attach the latest `left`
+    * row with the same `key` and `leftTime <= rightTime`. `carry` are
+    * the left columns to bring along. */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
+    require(right.columns.intersect(carry).isEmpty,
+      "carry column names must not collide with right-side columns")
+    val rightCols = right.columns.toSeq
+    // both sides widened to the union schema (typed nulls for the
+    // columns the other side owns); right columns ride along so no
+    // join-back is needed afterwards
+    val l = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__side")) ++
+        carry.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side")) ++
+        carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    // left rows sort before right rows at identical timestamps (__side)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = carry.foldLeft(l.unionByName(r))((df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select(rightCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Purchase→view attribution over events (oracle: DuckDB ASOF JOIN). */
+  def a01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    asOf(views, purchases, key = "user_id",
+      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"))
+      .select($"event_id", $"user_id", $"asof_v_id".as("v_id"),
+        expr("(unix_micros(ts) - unix_micros(asof_v_ts)) div 1000000").as("gap_s"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_asof_join" -> (a01 _))
+
+  val oracles: Map[String, String] = Map(
+    "a01_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, v.v_id,
+        | date_diff('microsecond', v.v_ts, p.ts) // 1000000 AS gap_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.v_ts
+        |ORDER BY p.event_id""".stripMargin)
+}
