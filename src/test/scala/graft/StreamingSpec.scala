@@ -77,3 +77,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class PipelineStreamSpec extends SparkSpec {
+  test("streaming MERGE upserts per micro-batch with checkpointed offsets") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Model.TipReportState
+    val dir = java.nio.file.Files.createTempDirectory("graft-advisories")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    java.nio.file.Files.writeString(dir.resolve("batch1.json"),
+      """{"id": 1, "title": "New", "tags": ["apt"], "timestamp_created": "2026-01-01T00:00:00", "timestamp_updated": "2026-01-02T00:00:00", "html": "<p>1</p>"}
+        |{"id": 2, "title": "Known", "tags": [], "timestamp_created": "2025-12-01T00:00:00", "timestamp_updated": "2026-01-03T00:00:00", "html": "<p>2</p>"}""".stripMargin)
+    val state = Seq(TipReportState(2L, 7L, "2026-01-01T00:00:00")).toDF()
+    val sink = new TestSinks.RecordingTipSink
+    val q = graft.streaming.PipelineStream.mergeStream(
+      graft.streaming.PipelineStream.advisoryStream(spark, dir.toString),
+      () => state, sink, ckpt.toString)
+    q.awaitTermination()
+    assert(sink.posts.size == 1 && sink.patches.size == 1)
+    assert(sink.patches.head._1 == 7L)
+    // second run with a NEW advisory file: checkpoint skips batch1
+    java.nio.file.Files.writeString(dir.resolve("batch2.json"),
+      """{"id": 3, "title": "Third", "tags": [], "timestamp_created": "2026-01-04T00:00:00", "timestamp_updated": "2026-01-05T00:00:00", "html": "<p>3</p>"}""")
+    val sink2 = new TestSinks.RecordingTipSink
+    val q2 = graft.streaming.PipelineStream.mergeStream(
+      graft.streaming.PipelineStream.advisoryStream(spark, dir.toString),
+      () => state, sink2, ckpt.toString)
+    q2.awaitTermination()
+    assert(sink2.posts.size == 1, s"checkpoint should skip batch1, got ${sink2.posts}")
+    assert(sink2.posts.head.contains(""""name":"Third""""))
+  }
+}
