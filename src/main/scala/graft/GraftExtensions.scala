@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.NativeKernels._
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.StringType
 
 /** SparkSessionExtensions wiring: exposes the native kernels to SQL
   * users (`SELECT vec_dot(a.embedding, b.embedding) …`), so the whole
@@ -32,11 +34,11 @@ object GraftExtensions {
   private val registrations: Seq[(String, Int, Seq[Expression] => Expression)] =
     Seq(
       ("vec_dot", 2, args => VecDot(args(0), args(1))),
-      ("word_tokens", 1, args => Tokens(args.head)),
-      ("word_shingles_3", 1, args => WordShingles(args.head, 3)),
+      ("word_tokens", 1, args => Tokens(Cast(args.head, StringType))),
+      ("word_shingles_3", 1, args => WordShingles(Cast(args.head, StringType), 3)),
       ("minhash_sig_16", 1, args => MinHashSignature(args.head, 16)),
       ("simhash_32", 1, args => SimHash(args.head, 32)),
-      ("hash64", 1, args => Hash64(args.head)))
+      ("hash64", 1, args => Hash64(Cast(args.head, StringType))))
 
   /** Register the functions on an already-built session (tests, REPL). */
   def install(spark: SparkSession): Unit = {

@@ -30,6 +30,22 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object NativeKernels {
 
+  /** Analysis-time type guards (AbstractDataType is private[sql], so
+    * ImplicitCastInputTypes is unavailable outside Spark's packages;
+    * construction sites cast explicitly instead). */
+  private[graft] def expectString(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects STRING, got ${t.simpleString}")
+    }
+  private[graft] def expectStringArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects ARRAY<STRING>, got ${t.simpleString}")
+    }
+
   /** Fold-left double dot product over two float/double array columns.
     * Null if either side is null; asserts equal lengths. */
   case class VecDot(left: Expression, right: Expression)
@@ -116,13 +132,17 @@ object NativeKernels {
   }
 
   private def normTokens(s: String): Array[String] = {
-    val t = s.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: locale-sensitive toLowerCase (tr_TR dotless-i)
+    // would break bit-equality with Spark's lower() and the oracles
+    val t = s.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     if (t.length == 1 && t(0).isEmpty) Array.empty else t
   }
 
   /** Normalized whitespace tokens (TextOps.tokens, fused). */
   case class Tokens(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectString(child, prettyName)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       new GenericArrayData(normTokens(v.toString)
@@ -134,6 +154,8 @@ object NativeKernels {
     * normalize + split + slide pass; first-occurrence order). */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectString(child, prettyName)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val toks = normTokens(v.toString)
@@ -161,6 +183,8 @@ object NativeKernels {
     * identical to min(TextOps.hash64Seeded(i, _)) per seed. */
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectStringArray(child, prettyName)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -189,6 +213,8 @@ object NativeKernels {
     * 32-aggregate composed form, one pass. */
   case class SimHash(child: Expression, bits: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectStringArray(child, prettyName)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -217,6 +243,8 @@ object NativeKernels {
   /** 60-bit md5 hash of a string column (TextOps.hash64, fused). */
   case class Hash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectString(child, prettyName)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -229,10 +257,11 @@ object NativeKernels {
   private def ex(c: Column) = ColumnBridge.toExpression(c)
   private def col(e: Expression): Column = ColumnBridge.toColumn(e)
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
-  def word_tokens(c: Column): Column = col(Tokens(ex(c)))
-  def word_shingles(c: Column, n: Int): Column = col(WordShingles(ex(c), n))
+  def word_tokens(c: Column): Column = col(Tokens(ex(c.cast("string"))))
+  def word_shingles(c: Column, n: Int): Column =
+    col(WordShingles(ex(c.cast("string")), n))
   def minhash_signature(c: Column, k: Int): Column =
     col(MinHashSignature(ex(c), k))
   def simhash(c: Column, bits: Int): Column = col(SimHash(ex(c), bits))
-  def hash64_native(c: Column): Column = col(Hash64(ex(c)))
+  def hash64_native(c: Column): Column = col(Hash64(ex(c.cast("string"))))
 }

@@ -56,7 +56,10 @@ object Dedup {
     * at ~0.99, random pairs at ~0.005 — wide margin). */
   def d02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, dir).cache()
+    // no .cache(): the kernelized shingle computation is cheap to
+    // recompute and a cached plan leaks for the session's lifetime
+    // (Verify runs 50 queries in one session)
+    val sh = shingleRows(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select($"doc_id".as("a_id"), $"s")
     val b = sh.select($"doc_id".as("b_id"), $"s")
@@ -91,7 +94,7 @@ object Dedup {
     * fraction of agreeing signature positions, threshold 0.5. */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir).cache()
+    val sig = signatures(s, dir)
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until ROWS).map(r =>

@@ -39,11 +39,13 @@ object Relational2 {
   }
 
   /** arg-max with a deterministic ordering key: (totalprice, orderkey)
-    * packed into one BIGINT (price is 2-decimal so cents are exact;
-    * DuckDB's arg_max has no composite-key overload). */
+    * packed into one BIGINT — cents (exact for 2-decimal prices,
+    * < 2^30) shifted past a 2^34 orderkey field (covers TPC-H
+    * orderkeys beyond sf1000 without overflowing 2^63; DuckDB's
+    * arg_max has no composite-key overload). */
   def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = round($"o_totalprice" * 100).cast("long") * 10000000L + $"o_orderkey"
+    val key = round($"o_totalprice" * 100).cast("long") * 17179869184L + $"o_orderkey"
     t(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(max_by($"o_orderkey", key).as("best_order"),
@@ -137,7 +139,7 @@ object Relational2 {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q28_argmax" ->
       """SELECT o_custkey,
-        | arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey) AS best_order,
+        | arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*17179869184 + o_orderkey) AS best_order,
         | round(max(o_totalprice), 2) AS best_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "t05_top_ngrams" ->

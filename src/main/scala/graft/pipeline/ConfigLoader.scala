@@ -48,7 +48,10 @@ object ConfigLoader {
       uploadFrequencyHours = int("upload_frequency", 1),
       addDtlTags = bool("add_dtl_tags", false),
       datalakeQueries = queries,
-      maxPayloadBytes = int("max_payload_bytes", 1 << 20).toLong)
+      maxPayloadBytes = (j \ "max_payload_bytes") match {
+        case JInt(i) => i.toLong   // parse as Long: a 4 GB limit must
+        case _ => 1L << 20         // not wrap through Int
+      })
   }
 
   def fromFile(path: String): PipelineConfig =

@@ -34,6 +34,9 @@ object Runner {
   def runOnce(spark: SparkSession, src: Sources, cfg: PipelineConfig,
       intelSink: IntelSink, tipSink: TipReportSink,
       nowUtc: java.time.Instant = java.time.Instant.now()): RunReport = {
+    // pin timestamp parsing/formatting to UTC: cursor comparison and
+    // modified_ts rendering are wrong in any other session time zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ioc =
       try {
         val objs = IocTransform.run(
@@ -46,15 +49,15 @@ object Runner {
       try {
         val state = src.tipReportState(spark)
         val cur = Bulletins.cursor(cfg, state, nowUtc)
-        val enriched = Bulletins.enrich(src.advisories(spark), src.htmlFetcher)
-        import spark.implicits._
         import org.apache.spark.sql.functions._
-        // F4: incremental predicate on the cursor (pushed to the
-        // source in the HTTP impl; re-applied here for exactness)
-        val fresh = enriched.toDF().filter(
+        // F4 BEFORE S5: filter on the cursor first so the per-row html
+        // fetch only runs for advisories that survive it (the reference
+        // narrows with updated_after before fetching html, :409-430)
+        val fresh = src.advisories(spark).filter(
           to_timestamp(col("timestamp_updated")) >
             lit(java.sql.Timestamp.from(cur)))
-        Bulletins.write(fresh, state, tipSink)
+        val enriched = Bulletins.enrich(fresh, src.htmlFetcher)
+        Bulletins.write(enriched.toDF(), state, tipSink)
         Right(())
       } catch { case e: Exception => Left(e.toString) }
     RunReport(ioc.isRight, bul.isRight, ioc.left.toOption, bul.left.toOption)

@@ -43,7 +43,10 @@ object Sinks {
 
   /** Greedy size-bounded chunking: pack object JSONs into the fewest
     * payloads whose serialized size stays ≤ maxBytes (single oversized
-    * objects get their own chunk — the sink decides their fate). */
+    * objects get their own chunk — the sink decides their fate).
+    * Sizes are UTF-8 bytes (what goes on the wire), not UTF-16 code
+    * units — non-ASCII atom values would otherwise overshoot the
+    * bound by up to 3x. */
   def chunk(objects: Seq[String], maxBytes: Long, overheadBytes: Long)
       : Seq[Seq[String]] = {
     val out = Seq.newBuilder[Seq[String]]
@@ -51,7 +54,7 @@ object Sinks {
     var curBytes = overheadBytes
     var curN = 0
     objects.foreach { o =>
-      val add = o.length + 1L
+      val add = utf8Len(o) + 1L
       if (curN > 0 && curBytes + add > maxBytes) {
         out += cur.result(); cur = Seq.newBuilder[String]
         curBytes = overheadBytes; curN = 0
@@ -61,6 +64,9 @@ object Sinks {
     if (curN > 0) out += cur.result()
     out.result()
   }
+
+  def utf8Len(s: String): Long =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
 
   def payloadJson(metaJson: String, objects: Seq[String]): String =
     s"""{"meta":$metaJson,"objects":[${objects.mkString(",")}]}"""
@@ -79,15 +85,29 @@ object Sinks {
     }
 
   /** K1 writer: per partition, greedy-chunk then upload (with split
-    * fallback). `objJson` must have a single string column. */
+    * fallback). `objJson` must have a single string column. Returns
+    * (accepted, failed) request counts — failures are counted via
+    * accumulators and logged per partition, never silently dropped
+    * (the reference logs and drops, `src/Datalake2Anomali.py:134-137`;
+    * we additionally surface the counts to the caller). */
   def writeIntel(objJson: DataFrame, sink: IntelSink, metaJson: String,
-      maxBytes: Long): Unit = {
-    val overhead = metaJson.length + 32L
+      maxBytes: Long): (Long, Long) = {
+    val sc = objJson.sparkSession.sparkContext
+    val accepted = sc.longAccumulator("intel_accepted")
+    val failed = sc.longAccumulator("intel_failed")
+    val overhead = utf8Len(metaJson) + 32L
     objJson.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val objs = rows.map(_.getString(0)).toSeq
       if (objs.nonEmpty)
-        chunk(objs, maxBytes, overhead)
-          .foreach(c => uploadWithSplit(sink, metaJson, c))
+        chunk(objs, maxBytes, overhead).foreach { c =>
+          uploadWithSplit(sink, metaJson, c).foreach {
+            case Accepted => accepted.add(1)
+            case other =>
+              failed.add(1)
+              System.err.println(s"[graft.sink] upload failed: $other")
+          }
+        }
     }
+    (accepted.value, failed.value)
   }
 }

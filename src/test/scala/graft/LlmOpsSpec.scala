@@ -37,11 +37,12 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.d03(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH with 4x4 bands at jaccard>=0.9 planted pairs: recall should be total
-    assert(exact.subsetOf(lsh.union(exact)))
     assert(lsh.nonEmpty, "LSH found no candidate pairs")
+    // planted pairs sit at jaccard ~0.99: band-collision probability is
+    // 1-(1-0.99^4)^4 ≈ 0.999998, so recall over exact pairs must be
+    // essentially total
     val recall = exact.intersect(lsh).size.toDouble / math.max(exact.size, 1)
-    assert(recall >= 0.8, s"LSH recall too low: $recall")
+    assert(recall >= 0.9, s"LSH recall too low: $recall")
   }
 
   test("simhash near-dups overlap jaccard near-dups") {
