@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third tranche: nested-JSON payload reshaping (the oracle-checked
+  * face of the pipeline's P3/C8 operators), pivot, EXCEPT ALL, and an
+  * approximate-distinct operator (rows-only check — HLL sketches are
+  * engine-specific by design). */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** P3/C8 analog with an oracle: reshape rows into nested JSON docs
+    * (struct + array + to_json produce byte-identical strings in both
+    * engines for string/int payloads). */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey",
+        to_json(struct(
+          $"o_orderkey".as("id"),
+          struct($"o_orderpriority".as("priority"),
+            $"o_orderstatus".as("status")).as("meta"),
+          array($"o_orderpriority", $"o_orderstatus").as("tags"))).as("payload"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Pivot: order counts per priority × status (explicit value list;
+    * count nulls coalesced to 0 to match SQL PIVOT semantics). */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"),
+        coalesce($"P", lit(0L)).as("P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** EXCEPT ALL — multiset difference (SURVEY §2.7 family). */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").select($"l_partkey".as("partkey"))
+      .exceptAll(t(s, dir, "part").select($"p_partkey".as("partkey")))
+      .groupBy($"partkey").agg(count(lit(1)).as("n"))
+      .orderBy($"partkey")
+  }
+
+  /** HLL approximate distinct counts — intentionally NO oracle (sketch
+    * layouts are engine-specific); the driver records a rows-only
+    * check and the spec asserts the estimate is within 5% of exact. */
+  def x01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_json_payload" -> (q29 _),
+    "q30_pivot" -> (q30 _),
+    "q31_except_all" -> (q31 _),
+    "x01_approx_distinct" -> (x01 _),
+  )
+
+  /** x01 deliberately omitted: no SQL-expressible oracle. */
+  val oracles: Map[String, String] = Map(
+    "q29_json_payload" ->
+      """SELECT o_orderkey,
+        | to_json(struct_pack(
+        |   id := o_orderkey,
+        |   meta := struct_pack(priority := o_orderpriority, status := o_orderstatus),
+        |   tags := [o_orderpriority, o_orderstatus])) AS payload
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q30_pivot" ->
+      """SELECT o_orderpriority, "F" AS F, "O" AS O, "P" AS P
+        |FROM (PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q31_except_all" ->
+      """SELECT partkey, count(*) AS n FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT p_partkey AS partkey FROM part)
+        |GROUP BY partkey ORDER BY partkey""".stripMargin,
+  )
+}

@@ -224,3 +224,29 @@ object TestSinks {
     def patches: List[(Long, String)] = patchBuf.asScala.toList
   }
 }
+
+/** SURVEY §5.3 invariant: the MERGE is idempotent-shaped — a second
+  * run against updated sink state routes everything to the patch path
+  * and creates no duplicate inserts. */
+class MergeIdempotenceSpec extends SparkSpec {
+  test("second MERGE run patches instead of re-inserting") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Bulletins, Model}
+    val advisories = Seq(
+      Model.Advisory(1L, "A", Seq(), "2026-01-01T00:00:00", "2026-01-02T00:00:00", "<p>1</p>"),
+      Model.Advisory(2L, "B", Seq(), "2026-01-01T00:00:00", "2026-01-03T00:00:00", "<p>2</p>")).toDS().toDF()
+    val empty = spark.emptyDataset[Model.TipReportState].toDF()
+    val sink1 = new TestSinks.RecordingTipSink
+    Bulletins.write(advisories, empty, sink1)
+    assert(sink1.posts.size == 2 && sink1.patches.isEmpty)
+    // sink state now contains both reports (ids assigned by the sink)
+    val state = Seq(
+      Model.TipReportState(1L, 100L, "2026-01-02T00:00:00"),
+      Model.TipReportState(2L, 101L, "2026-01-03T00:00:00")).toDF()
+    val sink2 = new TestSinks.RecordingTipSink
+    Bulletins.write(advisories, state, sink2)
+    assert(sink2.posts.isEmpty, "re-run must not duplicate inserts")
+    assert(sink2.patches.map(_._1).sorted == List(100L, 101L))
+  }
+}
