@@ -59,7 +59,7 @@ object Relational3 {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"))
       .orderBy($"l_returnflag")
   }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Relational3, Skew}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("x01 approx distinct is within 5% of exact") {
+    val rows = Relational3.x01(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey")).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", factor = 7)
+      .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salted two-phase sum equals direct sum") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSum(li, "l_returnflag", "l_quantity", 16)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.keySet.foreach { k =>
+      assert(math.abs(direct(k)._1 - salted(k)._1) < 1e-6)
+      assert(direct(k)._2 == salted(k)._2)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      Tables.load(spark, sf, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$wh/li_b")
+        .saveAsTable("li_bucketed")
+      Tables.load(spark, sf, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$wh/o_b")
+        .saveAsTable("o_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
