@@ -52,6 +52,26 @@ object Relational3 {
       .orderBy($"partkey")
   }
 
+  /** Range (interval) join: each purchase joined to all of the same
+    * user's views in the preceding 30 minutes — equi key + time-range
+    * condition (sort-merge join with a range predicate; at 100 TB the
+    * equi key carries the shuffle and the range stays a local
+    * predicate). */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id", $"ts".as("v_ts"))
+    p.join(v, Seq("user_id"))
+      .filter($"v_ts" <= $"p_ts" &&
+        $"v_ts" > $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"p_id", $"user_id", $"v_id",
+        expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000").as("gap_s"))
+      .orderBy($"p_id", $"v_id")
+  }
+
   /** HLL approximate distinct counts — intentionally NO oracle (sketch
     * layouts are engine-specific); the driver records a rows-only
     * check and the spec asserts the estimate is within 5% of exact. */
@@ -69,6 +89,7 @@ object Relational3 {
     "q30_pivot" -> (q30 _),
     "q31_except_all" -> (q31 _),
     "x01_approx_distinct" -> (x01 _),
+    "q32_range_join" -> (q32 _),
   )
 
   /** x01 deliberately omitted: no SQL-expressible oracle. */
@@ -84,6 +105,16 @@ object Relational3 {
       """SELECT o_orderpriority, "F" AS F, "O" AS O, "P" AS P
         |FROM (PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+    "q32_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p_id, p.user_id AS user_id, v_id,
+        | date_diff('microsecond', v_ts, p_ts) // 1000000 AS gap_s
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL 30 MINUTE
+        |ORDER BY p_id, v_id""".stripMargin,
     "q31_except_all" ->
       """SELECT partkey, count(*) AS n FROM (
         |  SELECT l_partkey AS partkey FROM lineitem

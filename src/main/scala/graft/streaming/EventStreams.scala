@@ -99,6 +99,25 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases ⋈ views of the same user
+    * within the last 30 minutes. Both sides watermarked so Spark can
+    * bound the join state (without watermarks the buffered state grows
+    * forever at 100 TB). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("user_id"), col("v_id"))
+  }
+
   /** Run any of the streams above to a named memory sink, synchronously
     * (Trigger.AvailableNow ≙ the reference's one-shot mode). */
   def runToMemory(df: DataFrame, name: String, mode: String = "append")

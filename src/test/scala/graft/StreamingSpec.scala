@@ -78,6 +78,35 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamJoinSpec extends SparkSpec {
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("stream-stream interval join matches the batch range join") {
+    val s = spark
+    import s.implicits._
+    val q = EventStreams.runToMemory(
+      EventStreams.purchaseViewJoin(EventStreams.stream(spark, eventsDir)),
+      "pv_join", mode = "append")
+    try {
+      val streamed = spark.table("pv_join")
+        .select($"p_id", $"user_id", $"v_id")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.Relational3.q32(spark, sf)
+        .select($"p_id", $"user_id", $"v_id")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream vs batch diff: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+}
+
 class PipelineStreamSpec extends SparkSpec {
   test("streaming MERGE upserts per micro-batch with checkpointed offsets") {
     val s = spark
