@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: touch every input table once so the first timed query
+    // doesn't pay scheduler/JIT/parquet-footer costs for all of them
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

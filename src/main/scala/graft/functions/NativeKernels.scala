@@ -46,18 +46,25 @@ object NativeKernels {
         s"$fn expects ARRAY<STRING>, got ${t.simpleString}")
     }
 
-  /** Fold-left double dot product over two float/double array columns.
-    * Null if either side is null; asserts equal lengths. */
+  /** Fold-left double dot product over two numeric array columns.
+    * Null if either side is null; ragged inputs truncate to the
+    * shorter length (min-length semantics, matching the composed
+    * `zip_with` form — callers that need equal lengths enforce it
+    * upstream). Element types are restricted at analysis time to the
+    * four the eval/codegen getters implement. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    private def supported(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
     override def checkInputDataTypes(): TypeCheckResult =
-      (left.dataType, right.dataType) match {
-        case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
-          TypeCheckResult.TypeCheckSuccess
-        case _ => TypeCheckResult.TypeCheckFailure(
-          s"vec_dot needs two numeric arrays, got ${left.dataType} / ${right.dataType}")
-      }
+      if (supported(left.dataType) && supported(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_dot needs two ARRAY<FLOAT|DOUBLE|INT|BIGINT> columns, " +
+          s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
 
     private def elemType(e: Expression): NumericType =
       e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]

@@ -193,12 +193,19 @@ object Relational {
 
   // ---- arrays -------------------------------------------------------
 
-  /** Array aggregation (C5/C7 analog): sorted part list per order. */
+  /** Array aggregation (C5/C7 analog): sorted part list per order.
+    * The list is sorted numerically, then serialized to a CSV string:
+    * the external gate sorts result columns with pandas, which cannot
+    * hash raw array cells (ADVICE r1) — a scalar column keeps the
+    * query oracle-checkable without weakening what it exercises
+    * (collect_list + sort_array still run). */
   def q12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list($"l_partkey")).as("parts"),
+      .agg(
+        array_join(transform(sort_array(collect_list($"l_partkey")),
+          _.cast("string")), ",").as("parts"),
         count(lit(1)).as("n_lines"))
       .orderBy($"l_orderkey")
   }
@@ -477,7 +484,9 @@ object Relational {
         |SELECT 'rich_idle' AS kind, custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers) b
         |ORDER BY kind, custkey""".stripMargin,
     "q12_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_partkey)) AS parts, count(*) AS n_lines
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+        | count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q13_array_fns" ->
       """SELECT vec_id,

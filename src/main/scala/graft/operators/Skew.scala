@@ -19,10 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
+  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways.
+    *
+    * Restricted to join types where replicating the small side is
+    * result-preserving: under right_outer/full_outer an unmatched
+    * small-side row would surface once per salt replica (`factor`
+    * copies instead of one), so those types are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports $allowed; '$joinType' would duplicate " +
+        "unmatched replicated small-side rows")
     val salted = big.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(factor)))
     val replicated = small.withColumn("__salt",

@@ -64,11 +64,14 @@ object Bulletins {
       sinkState.select(col("ww_id").as("id"), col("tip_id")),
       Seq("id"), "left_outer")
 
-  /** Tag assembly (C6/C7): [world_watch_{id}, generic, *advisory.tags]
-    * (`src/Datalake2Anomali.py:191-195,224-228`). */
-  private def allTags = concat(
-    array(concat(lit("world_watch_"), col("id").cast("string")), lit(GENERIC_TAG)),
-    col("tags"))
+  /** Tag assembly (C6/C7). The two reference paths order the leading
+    * pair differently — insert is [world_watch_{id}, generic, *tags]
+    * (`src/Datalake2Anomali.py:225-229`) while patch is
+    * [generic, world_watch_{id}, *tags] (`:191-195`). Semantically a
+    * set, but we reproduce the per-path observable payload exactly. */
+  private def specificTag = concat(lit("world_watch_"), col("id").cast("string"))
+  private def insertTags = concat(array(specificTag, lit(GENERIC_TAG)), col("tags"))
+  private def patchTags = concat(array(lit(GENERIC_TAG), specificTag), col("tags"))
 
   /** K2 — insert-path tipreport JSON (`AnomaliTipReportModel`,
     * `src/models.py:16-19`: body/created/modified/name/tags plus the
@@ -84,7 +87,7 @@ object Bulletins {
         lit("WorldWatch").as("original_source"),
         lit("WorldWatch").as("source"),
         col("timestamp_created").as("created_ts"),
-        allTags.as("tags"))).as("payload"))
+        insertTags.as("tags"))).as("payload"))
 
   /** K3 — update-path tipreport JSON (`PatchTipReportModel`,
     * `src/models.py:13-14`: tags_v2 as {name} structs, modified_ts
@@ -100,23 +103,39 @@ object Bulletins {
         col("title").as("name"),
         lit("WorldWatch").as("original_source"),
         lit("WorldWatch").as("source"),
-        transform(allTags, t => struct(t.as("name"))).as("tags_v2"))).as("payload"))
+        transform(patchTags, t => struct(t.as("name"))).as("tags_v2"))).as("payload"))
 
   /** Full MERGE write: split on probe result, repartition by advisory
-    * id (one id → one task), write both paths via the sink trait. */
+    * id (one id → one task), write both paths via the sink trait.
+    * Returns (accepted, failed) write counts — mirroring
+    * [[Sinks.writeIntel]]: the reference logs post failures and raises
+    * on patch failures (`src/Datalake2Anomali.py:213-216,240-243`);
+    * here every non-Accepted result is counted and logged, never
+    * silently dropped. */
   def write(advisories: DataFrame, sinkState: DataFrame,
-      sink: TipReportSink): Unit = {
+      sink: TipReportSink): (Long, Long) = {
     val merged = mergeSplit(advisories, sinkState).cache()
+    val sc = merged.sparkSession.sparkContext
+    val accepted = sc.longAccumulator("tipreport_accepted")
+    val failed = sc.longAccumulator("tipreport_failed")
+    def count(r: Sinks.UploadResult, what: String): Unit = r match {
+      case Sinks.Accepted => accepted.add(1)
+      case other =>
+        failed.add(1)
+        System.err.println(s"[graft.sink] tipreport $what failed: $other")
+    }
     try {
       insertPayloads(merged).repartition(col("id"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach(r => sink.post(r.getAs[String]("payload")))
+          rows.foreach(r => count(sink.post(r.getAs[String]("payload")), "post"))
         }
       patchPayloads(merged).repartition(col("id"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach(r =>
-            sink.patch(r.getAs[Long]("tip_id"), r.getAs[String]("payload")))
+          rows.foreach(r => count(
+            sink.patch(r.getAs[Long]("tip_id"), r.getAs[String]("payload")),
+            "patch"))
         }
     } finally merged.unpersist()
+    (accepted.value, failed.value)
   }
 }

@@ -26,9 +26,14 @@ object Runner {
     def htmlFetcher: Bulletins.HtmlFetcher               // S5
   }
 
+  /** Per-pipeline outcome plus (accepted, failed) sink-write counts —
+    * a failed write is surfaced here and in the sink logs, never
+    * silently dropped (ADVICE r1). */
   final case class RunReport(
       iocOk: Boolean, bulletinsOk: Boolean,
-      iocError: Option[String] = None, bulletinError: Option[String] = None)
+      iocError: Option[String] = None, bulletinError: Option[String] = None,
+      iocWrites: (Long, Long) = (0L, 0L),
+      bulletinWrites: (Long, Long) = (0L, 0L))
 
   /** One batch cycle (both pipelines). */
   def runOnce(spark: SparkSession, src: Sources, cfg: PipelineConfig,
@@ -41,9 +46,8 @@ object Runner {
       try {
         val objs = IocTransform.run(
           src.iocRows(spark), src.queryConfig(spark), cfg)
-        writeIntel(objs, intelSink, IocTransform.metaJson(cfg, nowUtc),
-          cfg.maxPayloadBytes)
-        Right(())
+        Right(writeIntel(objs, intelSink, IocTransform.metaJson(cfg, nowUtc),
+          cfg.maxPayloadBytes))
       } catch { case e: Exception => Left(e.toString) }
     val bul =
       try {
@@ -57,10 +61,10 @@ object Runner {
           to_timestamp(col("timestamp_updated")) >
             lit(java.sql.Timestamp.from(cur)))
         val enriched = Bulletins.enrich(fresh, src.htmlFetcher)
-        Bulletins.write(enriched.toDF(), state, tipSink)
-        Right(())
+        Right(Bulletins.write(enriched.toDF(), state, tipSink))
       } catch { case e: Exception => Left(e.toString) }
-    RunReport(ioc.isRight, bul.isRight, ioc.left.toOption, bul.left.toOption)
+    RunReport(ioc.isRight, bul.isRight, ioc.left.toOption, bul.left.toOption,
+      ioc.getOrElse((0L, 0L)), bul.getOrElse((0L, 0L)))
   }
 
   /** T1 cron mode: run immediately, then every uploadFrequencyHours.

@@ -36,7 +36,9 @@ object PipelineStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Bulletins.write(batch, sinkState(), sink)
+        val (ok, bad) = Bulletins.write(batch, sinkState(), sink)
+        if (bad > 0)
+          System.err.println(s"[graft.stream] batch writes: $ok ok, $bad failed")
       }
       .start()
 }

@@ -129,7 +129,8 @@ class PipelineSpec extends SparkSpec {
     }
     val enriched = Bulletins.enrich(advisories, fetcher).toDF()
     val sink = new RecordingTipSink
-    Bulletins.write(enriched, state, sink)
+    val (ok, bad) = Bulletins.write(enriched, state, sink)
+    assert(ok == 2L && bad == 0L)
     assert(sink.posts.size == 1 && sink.patches.size == 1)
     val post = sink.posts.head
     assert(post.contains(""""name":"New threat""""))
@@ -138,7 +139,9 @@ class PipelineSpec extends SparkSpec {
     assert(post.contains(""""created_ts":"2026-01-01T00:00:00""""))
     val (tipId, patch) = sink.patches.head
     assert(tipId == 4242L)
-    assert(patch.contains(""""tags_v2":[{"name":"world_watch_2"},{"name":"world_watch_advisory"},{"name":"ransomware"}]"""))
+    // reference patch path leads with the generic tag (:191-195),
+    // unlike the insert path (:225-229)
+    assert(patch.contains(""""tags_v2":[{"name":"world_watch_advisory"},{"name":"world_watch_2"},{"name":"ransomware"}]"""))
     // C2: %Y-%m-%dT%H:%M:%S.%f%z equivalent formatting
     assert(patch.contains(""""modified_ts":"2026-01-03T11:30:00.000000+0000""""))
   }
