@@ -51,67 +51,91 @@ object Dedup {
     docs(s, dir).select($"doc_id", explode(word_shingles($"text", N)).as("s"))
   }
 
+  /** All (a_id < b_id) pairs within each sorted id-array bucket —
+    * the LSH/bucket-join pair generator. Nested-HOF expansion is fine:
+    * buckets are capped (skew guard) and the lambda's argument subtree
+    * is a bare attribute, so no re-evaluation blowup. */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a_id"), y.as("b_id")))))
+
   /** N-gram Jaccard near-dup: pairs sharing ≥1 shingle, exact Jaccard
     * over distinct shingle sets, threshold 0.5 (planted near-dups sit
-    * at ~0.99, random pairs at ~0.005 — wide margin). */
-  def d02(s: SparkSession, dir: String): DataFrame = {
+    * at ~0.99, random pairs at ~0.005 — wide margin).
+    *
+    * Shape: ONE explode+groupBy over the shingles builds per-shingle
+    * doc-id buckets, and candidate pairs are generated inside each
+    * bucket — one shuffle of the shingle rows total, versus the naive
+    * exploded self-join (two shuffles of the full shingle table and a
+    * second evaluation of the shingle kernel). Set sizes come straight
+    * from `size(word_shingles(text))` — per-row, no shuffle — and join
+    * the (tiny) pair aggregate via broadcast.
+    *
+    * `maxBucket` is the 100 TB skew guard: a stop-shingle shared by
+    * millions of docs would otherwise generate O(m²) pairs in one
+    * task. Dropping oversized buckets only loses pairs whose every
+    * shared shingle is that common — near-dups still collide on their
+    * rarer shingles. Uncapped here (the oracle doesn't cap; sf0.1's
+    * widest bucket is 25 docs). */
+  def d02(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
     import s.implicits._
-    // no .cache(): the kernelized shingle computation is cheap to
-    // recompute and a cached plan leaks for the session's lifetime
-    // (Verify runs 50 queries in one session)
-    val sh = shingleRows(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select($"doc_id".as("a_id"), $"s")
-    val b = sh.select($"doc_id".as("b_id"), $"s")
-    val inter = a.join(b, Seq("s")).filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    val sizes = docs(s, dir)
+      .select($"doc_id", size(word_shingles($"text", N)).cast("long").as("n"))
+    val buckets = shingleRows(s, dir)
+      .groupBy($"s").agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+    val capped = maxBucket.fold(buckets)(m => buckets.filter(size($"ids") <= m))
+    val inter = capped
+      .select(explode(bucketPairs($"ids")).as("p"))
+      .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .join(broadcast(sizes.select($"doc_id".as("a_id"), $"n".as("na"))), Seq("a_id"))
+      .join(broadcast(sizes.select($"doc_id".as("b_id"), $"n".as("nb"))), Seq("b_id"))
       .select($"a_id", $"b_id",
         round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"a_id", $"b_id")
   }
 
-  /** MinHash signature: per doc, min over shingles of K seeded hashes.
-    * Computed per-row by the fused kernel (shingle sets are per-doc, so
-    * no shuffle is needed at all — the groupBy-min formulation the
-    * oracle uses is the distributed fallback for when a single row's
-    * shingle set wouldn't fit, which at 3-gram/doc granularity it
-    * always does). */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigCols = (0 until K).map(i => element_at($"sig", i + 1).as(s"mh$i"))
-    docs(s, dir)
-      .select($"doc_id",
-        minhash_signature(word_shingles($"text", N), K).as("sig"))
-      .select($"doc_id" +: sigCols: _*)
-  }
-
   /** MinHash + LSH near-dup: band the K-long signature into BANDS
-    * buckets, self-join on (band, key), estimate similarity as the
-    * fraction of agreeing signature positions, threshold 0.5. */
+    * buckets, bucket-join on (band, key), estimate similarity as the
+    * fraction of agreeing signature positions, threshold 0.5.
+    *
+    * Shape: the signature array rides along through the band explode
+    * and the per-bucket pair expansion, so the (expensive — K md5s per
+    * shingle) signature kernel runs ONCE, and the candidate pairs
+    * already hold both signatures — no join back to the signature
+    * table at all. One shuffle for the bucket groupBy, one for the
+    * pair distinct; the naive form evaluates the kernel three times
+    * (band build + two probe joins) and shuffles for each join. */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir)
-    val bandCols = (0 until BANDS).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until ROWS).map(r =>
-          col(s"mh${b * ROWS + r}").cast("string")): _*).cast("binary")).as("key"))
+    val sig = docs(s, dir).select($"doc_id",
+      minhash_signature(word_shingles($"text", N), K).as("sig"))
+    val bandKeys = (0 until BANDS).map { b =>
+      md5(concat_ws(",", (0 until ROWS).map(r =>
+        element_at($"sig", b * ROWS + r + 1).cast("string")): _*).cast("binary"))
     }
-    val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("u"))
-      .select($"doc_id", $"u.band".as("band"), $"u.key".as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+    val bands = sig.select($"doc_id", $"sig",
+      explode(array(bandKeys.zipWithIndex.map { case (k, b) =>
+        struct(lit(b).as("band"), k.as("key")) }: _*)).as("u"))
+    val buckets = bands
+      .groupBy($"u.band".as("band"), $"u.key".as("key"))
+      .agg(sort_array(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .filter(size($"members") > 1)
+    val pairs = buckets
+      .select(explode(bucketPairs($"members")).as("p"))
+      .select($"p.a_id.doc_id".as("a_id"), $"p.b_id.doc_id".as("b_id"),
+        $"p.a_id.sig".as("sa"), $"p.b_id.sig".as("sb"))
+      .groupBy($"a_id", $"b_id")
+      .agg(first($"sa").as("sa"), first($"sb").as("sb"))
     val agree = (0 until K).map(i =>
-      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      when(element_at($"sa", i + 1) === element_at($"sb", i + 1), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), $"a_id" === $"sa.doc_id")
-      .join(sig.as("sb"), $"b_id" === $"sb.doc_id")
+    pairs
       .select($"a_id", $"b_id", round(agree / lit(K.toDouble), 4).as("est_sim"))
       .filter($"est_sim" >= 0.5)
       .orderBy($"a_id", $"b_id")
@@ -136,7 +160,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
-    "d02_ngram_jaccard" -> (d02 _),
+    "d02_ngram_jaccard" -> ((s, d) => d02(s, d)),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
   )

@@ -66,12 +66,16 @@ object Relational2 {
 
   /** Apply near-dup dedup: drop the higher-id member of every pair
     * with Jaccard ≥ 0.5 (the detection operator is d02; this is the
-    * keep-lowest-id policy applied via a broadcast anti join). */
+    * keep-lowest-id policy as an anti join). No broadcast hint on the
+    * drop set: a static hint forces the whole multi-stage d02 subplan
+    * through a driver-side broadcast build, which measured 10x slower
+    * tails here — AQE converts the tiny built side to broadcast at
+    * runtime anyway. */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val drops = Dedup.d02(s, dir).select($"b_id".as("doc_id")).distinct()
     t(s, dir, "documents")
-      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"n_chars")
       .orderBy($"doc_id")
   }
@@ -87,8 +91,9 @@ object Relational2 {
     val nDocs = docs.count().toDouble
     val terms = docs.select($"doc_id", explode(word_tokens($"text")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = terms.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // df derives from tf (already one row per doc-term): saves the
+    // second tokenize pass and the distinct shuffle of the naive form
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"weight".desc, $"term")
     tf.join(df, Seq("term"))
       .withColumn("weight",

@@ -119,11 +119,14 @@ object Similarity {
 
   /** IVF ANN: cells = per-label centroids (the coarse quantizer built
     * exactly as e01), vectors assigned to their nearest cell by L2,
-    * queries search only their own cell. One broadcast of the 10-row
-    * centroid table + one shuffle for the window — the inverted-file
-    * scale path next to the LSH one (s02). Assignment is stable
-    * cross-engine: the measured best-vs-second cell distance gap
-    * (8.3e-6) dwarfs summation jitter (~1e-13). */
+    * queries search only their own cell. The 10-row centroid table and
+    * the query side both end up broadcast — decided by AQE at runtime,
+    * NOT via static `broadcast()` hints: both are multi-stage subplans
+    * (groupBys / window), and forcing those through a driver-side
+    * broadcast build measured 10x slower tails (see d05). This is the
+    * inverted-file scale path next to the LSH one (s02). Assignment is
+    * stable cross-engine: the measured best-vs-second cell distance
+    * gap (8.3e-6) dwarfs summation jitter (~1e-13). */
   def s04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
@@ -137,7 +140,7 @@ object Similarity {
       aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
         lit(0.0), (acc, d) => acc + d)
     val wCell = Window.partitionBy($"vec_id").orderBy($"dist", $"label")
-    val assigned = e.crossJoin(broadcast(cent))
+    val assigned = e.crossJoin(cent)
       .select($"vec_id", $"embedding", $"nrm", $"label",
         sqDist($"embedding", $"cvec").as("dist"))
       .withColumn("rn", row_number().over(wCell))
@@ -146,7 +149,7 @@ object Similarity {
     val q = assigned.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"cell")
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    val scored = assigned.join(q, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
