@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Grouped top-k as a typed [[Aggregator]] (SURVEY.md §2.6/§4: the
+  * custom-aggregate slot — "an `Aggregator[Row, PriorityQueue,
+  * Array[Row]]` for grouped top-k").
+  *
+  * Why not a window: `row_number().over(partitionBy(g).orderBy(v))`
+  * ranks ALL rows — the shuffle carries the entire table and the sort
+  * is O(n log n) per group. This aggregator keeps only k records per
+  * group at every stage, so the map side already reduces each
+  * partition to ≤ k rows per group (partial aggregation = Spark's
+  * map-side combine), the shuffle carries ≤ k·groups·partitions rows,
+  * and merge is O(k). At 100 TB with k=3 that is the difference
+  * between shuffling the fact table and shuffling kilobytes.
+  *
+  * Ordering is total (price desc, then orderkey/linenumber asc), so
+  * the result is deterministic and oracle-checkable against the
+  * window formulation on any engine.
+  */
+object GroupedTopK {
+
+  /** One ranked record: a value plus tie-break keys. */
+  final case class Rec(price: Double, orderkey: Long, linenumber: Int)
+
+  /** Total order: price DESC, orderkey ASC, linenumber ASC. */
+  val ord: Ordering[Rec] = Ordering.by((r: Rec) => (-r.price, r.orderkey, r.linenumber))
+
+  final case class TopK(k: Int) extends Aggregator[Rec, Seq[Rec], Seq[Rec]] {
+    override def zero: Seq[Rec] = Vector.empty
+
+    // insert keeping the buffer sorted and bounded at k — O(k) per row
+    override def reduce(buf: Seq[Rec], in: Rec): Seq[Rec] =
+      if (buf.length == k && ord.gteq(in, buf.last)) buf
+      else ((buf :+ in).sorted(ord)).take(k)
+
+    override def merge(a: Seq[Rec], b: Seq[Rec]): Seq[Rec] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(buf: Seq[Rec]): Seq[Rec] = buf.sorted(ord)
+
+    override def bufferEncoder: Encoder[Seq[Rec]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Rec]]()
+    override def outputEncoder: Encoder[Seq[Rec]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Rec]]()
+  }
+}

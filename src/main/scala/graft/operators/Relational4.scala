@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GroupedTopK
+
+/** Fourth tranche: grouping sets (CUBE), a typed top-k Aggregator,
+  * analytic window functions (lead/lag/ntile/percent_rank), the SQL
+  * surface with correlated subqueries, RANGE window frames, bloom-
+  * filter join pruning, time-spine gap fill, and connected-component
+  * duplicate clustering. Each entry has a DuckDB oracle with identical
+  * arithmetic and aliases.
+  */
+object Relational4 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** CUBE + grouping_id over (priority, order month): all four
+    * grouping combinations in one pass — Spark expands the cube into a
+    * partial-aggregated union, one shuffle (SURVEY §2.5 extension of
+    * q20's rollup). Nulls from the cube are labeled 'ALL' so ordering
+    * is total across engines. */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderpriority", month($"o_orderdate").cast("long").as("mon"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"mon", lit(0L)).as("mon"), $"gid", $"n", $"total")
+      .orderBy($"gid", $"priority", $"mon")
+  }
+
+  /** Grouped top-k via the typed bounded-buffer Aggregator
+    * ([[GroupedTopK]]): top-3 lineitems by extendedprice per
+    * returnflag. The map side reduces every partition to ≤3 rows per
+    * group before the shuffle — the window formulation (the oracle)
+    * shuffles and sorts the whole table. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(GroupedTopK.TopK(3))
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(topk($"l_extendedprice", $"l_orderkey", $"l_linenumber").as("top"))
+      .select($"l_returnflag", posexplode($"top").as(Seq("pos", "r")))
+      .select($"l_returnflag", ($"pos" + 1).cast("long").as("rank"),
+        round($"r.price", 2).as("price"), $"r.orderkey".as("orderkey"),
+        $"r.linenumber".cast("long").as("linenumber"))
+      .orderBy($"l_returnflag", $"rank")
+  }
+
+  /** Analytic window functions per user event stream: lag/lead value
+    * deltas, quartile (ntile), percent_rank, cume_dist. Ordering key
+    * (ts, event_id) is total, and every emitted double is either a
+    * single IEEE subtraction or an integer-ratio division — identical
+    * bit patterns on both engines, no rounding needed. */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("prev_delta", $"value" - lag($"value", 1).over(w))
+      .withColumn("next_delta", lead($"value", 1).over(w) - $"value")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"event_id", $"user_id", $"prev_delta", $"next_delta",
+        $"quartile", $"pct_rank", $"cume")
+      .orderBy($"event_id")
+  }
+
+  /** Correlated EXISTS + scalar subquery, exercised through the SQL
+    * surface (`spark.sql` over the registered views — SURVEY §7.2.6).
+    * The same SQL text runs verbatim on DuckDB as the oracle; the
+    * threshold uses max() (order-independent), never avg (whose
+    * summation order differs across engines). */
+  private val q36Sql =
+    """SELECT c_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS spend
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE o.o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q36Sql)
+  }
+
+  /** RANGE window frame: trailing 30-minute per-user frame (count and
+    * max — order-independent aggregates only). Frame bound is in
+    * epoch MICROseconds on both engines so tie handling is identical
+    * (a seconds-granularity cast would merge distinct instants). */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("max_30m", max($"value").over(w))
+      .select($"event_id", $"user_id", $"n_30m", $"max_30m")
+      .orderBy($"event_id")
+  }
+
+  /** Bloom-filter join pruning (the runtime-filter pattern Spark's own
+    * InjectRuntimeFilter applies to shuffle joins): build a bloom
+    * filter over the small side's keys, prune the fact table with it
+    * BEFORE the shuffle, then exact-semi-join the survivors. Bloom
+    * filters have no false negatives, so the result is exactly the
+    * plain semi join (the oracle); false positives only cost a little
+    * post-filter work. At 100 TB the bloom prune drops most of the
+    * fact-table shuffle volume; at this SF the bloom is ~61 KB. */
+  def x02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey")
+    val bloom = high.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val bcast = s.sparkContext.broadcast(bloom)
+    // typed filter (one deserialization per row) — the pragmatic form;
+    // the zero-overhead form is catalyst's BloomFilterMightContain,
+    // which requires the bloom built by its paired internal aggregate
+    val pruned = t(s, dir, "lineitem")
+      .filter(r => bcast.value.mightContainLong(r.getAs[Long]("l_orderkey")))
+    pruned.join(high, pruned("l_orderkey") === high("o_orderkey"), "left_semi")
+      .select($"l_orderkey".as("o_orderkey"), $"l_partkey",
+        round($"l_extendedprice", 2).as("price"))
+      .orderBy($"o_orderkey", $"l_partkey", $"price")
+  }
+
+  /** Minute-spine gap fill: zero-fill per-(event_type, minute) counts
+    * over the full [min, max] minute range — the resample/regularize
+    * step a time-series feature pipeline runs before windowed models.
+    * The spine is sequence()+explode (no driver loop); the count join
+    * is one shuffle and the spine side stays tiny. */
+  def e02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val bounds = ev.agg(
+      date_trunc("minute", min($"ts")).as("mn"),
+      date_trunc("minute", max($"ts")).as("mx"))
+    val spine = bounds
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 minute"))).as("minute"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val counts = ev
+      .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("minute", "event_type"), "left")
+      .select($"minute", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"minute", $"event_type")
+  }
+
+  /** Connected-component duplicate clustering over the d02 near-dup
+    * pairs: the step that turns pairwise matches into dedup groups.
+    * Iterative min-label propagation to a fixpoint — each round is
+    * one join + one aggregate, with `localCheckpoint` cutting lineage
+    * so plans don't grow with iterations (the standard Spark iterative
+    * shape; converges in O(diameter) rounds, and near-dup clusters
+    * have tiny diameters). Deterministic: labels are min doc_ids. */
+  def d06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.d02(s, dir).select($"a_id", $"b_id")
+    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id").localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"comp").as("ncomp"))
+      val next = labels.join(prop, $"id" === $"src", "left")
+        .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter($"comp" =!= $"old").isEmpty
+      labels = next
+    }
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_cube" -> (q33 _),
+    "q34_grouped_topk" -> (q34 _),
+    "q35_lead_lag" -> (q35 _),
+    "q36_exists_subquery" -> (q36 _),
+    "q37_range_frame" -> (q37 _),
+    "x02_bloom_prune" -> (x02 _),
+    "e02_gap_fill" -> (e02 _),
+    "d06_dup_clusters" -> (d06 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(CAST(month(o_orderdate) AS BIGINT), 0) AS mon,
+        | CAST(grouping(o_orderpriority) * 2 + grouping(month(o_orderdate)) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, month(o_orderdate))
+        |ORDER BY gid, priority, mon""".stripMargin,
+    "q34_grouped_topk" ->
+      """SELECT l_returnflag, rank, price, orderkey, linenumber FROM (
+        | SELECT l_returnflag,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rank,
+        |  round(l_extendedprice, 2) AS price,
+        |  l_orderkey AS orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS linenumber
+        | FROM lineitem)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+    "q35_lead_lag" ->
+      """SELECT event_id, user_id,
+        | value - lag(value, 1) OVER w AS prev_delta,
+        | lead(value, 1) OVER w - value AS next_delta,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q36_exists_subquery" -> q36Sql,
+    "q37_range_frame" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_30m,
+        | max(value) OVER w AS max_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "x02_bloom_prune" ->
+      """SELECT l.l_orderkey AS o_orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000.0)
+        |ORDER BY o_orderkey, l_partkey, price""".stripMargin,
+    "e02_gap_fill" ->
+      """WITH b AS (SELECT CAST(date_trunc('minute', min(ts)) AS TIMESTAMP) AS mn,
+        |    CAST(date_trunc('minute', max(ts)) AS TIMESTAMP) AS mx FROM events),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS minute FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT minute, event_type FROM spine CROSS JOIN types),
+        |counts AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.minute, g.event_type, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN counts c USING (minute, event_type)
+        |ORDER BY minute, event_type""".stripMargin,
+    "d06_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT a_id, b_id FROM (${Dedup.oracles("d02_ngram_jaccard")})),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.src AS id, rc.r FROM reach rc JOIN edges e ON e.dst = rc.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
