@@ -92,8 +92,8 @@ object Dedup {
       .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select($"doc_id".as("a_id"), $"n".as("na"))), Seq("a_id"))
-      .join(broadcast(sizes.select($"doc_id".as("b_id"), $"n".as("nb"))), Seq("b_id"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
       .select($"a_id", $"b_id",
         round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)
