@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.NativeKernels.word_tokens
+import graft.functions.TextOps.sqlTokens
+
+/** Fifth tranche — the remaining corpus-quality and packing operators
+  * of a training-data pipeline, plus IGNORE NULLS window navigation:
+  *
+  *  - t11: repetition signals (top-unigram token fraction, top-bigram
+  *    character fraction) — the Gopher-style "repetitious text" quality
+  *    filters;
+  *  - t12: sequence packing — concat-then-chunk assignment of docs
+  *    into fixed token-budget chunks via one running-sum window, the
+  *    deterministic packing step before LLM pre-training;
+  *  - q38: first/last/nth_value with IGNORE NULLS over event streams.
+  *
+  * Emitted fractions are single int/int divisions (bit-identical
+  * across engines, no rounding needed).
+  */
+object Relational5 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Non-distinct word bigrams of the token array `t` (the shingle
+    * kernel dedups, which is right for Jaccard but wrong for counting
+    * repetition — here every occurrence votes). */
+  private def bigrams(toks: org.apache.spark.sql.Column) =
+    zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Repetition signals per doc: fraction of tokens that are the most
+    * common token, and fraction of characters covered by the most
+    * common bigram (count × bigram length / n_chars). Ties break on
+    * the lexicographically smallest n-gram so both engines pick the
+    * same winner. One explode + two aggregates; everything else is
+    * per-row. */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        word_tokens($"text").as("toks"))
+      .select($"doc_id", $"n_chars", $"toks",
+        size($"toks").cast("long").as("n_tokens"))
+    val uni = docs.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_tok"))
+    val wBi = Window.partitionBy($"doc_id").orderBy($"c".desc, $"bg")
+    val bi = docs.select($"doc_id", explode(bigrams($"toks")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wBi)).filter($"rn" === 1)
+      .select($"doc_id", ($"c" * length($"bg")).as("bg_chars"))
+    docs.join(uni, Seq("doc_id")).join(bi, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"top_tok" / $"n_tokens").as("top_token_frac"),
+        (coalesce($"bg_chars", lit(0L)) / $"n_chars").as("rep_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val PACK_BUDGET = 512L
+
+  /** Sequence packing: documents in doc_id order are concatenated and
+    * cut into PACK_BUDGET-token chunks; each doc gets its chunk id and
+    * token offset within the chunk. One global running-sum window —
+    * fine per shard; at 100 TB you partition by shard first and pack
+    * within shards (the window becomes partitionBy(shard)), which this
+    * operator parameterizes trivially. */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select($"doc_id", size(word_tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"n_tokens",
+        floor($"cum_before" / PACK_BUDGET).as("chunk_id"),
+        ($"cum_before" % PACK_BUDGET).as("chunk_offset"))
+      .orderBy($"doc_id")
+  }
+
+  /** Window navigation with IGNORE NULLS: per user (ordered by event
+    * time), the first/last/2nd non-null purchase value over the whole
+    * partition — nulls injected for every non-purchase event. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("pval",
+        when($"event_type" === "purchase", $"value"))
+      .select($"event_id", $"user_id",
+        first($"pval", ignoreNulls = true).over(w).as("first_purchase"),
+        last($"pval", ignoreNulls = true).over(w).as("last_purchase"),
+        nth_value($"pval", 2, ignoreNulls = true).over(w).as("second_purchase"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_repetition" -> (t11 _),
+    "t12_seq_packing" -> (t12 _),
+    "q38_ignore_nulls" -> (q38 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t11_repetition" ->
+      s"""WITH docs AS (SELECT doc_id, n_chars, ${sqlTokens("text")} AS t FROM documents),
+         |sized AS (SELECT doc_id, n_chars, t, CAST(len(t) AS BIGINT) AS n_tokens FROM docs),
+         |toks AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+         |uni AS (SELECT doc_id, max(c) AS top_tok FROM (
+         |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) GROUP BY doc_id),
+         |bgs AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg FROM docs),
+         |bi AS (SELECT doc_id, c * length(bg) AS bg_chars FROM (
+         |  SELECT doc_id, bg, count(*) AS c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, bg) AS rn
+         |  FROM bgs GROUP BY doc_id, bg) WHERE rn = 1)
+         |SELECT s.doc_id, s.n_tokens,
+         | uni.top_tok / s.n_tokens AS top_token_frac,
+         | coalesce(bi.bg_chars, 0) / s.n_chars AS rep_bigram_frac
+         |FROM sized s JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t12_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         | CAST(floor(cum_before / $PACK_BUDGET) AS BIGINT) AS chunk_id,
+         | cum_before % $PACK_BUDGET AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q38_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        | first_value(pval IGNORE NULLS) OVER w AS first_purchase,
+        | last_value(pval IGNORE NULLS) OVER w AS last_purchase,
+        | nth_value(pval, 2 IGNORE NULLS) OVER w AS second_purchase
+        |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+  )
+}
