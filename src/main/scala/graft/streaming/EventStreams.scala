@@ -118,6 +118,23 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("v_id"))
   }
 
+  /** Streaming exact dedup (the streaming face of d01):
+    * `dropDuplicatesWithinWatermark` keys on the dedup fingerprint and
+    * keeps per-key state only until the watermark passes it — bounded
+    * state, unlike plain dropDuplicates whose state grows with every
+    * distinct key forever (fatal on an unbounded 100 TB stream).
+    * Duplicates arriving later than the watermark delay are the
+    * documented miss window, exactly the batch/cron late-data
+    * tradeoff of T2. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("fp",
+        concat_ws(":", col("user_id"), col("event_type"), col("value")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   /** Run any of the streams above to a named memory sink, synchronously
     * (Trigger.AvailableNow ≙ the reference's one-shot mode). */
   def runToMemory(df: DataFrame, name: String, mode: String = "append")

@@ -137,3 +137,35 @@ class PipelineStreamSpec extends SparkSpec {
     assert(sink2.posts.head.contains(""""name":"Third""""))
   }
 }
+
+/** Streaming exact dedup: bounded-state dropDuplicatesWithinWatermark
+  * must emit exactly the batch-distinct fingerprint set when all data
+  * fits one micro-batch (no late arrivals to miss). */
+class StreamDedupSpec extends SparkSpec {
+  test("streaming dedup matches batch dropDuplicates on the fingerprint") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toFile.deleteOnExit()
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupStream(EventStreams.stream(spark, dir.toString)),
+      "dedup_stream")
+    try {
+      val streamed = spark.table("dedup_stream")
+      val batchDistinct = Tables.load(spark, sf, "events")
+        .withColumn("fp", concat_ws(":", $"user_id", $"event_type", $"value"))
+        .select($"fp").distinct().count()
+      assert(streamed.count() == batchDistinct,
+        "one surviving row per distinct fingerprint")
+      // survivors' fingerprints are unique
+      val fps = streamed
+        .withColumn("fp", concat_ws(":", $"user_id", $"event_type", $"value"))
+        .groupBy($"fp").count().filter($"count" > 1)
+      assert(fps.isEmpty)
+    } finally q.stop()
+  }
+}
