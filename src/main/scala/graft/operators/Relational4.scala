@@ -169,12 +169,15 @@ object Relational4 {
     while (!converged) {
       val prop = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"comp").as("ncomp"))
+      // carry the changed flag inside the checkpointed frame: one
+      // materializing action per round instead of a second join+count
       val next = labels.join(prop, $"id" === $"src", "left")
-        .select($"id", least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .select($"id",
+          least($"comp", coalesce($"ncomp", $"comp")).as("comp"),
+          (coalesce($"ncomp", $"comp") < $"comp").as("chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter($"comp" =!= $"old").isEmpty
-      labels = next
+      converged = next.agg(max($"chg")).head().getAs[Any](0) != true
+      labels = next.drop("chg")
     }
     val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("comp"))

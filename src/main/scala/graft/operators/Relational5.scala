@@ -99,10 +99,29 @@ object Relational5 {
       .orderBy($"event_id")
   }
 
+  /** Full outer join (the one join type the suite didn't yet cover):
+    * customers ⋈ their order stats, keeping both customer-less orders
+    * and order-less customers, with coalesced keys. Shuffles both
+    * sides on the key once; AQE handles any skew split. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+    val o = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("spend"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_custkey".isNotNull.as("is_customer"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"spend", lit(0.0)).as("spend"))
+      .orderBy($"custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_repetition" -> (t11 _),
     "t12_seq_packing" -> (t12 _),
     "q38_ignore_nulls" -> (q38 _),
+    "q39_full_outer" -> (q39 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,5 +162,17 @@ object Relational5 {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "q39_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        | c.c_custkey IS NOT NULL AS is_customer,
+        | coalesce(o.n_orders, 0) AS n_orders,
+        | coalesce(o.spend, 0.0) AS spend
+        |FROM (SELECT c_custkey, c_acctbal FROM customer) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
   )
 }

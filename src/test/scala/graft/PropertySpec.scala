@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.pipeline.Sinks
+import graft.functions.GroupedTopK
+import graft.functions.GroupedTopK.Rec
+
+/** Property-based invariants (SURVEY.md §5.3) — pure-JVM properties of
+  * the imperative kernels, where randomized inputs catch what example
+  * tests miss:
+  *  - sink chunking/splitting preserves the object multiset for every
+  *    size distribution and sink limit (the invariant the reference's
+  *    recursion maintains at src/Datalake2Anomali.py:126-132);
+  *  - the top-k aggregator is a homomorphism: any partition of the
+  *    input reduces+merges to the same result as sort-take of the
+  *    whole (exactly what distributed partial aggregation assumes).
+  *
+  * ScalaCheck is driven directly (no scalatest bridge in the offline
+  * dependency set): a property passes iff `SCTest.check` reports so.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val objGen: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum(0, 120).map(n => s"""{"pad":"${"x" * n}"}"""))
+
+  test("chunking preserves order and multiset under any maxBytes") {
+    check(Prop.forAll(objGen, Gen.chooseNum(64L, 512L)) { (objs, maxBytes) =>
+      val chunks = Sinks.chunk(objs, maxBytes, overheadBytes = 16L)
+      chunks.flatten == objs &&
+        chunks.forall(c =>
+          c.map(Sinks.utf8Len(_) + 1L).sum + 16L <= maxBytes || c.size == 1)
+    })
+  }
+
+  test("recursive split: every object is delivered or surfaced as a failure") {
+    check(Prop.forAll(objGen.suchThat(_.nonEmpty), Gen.chooseNum(40, 400)) {
+      (objs, sinkLimit) =>
+        val uploaded = scala.collection.mutable.ListBuffer[String]()
+        val sink = new Sinks.IntelSink {
+          def upload(p: String): Sinks.UploadResult =
+            if (p.length > sinkLimit) Sinks.TooLarge
+            else { uploaded += p; Sinks.Accepted }
+        }
+        val results = Sinks.uploadWithSplit(sink, "{}", objs)
+        val delivered = uploaded.toList.flatMap(p =>
+          "\\{\"pad\":\"x*\"\\}".r.findAllIn(p).toList)
+        val failures = results.count {
+          case Sinks.Accepted => false
+          case _ => true
+        }
+        // multi-object TooLarge always splits, so each failure is one
+        // single-object payload: counts must account for every object
+        delivered.size + failures == objs.size &&
+          // and when nothing fails, the multiset is preserved exactly
+          (failures > 0 || delivered.sorted == objs.sorted)
+    })
+  }
+
+  private val recGen: Gen[List[Rec]] = Gen.listOf(for {
+    p <- Gen.chooseNum(0.0, 1000.0)
+    o <- Gen.chooseNum(0L, 50L)
+    l <- Gen.chooseNum(0, 7)
+  } yield Rec(p, o, l))
+
+  test("top-k aggregator equals sort-take under any partitioning") {
+    val agg = GroupedTopK.TopK(3)
+    check(Prop.forAll(recGen, Gen.chooseNum(0, 10)) { (recs, cut) =>
+      val expected = recs.sorted(GroupedTopK.ord).take(3)
+      val (l, r) = recs.splitAt(math.min(cut, recs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged == expected
+    })
+  }
+}
