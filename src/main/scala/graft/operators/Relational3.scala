@@ -84,15 +84,37 @@ object Relational3 {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate quantiles (Greenwald-Khanna sketch) next to the
+    * exact values — like x01, intentionally NO oracle (sketch
+    * estimates are engine-specific); driver records rows-only and the
+    * spec bounds the estimate error against the exact percentile. At
+    * 100 TB the sketch is the only option: exact percentiles sort the
+    * column, the sketch is one mergeable pass. */
+  def x03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("approx"),
+        expr("percentile(o_totalprice, array(0.5, 0.9))").as("exact"))
+      .select($"o_orderpriority",
+        round(element_at($"approx", 1), 2).as("p50_approx"),
+        round(element_at($"exact", 1).cast("double"), 2).as("p50_exact"),
+        round(element_at($"approx", 2), 2).as("p90_approx"),
+        round(element_at($"exact", 2).cast("double"), 2).as("p90_exact"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_json_payload" -> (q29 _),
     "q30_pivot" -> (q30 _),
     "q31_except_all" -> (q31 _),
     "x01_approx_distinct" -> (x01 _),
+    "x03_approx_quantile" -> (x03 _),
     "q32_range_join" -> (q32 _),
   )
 
-  /** x01 deliberately omitted: no SQL-expressible oracle. */
+  /** x01/x03 deliberately omitted: no SQL-expressible oracle. */
   val oracles: Map[String, String] = Map(
     "q29_json_payload" ->
       """SELECT o_orderkey,

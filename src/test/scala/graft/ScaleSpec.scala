@@ -15,6 +15,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("x03 approx quantiles land within 5% of exact") {
+    Relational3.x03(spark, sf).collect().foreach { r =>
+      for (p <- Seq("p50", "p90")) {
+        val a = r.getAs[Double](s"${p}_approx")
+        val e = r.getAs[Double](s"${p}_exact")
+        assert(math.abs(a - e) / e <= 0.05, s"$p: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("w04 sort-based sessionization equals w03 session windows") {
+    import graft.operators.EventWindows
+    val a = EventWindows.w03(spark, sf)
+    val b = EventWindows.w04(spark, sf)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "state-store and sort formulations must agree")
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
