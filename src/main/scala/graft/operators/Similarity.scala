@@ -160,11 +160,50 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Scalar (int8) quantization ANN: per-dimension min/max over the
+    * corpus defines a 256-level grid; vectors are quantized to 8-bit
+    * codes (4x memory/bandwidth compression vs float32 — at 100 TB
+    * the corpus scan is bandwidth-bound, so this is the knob), then
+    * top-k runs on the dequantized vectors. Quantize/dequantize is
+    * per-value arithmetic (floor of identical doubles), so the whole
+    * operator is deterministic and oracle-checkable; dot products are
+    * fold-left via the codegen'd kernel as everywhere else. */
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = emb(s, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"pos", $"v".cast("double").as("v"))
+    val stats = dims.groupBy($"pos")
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+    val deq = dims.join(stats, Seq("pos"))
+      .withColumn("scale",
+        when($"mx" === $"mn", lit(0.0)).otherwise(($"mx" - $"mn") / 255.0))
+      .withColumn("code",
+        when($"scale" === 0.0, lit(0L))
+          .otherwise(floor(($"v" - $"mn") / $"scale")))
+      .withColumn("deq", $"mn" + $"code" * $"scale")
+    val qvecs = deq.groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"deq"))),
+        x => x.getField("deq")).as("qe"))
+      .withColumn("nrm", sqrt(vec_dot($"qe", $"qe")))
+    val q = qvecs.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = qvecs.join(q, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        (vec_dot($"q_emb", $"qe") / ($"q_nrm" * $"nrm")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("qcos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
     "s04_ann_ivf" -> (s04 _),
+    "s05_scalar_quant" -> (s05 _),
   )
 
   // ---- DuckDB oracles (identical arithmetic, generated literals) ----
@@ -234,6 +273,28 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s05_scalar_quant" ->
+      s"""WITH dims AS (SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${DIM + 1}) r(i)),
+         |stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM dims GROUP BY pos),
+         |deq AS (SELECT vec_id, pos,
+         |  CASE WHEN mx = mn THEN mn
+         |       ELSE mn + floor((v - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0)
+         |  END AS deq
+         |  FROM dims JOIN stats USING (pos)),
+         |qv AS (SELECT vec_id, list(deq ORDER BY pos) AS qe FROM deq GROUP BY vec_id),
+         |n AS (SELECT vec_id, qe,
+         |  sqrt(list_sum([qe[i] * qe[i] for i in range(1, ${DIM + 1})])) AS nrm FROM qv),
+         |q AS (SELECT vec_id AS q_id, qe AS q_emb, nrm AS q_nrm FROM n
+         |  WHERE vec_id < $NQUERIES),
+         |scored AS (SELECT q_id, n.vec_id AS neighbor_id,
+         |  list_sum([q_emb[i] * n.qe[i] for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS cos
+         |  FROM n JOIN q ON n.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS qcos_sim, rank
+         |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
     "s03_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings)
          |SELECT x.vec_id AS a_id, y.vec_id AS b_id,

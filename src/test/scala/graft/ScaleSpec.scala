@@ -25,6 +25,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("s05 int8-quantized top-k recalls the exact top-k") {
+    import graft.operators.Similarity
+    val exact = Similarity.s01(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val quant = Similarity.s05(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"8-bit quantization should barely move top-5: $recall")
+  }
+
   test("w04 sort-based sessionization equals w03 session windows") {
     import graft.operators.EventWindows
     val a = EventWindows.w03(spark, sf)
