@@ -185,6 +185,22 @@ object Relational4 {
       .orderBy($"doc_id")
   }
 
+  /** Cluster-aware dedup apply: keep exactly one document (the min
+    * doc_id = the cluster label) per connected near-dup cluster. This
+    * is the correct closure of d05's pairwise rule — pairwise
+    * drop-the-higher-id can orphan a transitive chain (a~b, b~c drops
+    * b and c even though c never paired with the survivor a; with
+    * clusters, c is dropped *because* it is reachable from a). */
+  def d07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = d06(s, dir)
+    val drops = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cube" -> (q33 _),
     "q34_grouped_topk" -> (q34 _),
@@ -194,6 +210,7 @@ object Relational4 {
     "x02_bloom_prune" -> (x02 _),
     "e02_gap_fill" -> (e02 _),
     "d06_dup_clusters" -> (d06 _),
+    "d07_cluster_apply" -> (d07 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,19 +270,29 @@ object Relational4 {
         |FROM grid g LEFT JOIN counts c USING (minute, event_type)
         |ORDER BY minute, event_type""".stripMargin,
     "d06_dup_clusters" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT a_id, b_id FROM (${Dedup.oracles("d02_ngram_jaccard")})),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.src AS id, rc.r FROM reach rc JOIN edges e ON e.dst = rc.id),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      s"""$ccOraclePrefix,
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
          |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
          |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "d07_cluster_apply" ->
+      s"""$ccOraclePrefix
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared recursive-CTE prefix computing connected components of the
+    * d02 near-dup pairs: `comp(id, cluster_id)` = min reachable id. */
+  private lazy val ccOraclePrefix: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT a_id, b_id FROM (${Dedup.oracles("d02_ngram_jaccard")})),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.src AS id, rc.r FROM reach rc JOIN edges e ON e.dst = rc.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 }

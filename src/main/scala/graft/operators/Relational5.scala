@@ -117,11 +117,31 @@ object Relational5 {
       .orderBy($"custkey")
   }
 
+  /** SCD2-style history build: each customer's order stream becomes
+    * versioned rows with [valid_from, valid_to) intervals (valid_to =
+    * next change, null while current) and a running spend — the
+    * slowly-changing-dimension construction a warehouse MERGE
+    * maintains incrementally, built here in one window pass. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey".as("custkey"),
+        row_number().over(w).cast("long").as("version"),
+        $"o_orderdate".as("valid_from"),
+        lead($"o_orderdate", 1).over(w).as("valid_to"),
+        round(sum($"o_totalprice").over(run), 2).as("cum_spend"),
+        lead($"o_orderdate", 1).over(w).isNull.as("is_current"))
+      .orderBy($"custkey", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_repetition" -> (t11 _),
     "t12_seq_packing" -> (t12 _),
     "q38_ignore_nulls" -> (q38 _),
     "q39_full_outer" -> (q39 _),
+    "q40_scd2_history" -> (q40 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +194,17 @@ object Relational5 {
         |  FROM orders GROUP BY o_custkey) o
         |ON c.c_custkey = o.o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q40_scd2_history" ->
+      """SELECT o_custkey AS custkey,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        | CAST(lead(o_orderdate, 1) OVER w AS TIMESTAMP) AS valid_to,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+        | lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, version""".stripMargin,
   )
 }

@@ -88,6 +88,17 @@ class Relational4Spec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("d07 cluster-apply survivors are a subset of d05 pairwise survivors") {
+    val s = spark
+    import s.implicits._
+    // every pairwise-dropped doc (a b_id with a smaller partner) is a
+    // non-min cluster member, so cluster-aware dropping is a superset:
+    // d07 additionally removes transitive chain members d05 orphans
+    val d05 = operators.Relational2.d05(s, sf).select($"doc_id")
+    val d07 = Relational4.d07(s, sf).select($"doc_id")
+    assert(d07.except(d05).isEmpty, "d07 must not keep what d05 drops")
+  }
+
   test("d06 clusters: labels are cluster minima and cover every paired doc") {
     val s = spark
     import s.implicits._
