@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger, StreamingQuery, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming face of the engine (SURVEY.md §2.10):
@@ -116,6 +116,47 @@ object EventStreams {
         col("v_ts") <= col("p_ts") &&
         col("v_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
       .select(col("p_id"), col("user_id"), col("v_id"))
+  }
+
+  /** Per-user running totals on the modern arbitrary-state API
+    * (Spark 4 `transformWithState`): typed `ValueState` with native
+    * per-state TTL, replacing the flatMapGroupsWithState timeout
+    * choreography of [[expiringCounts]]. Requires the RocksDB state
+    * store provider — which is also the 100 TB answer: state lives
+    * off-heap/on-disk per executor instead of in JVM heap. */
+  class RunningTotals(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, UserEvent, UserSnapshot] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[UserSnapshot] = {
+      val prev = if (st.exists()) st.get() else UserState(0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      st.update(UserState(n, total))
+      Iterator.single(UserSnapshot(uid, n, total, expired = false))
+    }
+  }
+
+  /** Running totals via transformWithState. Pass a ttl for state
+    * expiry — with the caveat that TTL is processing-time based
+    * (TimeMode.ProcessingTime), and the TTL machinery keeps
+    * scheduling micro-batches: such a query never self-terminates
+    * under `Trigger.AvailableNow` or `processAllAvailable` (measured —
+    * 500+ empty epochs) and must run on a continuous trigger with an
+    * external stop. ttl = null (default) uses TimeMode.None: no
+    * timers, terminates cleanly, state bounded by key cardinality
+    * like any streaming aggregation. */
+  def runningTotals(events: Dataset[UserEvent],
+      ttl: java.time.Duration = null): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    val mode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotals(ttl), mode, OutputMode.Update())
   }
 
   /** Streaming exact dedup (the streaming face of d01):

@@ -169,3 +169,49 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** transformWithState (the Spark 4 arbitrary-state API) with RocksDB:
+  * per-user running totals must equal the batch aggregation. */
+class TransformWithStateSpec extends SparkSpec {
+  test("transformWithState running totals match batch groupBy") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("events.parquet"))
+      dir.toFile.deleteOnExit()
+      val typed = EventStreams.stream(spark, dir.toString)
+        .select($"user_id", $"ts", $"value").as[EventStreams.UserEvent]
+      // no-TTL variant (TimeMode.None): the processing-time TTL
+      // variant never self-terminates under AvailableNow (see the
+      // operator's doc), so the test drives the clean-terminating form
+      val q = EventStreams.runToMemory(
+        EventStreams.runningTotals(typed).toDF(), "tws_totals", mode = "update")
+      try {
+        // single micro-batch => exactly one update row per user
+        val got = spark.table("tws_totals")
+          .select($"user_id", $"n", $"total").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val want = Tables.load(spark, sf, "events")
+          .groupBy($"user_id").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        assert(got.keySet == want.keySet)
+        got.foreach { case (uid, (n, total)) =>
+          assert(n == want(uid)._1, s"user $uid count")
+          assert(math.abs(total - want(uid)._2) <= 1e-6 * math.abs(want(uid)._2),
+            s"user $uid total $total vs ${want(uid)._2}")
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
