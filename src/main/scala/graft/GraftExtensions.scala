@@ -40,7 +40,9 @@ object GraftExtensions {
       ("simhash_32", 1, args => SimHash(args.head, 32)),
       ("hash64", 1, args => Hash64(Cast(args.head, StringType))))
 
-  /** Register the functions on an already-built session (tests, REPL). */
+  /** Register the functions on an already-built session (tests, REPL).
+    * Also registers the typed top-k aggregator as a SQL UDAF
+    * (`SELECT graft_topk(price, orderkey, linenumber) … GROUP BY …`). */
   def install(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registrations.foreach { case (name, arity, builder) =>
@@ -52,5 +54,7 @@ object GraftExtensions {
         },
         "scala_udf")
     }
+    spark.udf.register("graft_topk3",
+      org.apache.spark.sql.functions.udaf(graft.functions.GroupedTopK.TopK(3)))
   }
 }

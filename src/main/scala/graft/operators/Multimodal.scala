@@ -99,9 +99,24 @@ object Multimodal {
   /** Frame-sample plan as an oracle query (video rows only). */
   def m02(s: SparkSession, dir: String): DataFrame = frameSample(s, dir)
 
+  /** Exact blob dedup by content hash — the media face of d01: md5
+    * over the BINARY column (no text normalization; bytes are bytes),
+    * keep the lowest doc_id per digest. At 100 TB the hash is computed
+    * where the blob lives and only the 16-byte digest shuffles. */
+  def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"doc_id", md5($"content").as("digest"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
+    "m03_blob_dedup" -> (m03 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +136,11 @@ object Multimodal {
         |  FROM documents
         |  WHERE source NOT IN ('src0','src1','src2','src3','src4'))
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m03_blob_dedup" ->
+      // DuckDB's md5 takes VARCHAR (hashing its UTF-8 bytes), which is
+      // byte-identical to Spark's md5 over the UTF-8-cast binary column
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, md5(text) AS digest FROM documents)
+        |GROUP BY digest ORDER BY keep_id""".stripMargin,
   )
 }

@@ -134,20 +134,49 @@ object Relational4 {
     * step a time-series feature pipeline runs before windowed models.
     * The spine is sequence()+explode (no driver loop); the count join
     * is one shuffle and the spine side stays tiny. */
-  def e02(s: SparkSession, dir: String): DataFrame = {
+  /** Dense (minute × event_type) grid over the events' full minute
+    * range — shared spine of e02/e03. */
+  private def minuteGrid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
-    val bounds = ev.agg(
-      date_trunc("minute", min($"ts")).as("mn"),
-      date_trunc("minute", max($"ts")).as("mx"))
-    val spine = bounds
+    ev.agg(
+        date_trunc("minute", min($"ts")).as("mn"),
+        date_trunc("minute", max($"ts")).as("mx"))
       .select(explode(sequence($"mn", $"mx", expr("interval 1 minute"))).as("minute"))
       .crossJoin(ev.select($"event_type").distinct())
-    val counts = ev
+  }
+
+  def e02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
       .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
       .agg(count(lit(1)).as("n"))
-    spine.join(counts, Seq("minute", "event_type"), "left")
+    minuteGrid(s, dir).join(counts, Seq("minute", "event_type"), "left")
       .select($"minute", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"minute", $"event_type")
+  }
+
+  /** Forward-fill resample (composing the e02 spine with q38's IGNORE
+    * NULLS navigation): each (minute, type) cell carries the value of
+    * the latest event at or before it — the last-observation-carried-
+    * forward regularization a feature pipeline runs before windowed
+    * models. Within-minute "latest" is max_by(event_id) (unique id =
+    * deterministic); the fill is last_value IGNORE NULLS over the
+    * minute order, so the emitted doubles pass through untouched. */
+  def e03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mvals = t(s, dir, "events")
+      .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
+      .agg(max_by($"value", $"event_id").as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    minuteGrid(s, dir).join(mvals, Seq("minute", "event_type"), "left")
+      .select($"minute", $"event_type",
+        last($"v", ignoreNulls = true).over(w).as("filled"))
+      // rows before a type's first observation have nothing to carry
+      // forward — dropped (null cells also trip engines' null-ordering
+      // differences in the comparison gate)
+      .filter($"filled".isNotNull)
       .orderBy($"minute", $"event_type")
   }
 
@@ -209,6 +238,7 @@ object Relational4 {
     "q37_range_frame" -> (q37 _),
     "x02_bloom_prune" -> (x02 _),
     "e02_gap_fill" -> (e02 _),
+    "e03_forward_fill" -> (e03 _),
     "d06_dup_clusters" -> (d06 _),
     "d07_cluster_apply" -> (d07 _),
   )
@@ -268,6 +298,24 @@ object Relational4 {
         |  FROM events GROUP BY 1, 2)
         |SELECT g.minute, g.event_type, coalesce(c.n, 0) AS n
         |FROM grid g LEFT JOIN counts c USING (minute, event_type)
+        |ORDER BY minute, event_type""".stripMargin,
+    "e03_forward_fill" ->
+      """WITH b AS (SELECT CAST(date_trunc('minute', min(ts)) AS TIMESTAMP) AS mn,
+        |    CAST(date_trunc('minute', max(ts)) AS TIMESTAMP) AS mx FROM events),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS minute FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT minute, event_type FROM spine CROSS JOIN types),
+        |mvals AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        |    event_type, arg_max(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT g.minute, g.event_type, m.v
+        |  FROM grid g LEFT JOIN mvals m USING (minute, event_type))
+        |SELECT minute, event_type, filled FROM (
+        | SELECT minute, event_type,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        | FROM j)
+        |WHERE filled IS NOT NULL
         |ORDER BY minute, event_type""".stripMargin,
     "d06_dup_clusters" ->
       s"""$ccOraclePrefix,
