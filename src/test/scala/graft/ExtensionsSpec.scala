@@ -20,6 +20,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) > 0)
   }
 
+  test("graft_topk3 SQL UDAF matches the window top-3") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("li_topk")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, t.price, t.orderkey, t.linenumber
+        |FROM (SELECT l_returnflag,
+        |        graft_topk3(l_extendedprice, l_orderkey, l_linenumber) AS top
+        |      FROM li_topk GROUP BY l_returnflag)
+        |LATERAL VIEW explode(top) AS t""".stripMargin)
+      .select($"l_returnflag", round($"price", 2).as("price"), $"orderkey",
+        $"linenumber".cast("long").as("linenumber"))
+    val viaWindow = graft.operators.Relational4.q34(spark, sf)
+      .select($"l_returnflag", $"price", $"orderkey", $"linenumber")
+    assert(viaSql.except(viaWindow).isEmpty && viaWindow.except(viaSql).isEmpty)
+  }
+
   test("SQL vec_dot equals DataFrame vec_dot") {
     GraftExtensions.install(spark)
     Tables.registerAll(spark, sf)
