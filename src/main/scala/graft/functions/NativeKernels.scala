@@ -260,6 +260,53 @@ object NativeKernels {
     override protected def withNewChildInternal(c: Expression): Hash64 = copy(c)
   }
 
+  /** Generator: all ordered pairs (i < j) of an array column's
+    * elements, as rows (a_id, b_id) of the element type. The native
+    * form of the LSH bucket pair expansion — the composed nested
+    * `transform(slice(...))` HOF evaluates interpreted with per-element
+    * lambda dispatch and allocates the full pair array per row before
+    * explode; this streams pairs straight out of one pass. Pair order
+    * (and thus a<b for sorted input) matches the composed form. */
+  case class PairExpand(child: Expression)
+      extends UnaryExpression with Generator with CodegenFallback {
+    private def elemType: DataType = child.dataType match {
+      case ArrayType(t, _) => t
+      case _ => NullType
+    }
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"pair_expand expects ARRAY, got ${t.simpleString}")
+    }
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("a_id", elemType, nullable = true),
+      StructField("b_id", elemType, nullable = true)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Iterator.empty
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val t = elemType
+      if (n < 2) return Iterator.empty
+      val elems = new Array[Any](n)
+      var i = 0
+      while (i < n) { elems(i) = arr.get(i, t); i += 1 }
+      new Iterator[InternalRow] {
+        private var a = 0
+        private var b = 1
+        override def hasNext: Boolean = a < n - 1
+        override def next(): InternalRow = {
+          val r = InternalRow(elems(a), elems(b))
+          b += 1
+          if (b >= n) { a += 1; b = a + 1 }
+          r
+        }
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): PairExpand =
+      copy(child = c)
+  }
+
   // ---- Column wrappers ----------------------------------------------
   private def ex(c: Column) = ColumnBridge.toExpression(c)
   private def col(e: Expression): Column = ColumnBridge.toColumn(e)
@@ -271,4 +318,5 @@ object NativeKernels {
     col(MinHashSignature(ex(c), k))
   def simhash(c: Column, bits: Int): Column = col(SimHash(ex(c), bits))
   def hash64_native(c: Column): Column = col(Hash64(ex(c.cast("string"))))
+  def pair_expand(c: Column): Column = col(PairExpand(ex(c)))
 }

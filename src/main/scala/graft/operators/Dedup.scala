@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps._
-import graft.functions.NativeKernels.{word_shingles, word_tokens, minhash_signature, simhash}
+import graft.functions.NativeKernels.{word_shingles, word_tokens, minhash_signature, simhash, pair_expand}
 
 /** Deduplication operators over `documents` (SURVEY.md §7.2): exact,
   * n-gram Jaccard, MinHash+LSH, SimHash. All oracle-checkable — hash
@@ -51,14 +51,11 @@ object Dedup {
     docs(s, dir).select($"doc_id", explode(word_shingles($"text", N)).as("s"))
   }
 
-  /** All (a_id < b_id) pairs within each sorted id-array bucket —
-    * the LSH/bucket-join pair generator. Nested-HOF expansion is fine:
-    * buckets are capped (skew guard) and the lambda's argument subtree
-    * is a bare attribute, so no re-evaluation blowup. */
-  private def bucketPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("a_id"), y.as("b_id")))))
+  // In-bucket pair generation uses the native PairExpand generator
+  // (NativeKernels): all (i < j) element pairs of the sorted id array
+  // stream out of one pass — the composed nested-HOF form (flatten of
+  // transform(slice(...))) evaluates interpreted and materializes the
+  // full pair array per bucket before exploding.
 
   /** N-gram Jaccard near-dup: pairs sharing ≥1 shingle, exact Jaccard
     * over distinct shingle sets, threshold 0.5 (planted near-dups sit
@@ -88,8 +85,8 @@ object Dedup {
       .filter(size($"ids") > 1)
     val capped = maxBucket.fold(buckets)(m => buckets.filter(size($"ids") <= m))
     val inter = capped
-      .select(explode(bucketPairs($"ids")).as("p"))
-      .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
+      .select(pair_expand($"ids").as(Seq("a_id", "b_id")))
+      .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
@@ -127,9 +124,9 @@ object Dedup {
       .agg(sort_array(collect_list(struct($"doc_id", $"sig"))).as("members"))
       .filter(size($"members") > 1)
     val pairs = buckets
-      .select(explode(bucketPairs($"members")).as("p"))
-      .select($"p.a_id.doc_id".as("a_id"), $"p.b_id.doc_id".as("b_id"),
-        $"p.a_id.sig".as("sa"), $"p.b_id.sig".as("sb"))
+      .select(pair_expand($"members").as(Seq("pa", "pb")))
+      .select($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"),
+        $"pa.sig".as("sa"), $"pb.sig".as("sb"))
       .groupBy($"a_id", $"b_id")
       .agg(first($"sa").as("sa"), first($"sb").as("sb"))
     val agree = (0 until K).map(i =>
