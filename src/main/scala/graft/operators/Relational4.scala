@@ -192,8 +192,11 @@ object Relational4 {
     val pairs = Dedup.d02(s, dir).select($"a_id", $"b_id")
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("comp", $"id").localCheckpoint()
+    // seed with the one-hop minimum (min of self and direct
+    // neighbors) — the result of what would otherwise be round 1
+    var labels = edges.groupBy($"src")
+      .agg(least(min($"dst"), $"src").as("comp"))
+      .select($"src".as("id"), $"comp").localCheckpoint()
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, $"dst" === $"id")
