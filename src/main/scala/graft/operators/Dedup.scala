@@ -108,7 +108,8 @@ object Dedup {
     * table at all. One shuffle for the bucket groupBy, one for the
     * pair distinct; the naive form evaluates the kernel three times
     * (band build + two probe joins) and shuffles for each join. */
-  def d03(s: SparkSession, dir: String): DataFrame = {
+  def d03(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
     import s.implicits._
     val sig = docs(s, dir).select($"doc_id",
       minhash_signature(word_shingles($"text", N), K).as("sig"))
@@ -123,7 +124,10 @@ object Dedup {
       .groupBy($"u.band".as("band"), $"u.key".as("key"))
       .agg(sort_array(collect_list(struct($"doc_id", $"sig"))).as("members"))
       .filter(size($"members") > 1)
-    val pairs = buckets
+    // same skew guard as d02: an oversized band bucket (a degenerate
+    // band key shared corpus-wide) would expand O(m²) pairs in one task
+    val capped = maxBucket.fold(buckets)(m => buckets.filter(size($"members") <= m))
+    val pairs = capped
       .select(pair_expand($"members").as(Seq("pa", "pb")))
       .select($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"),
         $"pa.sig".as("sa"), $"pb.sig".as("sb"))
@@ -158,7 +162,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_ngram_jaccard" -> ((s, d) => d02(s, d)),
-    "d03_minhash_lsh" -> (d03 _),
+    "d03_minhash_lsh" -> ((s, d) => d03(s, d)),
     "d04_simhash" -> (d04 _),
   )
 

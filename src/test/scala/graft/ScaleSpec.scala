@@ -25,6 +25,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("maxBucket skew cap only removes pairs, never invents them") {
+    import graft.operators.Dedup
+    val full = Dedup.d02(spark, sf).select("a_id", "b_id")
+    val capped = Dedup.d02(spark, sf, maxBucket = Some(3)).select("a_id", "b_id")
+    assert(capped.except(full).isEmpty,
+      "capped candidate pairs must be a subset of uncapped")
+    val fullLsh = Dedup.d03(spark, sf).select("a_id", "b_id")
+    val cappedLsh = Dedup.d03(spark, sf, maxBucket = Some(3)).select("a_id", "b_id")
+    assert(cappedLsh.except(fullLsh).isEmpty)
+  }
+
   test("s05 int8-quantized top-k recalls the exact top-k") {
     import graft.operators.Similarity
     val exact = Similarity.s01(spark, sf).collect()
