@@ -46,4 +46,25 @@ object GroupedTopK {
     override def outputEncoder: Encoder[Seq[Rec]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Rec]]()
   }
+
+  /** Weighted-term variant (weight DESC, term ASC) — the TF-IDF
+    * top-terms shape: keep the k heaviest terms per document with a
+    * total, engine-portable tie-break. */
+  final case class WTerm(weight: Double, term: String)
+
+  val wOrd: Ordering[WTerm] = Ordering.by((r: WTerm) => (-r.weight, r.term))
+
+  final case class TopTerms(k: Int) extends Aggregator[WTerm, Seq[WTerm], Seq[WTerm]] {
+    override def zero: Seq[WTerm] = Vector.empty
+    override def reduce(buf: Seq[WTerm], in: WTerm): Seq[WTerm] =
+      if (buf.length == k && wOrd.gteq(in, buf.last)) buf
+      else ((buf :+ in).sorted(wOrd)).take(k)
+    override def merge(a: Seq[WTerm], b: Seq[WTerm]): Seq[WTerm] =
+      (a ++ b).sorted(wOrd).take(k)
+    override def finish(buf: Seq[WTerm]): Seq[WTerm] = buf.sorted(wOrd)
+    override def bufferEncoder: Encoder[Seq[WTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WTerm]]()
+    override def outputEncoder: Encoder[Seq[WTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WTerm]]()
+  }
 }

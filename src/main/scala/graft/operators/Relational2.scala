@@ -83,7 +83,14 @@ object Relational2 {
   /** TF-IDF: top-3 weighted terms per document. tf = in-doc term
     * count, idf = ln((N+1)/(df+1)) + 1 (smoothed); log/division are
     * per-value (no accumulation order), so weights are bit-equal
-    * across engines. */
+    * across engines.
+    *
+    * Top-terms selection stays a window row_number: the typed
+    * [[graft.functions.GroupedTopK.TopTerms]] aggregator form was
+    * measured SLOWER here (2.3 s → 3.0 s at sf0.1) — per-row
+    * object-encoder serde into the UDAF dominates below ~1M scored
+    * rows; the bounded-shuffle win only pays when shuffle volume, not
+    * serde, is the bottleneck (q34 demonstrates the aggregator). */
   def t06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

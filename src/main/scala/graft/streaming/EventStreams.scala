@@ -159,6 +159,16 @@ object EventStreams {
       .transformWithState(new RunningTotals(ttl), mode, OutputMode.Update())
   }
 
+  /** Stream-static broadcast join — the streaming face of the J2
+    * dimension lookup: each micro-batch joins against the static
+    * (driver-side) dimension, broadcast per batch. No state, no
+    * watermark needed; at scale the static side must stay
+    * broadcast-sized or become a pre-bucketed table. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("severity"), lit("unknown")).as("severity"))
+
   /** Streaming exact dedup (the streaming face of d01):
     * `dropDuplicatesWithinWatermark` keys on the dedup fingerprint and
     * keeps per-key state only until the watermark passes it — bounded

@@ -78,4 +78,20 @@ class PropertySpec extends AnyFunSuite {
       merged == expected
     })
   }
+
+  private val wtermGen: Gen[List[GroupedTopK.WTerm]] = Gen.listOf(for {
+    w <- Gen.chooseNum(0.0, 10.0)
+    t <- Gen.alphaLowerStr.map(_.take(6))
+  } yield GroupedTopK.WTerm(w, t))
+
+  test("top-terms aggregator equals sort-take under any partitioning") {
+    val agg = GroupedTopK.TopTerms(3)
+    check(Prop.forAll(wtermGen, Gen.chooseNum(0, 10)) { (recs, cut) =>
+      val expected = recs.sorted(GroupedTopK.wOrd).take(3)
+      val (l, r) = recs.splitAt(math.min(cut, recs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged == expected
+    })
+  }
 }

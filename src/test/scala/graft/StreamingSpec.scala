@@ -215,3 +215,32 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 }
+
+/** Stream-static dimension join: every micro-batch row is enriched
+  * from the static side exactly as the batch join would. */
+class StreamStaticJoinSpec extends SparkSpec {
+  test("stream-static broadcast join matches the batch join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toFile.deleteOnExit()
+    val dim = Seq(("purchase", "high"), ("error", "high"), ("click", "low"))
+      .toDF("event_type", "severity")
+    val q = EventStreams.runToMemory(
+      EventStreams.enrichStream(EventStreams.stream(spark, dir.toString), dim),
+      "ssj")
+    try {
+      val streamed = spark.table("ssj").collect().map(_.toSeq).toSet
+      val batch = Tables.load(spark, sf, "events")
+        .join(dim, Seq("event_type"), "left")
+        .select($"event_id", $"event_type",
+          coalesce($"severity", lit("unknown")).as("severity"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
