@@ -66,8 +66,31 @@ object AsOfJoin {
       .orderBy($"event_id")
   }
 
+  /** As-of with a staleness tolerance (the feature-store guard: a
+    * feature older than the bound must NOT be joined). Since as-of
+    * already picks the latest left row ≤ t, a match outside the
+    * tolerance means no in-tolerance match exists — so the bound is a
+    * pure post-predicate that nulls the carried columns, composing on
+    * [[asOf]] with no extra shuffle. Tolerance here: 1 hour. */
+  def a02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val gap = expr("(unix_micros(ts) - unix_micros(asof_v_ts)) div 1000000")
+    asOf(views, purchases, key = "user_id",
+      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"))
+      .select($"event_id", $"user_id",
+        when(gap <= 3600, $"asof_v_id").as("v_id"),
+        when(gap <= 3600, gap).as("gap_s"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a01_asof_join" -> (a01 _))
+    "a01_asof_join" -> (a01 _),
+    "a02_asof_tolerance" -> (a02 _))
 
   val oracles: Map[String, String] = Map(
     "a01_asof_join" ->
@@ -78,5 +101,17 @@ object AsOfJoin {
         |SELECT p.event_id, p.user_id, v.v_id,
         | date_diff('microsecond', v.v_ts, p.ts) // 1000000 AS gap_s
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.v_ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "a02_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (SELECT p.event_id, p.user_id, v.v_id,
+        |   date_diff('microsecond', v.v_ts, p.ts) // 1000000 AS gap_s
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.v_ts)
+        |SELECT event_id, user_id,
+        | CASE WHEN gap_s <= 3600 THEN v_id END AS v_id,
+        | CASE WHEN gap_s <= 3600 THEN gap_s END AS gap_s
+        |FROM m ORDER BY event_id""".stripMargin)
 }
