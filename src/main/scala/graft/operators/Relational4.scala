@@ -187,9 +187,13 @@ object Relational4 {
     * so plans don't grow with iterations (the standard Spark iterative
     * shape; converges in O(diameter) rounds, and near-dup clusters
     * have tiny diameters). Deterministic: labels are min doc_ids. */
-  def d06(s: SparkSession, dir: String): DataFrame = {
+  def d06(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.d02(s, dir).select($"a_id", $"b_id")
+    // the pair table is injectable: a real pipeline materializes the
+    // d02 detection output once and feeds detection→clustering→apply
+    // from it, instead of re-evaluating the pair plan per stage
+    val pairs = pairsIn.getOrElse(Dedup.d02(s, dir)).select($"a_id", $"b_id")
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst").localCheckpoint()
     // seed with the one-hop minimum (min of self and direct
@@ -223,9 +227,10 @@ object Relational4 {
     * drop-the-higher-id can orphan a transitive chain (a~b, b~c drops
     * b and c even though c never paired with the survivor a; with
     * clusters, c is dropped *because* it is reachable from a). */
-  def d07(s: SparkSession, dir: String): DataFrame = {
+  def d07(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val clusters = d06(s, dir)
+    val clusters = d06(s, dir, pairsIn)
     val drops = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     t(s, dir, "documents")
       .join(drops, Seq("doc_id"), "left_anti")
@@ -242,8 +247,8 @@ object Relational4 {
     "x02_bloom_prune" -> (x02 _),
     "e02_gap_fill" -> (e02 _),
     "e03_forward_fill" -> (e03 _),
-    "d06_dup_clusters" -> (d06 _),
-    "d07_cluster_apply" -> (d07 _),
+    "d06_dup_clusters" -> ((s, d) => d06(s, d)),
+    "d07_cluster_apply" -> ((s, d) => d07(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
