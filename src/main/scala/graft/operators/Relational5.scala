@@ -170,7 +170,7 @@ object Relational5 {
          |  FROM d)
          |SELECT doc_id, n_tokens,
          | CAST(floor(cum_before / $PACK_BUDGET) AS BIGINT) AS chunk_id,
-         | cum_before % $PACK_BUDGET AS chunk_offset
+         | CAST(cum_before % $PACK_BUDGET AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
     "q38_ignore_nulls" ->
       """SELECT event_id, user_id,
