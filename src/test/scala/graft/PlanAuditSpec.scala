@@ -42,6 +42,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), "map-side combine must run")
   }
 
+  test("d04: banded simhash plan has no all-pairs join") {
+    val plan = planOf(graft.operators.Dedup.d04(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded simhash must not plan an all-pairs join:\n${plan.take(2000)}")
+  }
+
+  test("s03: bucketed near-dup plan has no all-pairs join") {
+    val plan = planOf(graft.operators.Similarity.s03(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed candidates must not plan an all-pairs join:\n${plan.take(2000)}")
+  }
+
+  test("t13: sharded packing window is partitioned, t12's is global") {
+    val sharded = planOf(graft.operators.Relational5.t13(spark, sf))
+    assert(sharded.contains("hashpartitioning(shard"),
+      s"sharded packing must sort per shard, not globally:\n${sharded.take(2000)}")
+    val global = planOf(graft.operators.Relational5.t12(spark, sf))
+    assert(global.contains("SinglePartition"),
+      "the global form is the single-stream (one-partition-sort) baseline")
+  }
+
   test("q34: typed top-k aggregator partial-aggregates") {
     val plan = planOf(Relational4.q34(spark, sf))
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
