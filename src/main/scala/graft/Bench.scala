@@ -1,16 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
 
-/** Benchmark main. Prints exactly ONE stdout line: the driver-parsed JSON
-  * `{"metric":"total",...}`. Everything else (warm-up failures, per-query
-  * errors, progress) goes to stderr so the stdout line can't be truncated
-  * or interleaved away from the driver's parser.
+/** Benchmark main. Prints exactly ONE stdout line, kept under ~120
+  * bytes: `{"metric":"total","value":…,"unit":"sec","sf":…,…}`. The
+  * r1-r3 form put the full 82-query map on that line (~3 KB), which
+  * overflowed the driver's stdout-tail capture and produced
+  * `parsed: null` two rounds running (VERDICT r3 #1) — the per-query
+  * map now goes to `BENCH_QUERIES.json` in the repo root (and stderr),
+  * leaving the stdout line truncation-proof.
   *
-  * Noise control: queries run in sorted-key order (stable across rounds —
-  * HashMap iteration order reshuffles whenever a key is added, which made
-  * r1→r2 per-query deltas incomparable), and each query runs REPS times
-  * with the median reported, so one GC pause or JIT warm-up doesn't show
-  * up as a 2× "regression".
+  * Noise control: queries run in sorted-key order (stable across rounds
+  * — HashMap iteration order reshuffles whenever a key is added, which
+  * made r1→r2 per-query deltas incomparable), and each query runs REPS
+  * times with the median reported, so one GC pause or JIT warm-up
+  * doesn't show up as a 2× "regression".
+  *
+  * Failure visibility: a query that throws records `-1` (not its
+  * elapsed time — a failing query would otherwise bench as "fast",
+  * VERDICT r3 "What's wrong" #4), and the stdout line carries a
+  * `failed` count so the gate can distinguish a fast suite from a
+  * broken one.
+  *
+  * Materialized-pipeline cost: d06m/d07m read the once-per-session
+  * materialized pair/label tables. Median-of-3 would silently discard
+  * the one-time detection+clustering cost (ADVICE r3), so warm-up
+  * triggers the materialization explicitly and its wall time is
+  * reported as the `_materialize_dedup_pipeline` entry in
+  * BENCH_QUERIES.json — visible, but not smeared into the per-stage
+  * steady-state medians.
+  *
+  * All number formatting is Locale.ROOT: under comma-decimal default
+  * locales (de_DE) `f"$v%.4f"` would emit `0,1234` and break the JSON
+  * (ADVICE r3).
   */
 object Bench {
   private val REPS = 3
@@ -19,6 +41,8 @@ object Bench {
     val s = xs.sorted
     s(s.length / 2)
   }
+
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.4f", v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,20 +62,43 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] warm-up failed for table $n: $e")
       }
     }
+    // one-time dedup-pipeline materialization (pairs + cluster labels),
+    // timed and reported as its own entry below
+    val tMat0 = System.nanoTime()
+    val matOk =
+      try { operators.Relational4.materializedLabels(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline materialization failed: $e"); false }
+    val tMat = (System.nanoTime() - tMat0) / 1e9
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] query $name failed: $e")
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name failed: $e")
+            -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      // any failed rep marks the query failed: -1, never a timing
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val matEntry = "_materialize_dedup_pipeline" -> (if (matOk) tMat else -1.0)
+    val qs = (results :+ matEntry)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0) + (if (matOk) 0 else 1)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val perQueryJson =
+      s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,"queries":$qs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      (perQueryJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e") }
+    System.err.println(s"[bench] per-query: $perQueryJson")
+    // the ONE stdout line — short enough that no tail capture truncates it
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }
