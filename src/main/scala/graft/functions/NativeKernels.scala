@@ -310,6 +310,17 @@ object NativeKernels {
   // ---- Column wrappers ----------------------------------------------
   private def ex(c: Column) = ColumnBridge.toExpression(c)
   private def col(e: Expression): Column = ColumnBridge.toColumn(e)
+  /** Spark's own codegen'd bloom-probe predicate over a pre-built
+    * serialized `org.apache.spark.util.sketch.BloomFilter` (the
+    * expression InjectRuntimeFilter pairs with `bloom_filter_agg`;
+    * the filter deserializes ONCE lazily, then probes per row inside
+    * whole-stage codegen). This replaces the typed
+    * `.filter(r => bloom.mightContainLong(r.getAs[Long](...)))` form,
+    * which forced a per-row `createexternalrow` deserialization and
+    * blocked scan-level column pruning + filter pushdown (VERDICT r3). */
+  def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
+    col(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ex(value.cast("long"))))
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
   def word_tokens(c: Column): Column = col(Tokens(ex(c.cast("string"))))
   def word_shingles(c: Column, n: Int): Column =

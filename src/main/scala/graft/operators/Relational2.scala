@@ -95,16 +95,30 @@ object Relational2 {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count().toDouble
     val terms = docs.select($"doc_id", explode(word_tokens($"text")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    // df derives from tf (already one row per doc-term): saves the
-    // second tokenize pass and the distinct shuffle of the naive form
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df AND the corpus size N both derive from tf (one row per
+    // doc-term): no second tokenize pass, no distinct shuffle, and —
+    // unlike the r3 form's driver-side docs.count() — no extra full
+    // corpus scan for one scalar (VERDICT r3 #6). N = docs with ≥1
+    // token (the docs that can carry weight; equals count(documents)
+    // unless a doc tokenizes to nothing), computed in-plan as a 1-row
+    // frame that AQE broadcasts into the join.
+    //
+    // The `tf >= 1` filter (a tautology: every grouped count is ≥1) is
+    // load-bearing: without a reference to tf's count column, Catalyst
+    // prunes it from the df/n branches, their partial aggregates no
+    // longer canonically match tf's, and ReuseExchange can't fire —
+    // the plan silently re-scans and re-tokenizes documents three
+    // times (observed in the r4 plan dump). With it, all three
+    // consumers share ONE scan + tokenize + (doc_id, term) shuffle.
+    val df = tf.filter($"tf" >= 1).groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = tf.filter($"tf" >= 1)
+      .agg(countDistinct($"doc_id").cast("double").as("n"))
     val w = Window.partitionBy($"doc_id").orderBy($"weight".desc, $"term")
-    tf.join(df, Seq("term"))
+    tf.join(df, Seq("term")).crossJoin(n)
       .withColumn("weight",
-        round($"tf" * (log(lit(nDocs + 1.0) / ($"df" + lit(1.0))) + lit(1.0)), 4))
+        round($"tf" * (log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)), 4))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"doc_id", $"term", $"weight", $"rk")
@@ -165,7 +179,7 @@ object Relational2 {
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df
          |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
-         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
          |scored AS (SELECT doc_id, term,
          |  round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS weight
          |  FROM tf JOIN df USING (term) CROSS JOIN n),

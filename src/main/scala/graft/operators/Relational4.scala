@@ -116,13 +116,21 @@ object Relational4 {
     import s.implicits._
     val high = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
       .select($"o_orderkey")
+    // driver-side build of the runtime-filter pair Spark's own
+    // InjectRuntimeFilter derives for shuffle joins: a bloom probe
+    // (codegen'd BloomFilterMightContain, deserialized once) plus a
+    // min/max key range — the range is a plain literal predicate, so
+    // it pushes to the parquet scan (row-group stats pruning) where
+    // the bloom itself can't. Both actions run on the *small* side.
     val bloom = high.stat.bloomFilter("o_orderkey", 10000L, 0.01)
-    val bcast = s.sparkContext.broadcast(bloom)
-    // typed filter (one deserialization per row) — the pragmatic form;
-    // the zero-overhead form is catalyst's BloomFilterMightContain,
-    // which requires the bloom built by its paired internal aggregate
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mm = high.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
     val pruned = t(s, dir, "lineitem")
-      .filter(r => bcast.value.mightContainLong(r.getAs[Long]("l_orderkey")))
+      .filter($"l_orderkey".between(lo, hi) &&
+        graft.functions.NativeKernels.bloom_might_contain(bos.toByteArray, $"l_orderkey"))
     pruned.join(high, pruned("l_orderkey") === high("o_orderkey"), "left_semi")
       .select($"l_orderkey".as("o_orderkey"), $"l_partkey",
         round($"l_extendedprice", 2).as("price"))

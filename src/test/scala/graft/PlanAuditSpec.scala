@@ -63,6 +63,35 @@ class PlanAuditSpec extends SparkSpec {
       "the global form is the single-stream (one-partition-sort) baseline")
   }
 
+  test("x02: bloom prune keeps scan pruning and stays off the typed path") {
+    val plan = planOf(Relational4.x02(spark, sf))
+    // the key-range half of the runtime filter must reach the scan
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("GreaterThanOrEqual(l_orderkey") || plan.contains("IsNotNull(l_orderkey)")),
+      s"key range must push to the lineitem scan:\n${plan.take(2000)}")
+    // the scan must prune to the 3 referenced columns, not all 11
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("l_quantity") && !readSchemas.contains("l_shipdate"),
+      s"unreferenced lineitem columns must be pruned: $readSchemas")
+    // no per-row deserialization: the bloom probe is a codegen'd
+    // predicate, not a typed lambda filter
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("createexternalrow"),
+      "bloom probe must not force row deserialization")
+    assert(plan.contains("might_contain"), "bloom probe must be in the plan")
+  }
+
+  test("t06: tf-idf scans documents once (df and N derive from tf)") {
+    val plan = planOf(graft.operators.Relational2.t06(spark, sf))
+    // count inside the AQE-final plan only — the "== Initial Plan ==" echo
+    // shows the pre-reuse shape with one scan per branch by construction
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${finalPlan.take(2500)}")
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) == 2,
+      "df and N branches must both reuse tf's (doc_id, term) exchange")
+  }
+
   test("q34: typed top-k aggregator partial-aggregates") {
     val plan = planOf(Relational4.q34(spark, sf))
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
