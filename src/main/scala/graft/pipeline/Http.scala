@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import java.net.{InetSocketAddress, ProxySelector, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.cert.X509Certificate
+import java.time.Duration
+import javax.net.ssl.{SSLContext, TrustManager, X509TrustManager}
+
+/** Shared HTTP transport for every connector (SURVEY §2.9).
+  *
+  * The reference configures `ssl_verify` and `proxies` but applies
+  * them INCONSISTENTLY — the intelligence upload passes both
+  * (`src/Datalake2Anomali.py:104-118`) while the tipreport post/patch
+  * and the threat-model search pass neither (`:143-147,210-216,
+  * 240-243`), so a proxied deployment half-works. Here one
+  * [[Http.Conf]] builds every client, so TLS and proxy behavior is
+  * uniform across all endpoints by construction.
+  *
+  * Executor-side use: connector objects are serialized into tasks
+  * (`foreachPartition`/`mapPartitions`), and `java.net.http.HttpClient`
+  * is not serializable — clients live in a JVM-static cache keyed by
+  * conf, built lazily on first use per executor and reused across
+  * tasks (connection pooling, the "one client per partition" note in
+  * [[Bulletins.enrich]]).
+  */
+object Http {
+
+  /** Uniform transport knobs. `tlsVerify=false` mirrors the
+    * reference's `ssl_verify` escape hatch for self-signed
+    * deployments; `proxy` mirrors its `proxies` map. */
+  final case class Conf(
+      connectTimeoutMs: Long = 10000L,
+      requestTimeoutMs: Long = 60000L,
+      tlsVerify: Boolean = true,
+      proxyHost: Option[String] = None,
+      proxyPort: Int = 3128)
+
+  final case class Response(code: Int, body: String)
+
+  // JVM-static client cache: serialized connector copies on executors
+  // share one client per distinct conf
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Conf, HttpClient]()
+
+  private def trustAllContext(): SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array[TrustManager](new X509TrustManager {
+      override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+    }), new java.security.SecureRandom())
+    ctx
+  }
+
+  def client(conf: Conf): HttpClient =
+    clients.computeIfAbsent(conf, { c =>
+      val b = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(c.connectTimeoutMs))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+      c.proxyHost.foreach(h =>
+        b.proxy(ProxySelector.of(new InetSocketAddress(h, c.proxyPort))))
+      if (!c.tlsVerify) b.sslContext(trustAllContext())
+      b.build()
+    })
+
+  /** One synchronous request. Body is UTF-8 JSON when present. Throws
+    * on transport errors (connection refused, timeout) — callers map
+    * those to their failure surface. */
+  def request(conf: Conf, method: String, url: String,
+      headers: Map[String, String], body: Option[String] = None): Response = {
+    val rb = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(conf.requestTimeoutMs))
+    headers.foreach { case (k, v) => rb.header(k, v) }
+    val publisher = body match {
+      case Some(b) => HttpRequest.BodyPublishers.ofString(b, java.nio.charset.StandardCharsets.UTF_8)
+      case None => HttpRequest.BodyPublishers.noBody()
+    }
+    val resp = client(conf).send(rb.method(method, publisher).build(),
+      HttpResponse.BodyHandlers.ofString())
+    Response(resp.statusCode(), resp.body())
+  }
+
+  def get(conf: Conf, url: String, headers: Map[String, String]): Response =
+    request(conf, "GET", url, headers)
+
+  /** URL-encode one query parameter value. */
+  def enc(v: String): String =
+    java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+}
