@@ -54,6 +54,22 @@ object Http {
 
   def client(conf: Conf): HttpClient =
     clients.computeIfAbsent(conf, { c =>
+      if (!c.tlsVerify) {
+        // The trust-all SSLContext only bypasses CHAIN validation;
+        // java.net.http forces HTTPS endpoint identification (the
+        // hostname check) unless this JVM-wide property is read as
+        // true when jdk.internal.net.http.common.Utils class-loads.
+        // Setting it here is best-effort: it covers the common case
+        // (first TLS connection in this JVM is ours) but cannot help
+        // if another library already opened an HttpClient TLS
+        // connection. So tlsVerify=false guarantees the chain bypass
+        // and bypasses the hostname check when it can — strictly more
+        // uniform than the reference, which passes ssl_verify to only
+        // one of its four endpoints (src/Datalake2Anomali.py:111 vs
+        // :144,211,238).
+        System.setProperty(
+          "jdk.internal.httpclient.disableHostnameVerification", "true")
+      }
       val b = HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(c.connectTimeoutMs))
         .followRedirects(HttpClient.Redirect.NORMAL)

@@ -66,30 +66,52 @@ object IocBulkSource {
     def fetch(queryHash: String): Seq[Seq[Any]]
   }
 
-  /** File-backed fetcher: parses `{dir}/{query_hash}.json`. */
-  final case class FileFetcher(dir: String) extends Fetcher {
-    override def fetch(queryHash: String): Seq[Seq[Any]] = {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$dir/$queryHash.json")), "UTF-8")
-      (JsonMethods.parse(text) \ "results") match {
-        case JArray(rows) => rows.map {
-          case JArray(cells) => cells.map {
-            case JString(v) => v
-            case JNull => null
-            case JArray(xs) => xs.map {
-              case JString(t) => t
-              case JInt(i) => i.toInt
-              case other => other.values
-            }
+  /** The canonical positional row width (`threat[0..4]`,
+    * `src/Datalake2Anomali.py:342-375`). */
+  val PositionalWidth = 5
+
+  /** Wire `query_fields` name → positional slot (the request order the
+    * reference always uses, `src/Datalake2Anomali.py:297-300`). */
+  val QueryFieldSlot: Map[String, Int] = Map(
+    "atom_type" -> 0, "atom_value" -> 1, ".hashes.md5" -> 2,
+    "threat_scores" -> 3, "tags" -> 4)
+
+  /** Source column → wire `query_fields` name (P1: what a pruned scan
+    * asks the server for). `query_hash` is connector-added, not a wire
+    * field. */
+  val ColumnQueryField: Map[String, String] = Map(
+    "atom_type" -> "atom_type", "atom_value" -> "atom_value",
+    "hashes_md5" -> ".hashes.md5", "threat_scores" -> "threat_scores",
+    "threat_tags" -> "tags")
+
+  /** Decode a bulk-search response document's `results` rows
+    * (FIXTURES.md §1) — shared by the file and HTTP transports. */
+  def parseResults(text: String): Seq[Seq[Any]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(text) \ "results") match {
+      case JArray(rows) => rows.map {
+        case JArray(cells) => cells.map {
+          case JString(v) => v
+          case JNull => null
+          case JArray(xs) => xs.map {
+            case JString(t) => t
+            case JInt(i) => i.toInt
             case other => other.values
           }
-          case other => Seq(other.values)
+          case other => other.values
         }
-        case _ => Nil
+        case other => Seq(other.values)
       }
+      case _ => Nil
     }
+  }
+
+  /** File-backed fetcher: parses `{dir}/{query_hash}.json`. */
+  final case class FileFetcher(dir: String) extends Fetcher {
+    override def fetch(queryHash: String): Seq[Seq[Any]] =
+      parseResults(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$queryHash.json")), "UTF-8"))
   }
 }
 
@@ -120,9 +142,30 @@ private class IocScan(options: CaseInsensitiveStringMap,
   override def planInputPartitions(): Array[InputPartition] =
     options.get("queries").split(",").map(_.trim).filter(_.nonEmpty)
       .map(qh => IocInputPartition(qh): InputPartition)
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IocReaderFactory(
-      IocBulkSource.FileFetcher(options.get("path")), required)
+  /** Transport selection: `transport=file` (default) reads
+    * `{path}/{query_hash}.json`; `transport=http` GETs
+    * `{url}/{query_hash}` with the PRUNED column list serialized into
+    * the request's `query_fields` parameter — P1's pushdown reaching
+    * the wire, exactly where the reference puts its projection
+    * (`src/Datalake2Anomali.py:297-300,318-320`). */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fetcher: IocBulkSource.Fetcher =
+      options.getOrDefault("transport", "file") match {
+        case "http" =>
+          val wireFields = required.fieldNames.toSeq
+            .flatMap(IocBulkSource.ColumnQueryField.get)
+          graft.pipeline.HttpConnectors.HttpIocFetcher(
+            graft.pipeline.HttpConnectors.DatalakeEndpoint(
+              options.get("url"), options.getOrDefault("token", ""),
+              graft.pipeline.Http.Conf(tlsVerify =
+                options.getOrDefault("tlsVerify", "true").toBoolean)),
+            // prune to requested columns; never request nothing (a
+            // count(*) scan still needs rows back)
+            if (wireFields.nonEmpty) wireFields else Seq("atom_type"))
+        case _ => IocBulkSource.FileFetcher(options.get("path"))
+      }
+    new IocReaderFactory(fetcher, required)
+  }
 }
 
 private final case class IocInputPartition(queryHash: String)

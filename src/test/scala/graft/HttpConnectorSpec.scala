@@ -1,0 +1,337 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.pipeline.HttpConnectors._
+import graft.pipeline.Model._
+
+/** Integration tests for the HTTP connector implementations — every
+  * request crosses a real localhost socket (`com.sun.net.httpserver`),
+  * executor tasks included, so serialization, per-executor client
+  * caching, URL shapes, auth headers, status mapping, the
+  * TooLarge→halving path, paging, and the query_fields pushdown are
+  * all exercised end-to-end. The reference ships this layer with zero
+  * tests (SURVEY §5); this suite is its missing test harness.
+  */
+class HttpConnectorSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  /** In-memory stub of the Anomali + WorldWatch + Datalake API
+    * surface, faithful to the endpoint shapes the reference calls
+    * (`src/Datalake2Anomali.py:47-48,142-147,190,220,406,425`). */
+  private class StubApi {
+    val intelPayloads =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val tipPosts =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val tipPatches = java.util.Collections
+      .synchronizedList(new java.util.ArrayList[(Long, String)]())
+    val iocRequests =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    @volatile var maxIntelBytes: Int = Int.MaxValue
+    @volatile var bulkDocs: Map[String, String] = Map.empty
+    @volatile var advisoriesJson: String = """{"items":[]}"""
+    @volatile var htmls: Map[Long, String] = Map.empty
+    /** threat_model_search objects, served with limit/offset paging. */
+    @volatile var stateObjects: Seq[String] = Nil
+
+    val server: HttpServer = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) { val os: OutputStream = ex.getResponseBody; os.write(b) }
+      ex.close()
+    }
+
+    private def queryParam(q: String, name: String): Option[String] =
+      q.split("&").toSeq.map(_.split("=", 2)).collectFirst {
+        case Array(k, v) if k == name => v
+      }
+
+    private def handle(ex: HttpExchange): Unit = try {
+      val path = ex.getRequestURI.getPath
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      (ex.getRequestMethod, path) match {
+        case ("PATCH", "/api/v2/intelligence/") =>
+          if (body.getBytes(UTF_8).length > maxIntelBytes)
+            respond(ex, 400, s"""{"error":"$MaxSizeMarker"}""")
+          else { intelPayloads.add(body); respond(ex, 202, "{}") }
+        case ("POST", "/api/v1/tipreport/") =>
+          tipPosts.add(body)
+          respond(ex, 201, s"""{"id": ${1000 + tipPosts.size}}""")
+        case ("PATCH", p) if p.startsWith("/api/v1/tipreport/") =>
+          val id = p.stripPrefix("/api/v1/tipreport/").stripSuffix("/").toLong
+          tipPatches.add((id, body))
+          respond(ex, 202, "{}")
+        case ("GET", "/api/v1/threat_model_search/") =>
+          val limit = queryParam(query, "limit").fold(1000)(_.toInt)
+          val offset = queryParam(query, "offset").fold(0)(_.toInt)
+          val page = stateObjects.slice(offset, offset + limit)
+          respond(ex, 200, s"""{"objects":[${page.mkString(",")}]}""")
+        case ("GET", "/api/advisory/") =>
+          respond(ex, 200, advisoriesJson)
+        case ("GET", p) if p.startsWith("/api/advisory/") && p.endsWith("/html") =>
+          val id = p.stripPrefix("/api/advisory/").stripSuffix("/html").toLong
+          htmls.get(id) match {
+            case Some(h) => respond(ex, 200, s"""{"html":"$h"}""")
+            case None => respond(ex, 404, """{"error":"no such advisory"}""")
+          }
+        case ("GET", p) if p.startsWith("/bulk/") =>
+          iocRequests.add(ex.getRequestURI.toString)
+          bulkDocs.get(p.stripPrefix("/bulk/")) match {
+            case Some(doc) =>
+              // honor query_fields like the real API: return cells in
+              // requested-field order only
+              val fields = queryParam(query, "query_fields")
+                .map(v => java.net.URLDecoder.decode(v, UTF_8).split(",").toSeq)
+                .getOrElse(Nil)
+              val slots = fields.flatMap(graft.sources.IocBulkSource.QueryFieldSlot.get)
+              def js(v: Any): String = v match {
+                case null => "null"
+                case s: String => "\"" + s + "\""
+                case xs: Seq[_] => "[" + xs.map(js).mkString(",") + "]"
+                case other => other.toString
+              }
+              val rows = graft.sources.IocBulkSource.parseResults(doc).map { cells =>
+                slots.map(i => if (cells.length > i) cells(i) else null)
+              }
+              respond(ex, 200,
+                s"""{"count":${rows.size},"results":[${
+                  rows.map(r => "[" + r.map(js).mkString(",") + "]").mkString(",")}]}""")
+            case None => respond(ex, 404, """{"error":"no such search"}""")
+          }
+        case ("GET", "/ping") => respond(ex, 200, """{"ok":true}""")
+        case _ => respond(ex, 404, s"""{"error":"unhandled $path"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error":"${e.toString}"}""")
+    }
+  }
+
+  private def withStub(f: StubApi => Unit): Unit = {
+    val stub = new StubApi
+    try f(stub) finally stub.stop()
+  }
+
+  private def anomali(stub: StubApi) =
+    AnomaliEndpoint(stub.url, "user", "key")
+  private def ww(stub: StubApi) = WorldWatchEndpoint(stub.url, "tok")
+  private def dtl(stub: StubApi) = DatalakeEndpoint(s"${stub.url}/bulk", "tok")
+
+  private def countObjects(payloadJson: String): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(payloadJson) \ "objects") match {
+      case JArray(xs) => xs.size
+      case _ => 0
+    }
+  }
+
+  test("HttpIntelSink maps 202 / 400+marker / 500 over a real socket") {
+    withStub { stub =>
+      val sink = HttpIntelSink(anomali(stub))
+      assert(sink.upload("""{"meta":{},"objects":[{"a":1}]}""") == Sinks.Accepted)
+      assert(stub.intelPayloads.asScala.toList ==
+        List("""{"meta":{},"objects":[{"a":1}]}"""))
+      stub.maxIntelBytes = 10
+      assert(sink.upload("""{"meta":{},"objects":[{"a":1}]}""") == Sinks.TooLarge)
+      stub.maxIntelBytes = Int.MaxValue
+      // unhandled endpoint → Failed with code surfaced
+      val bad = HttpIntelSink(AnomaliEndpoint(s"${stub.url}/nope", "u", "k"))
+      bad.upload("{}") match {
+        case Sinks.Failed(code, _) => assert(code == 404)
+        case other => fail(s"expected Failed, got $other")
+      }
+    }
+  }
+
+  test("writeIntel over sockets: server-side TooLarge drives halving, multiset preserved") {
+    withStub { stub =>
+      val s = spark
+      import s.implicits._
+      // 40 objects of ~30 bytes; server accepts ≤ 120 bytes per request
+      // while the client's proactive chunk bound is loose (1 MiB), so
+      // the recursive-halving fallback must do the splitting.
+      val objs = (1 to 40).map(i => s"""{"value":"atom_$i"}""")
+      stub.maxIntelBytes = 120
+      val (accepted, failed) = Sinks.writeIntel(
+        objs.toDF("o"), HttpIntelSink(anomali(stub)), """{"tlp":"white"}""",
+        maxBytes = 1L << 20)
+      assert(failed == 0)
+      assert(accepted == stub.intelPayloads.size().toLong)
+      val uploaded = stub.intelPayloads.asScala.toList
+      assert(uploaded.map(countObjects).sum == 40)
+      assert(uploaded.forall(_.getBytes(UTF_8).length <= 120))
+      // every object arrived exactly once
+      val all = uploaded.flatMap(p => "atom_(\\d+)".r.findAllMatchIn(p).map(_.group(1).toInt))
+      assert(all.sorted == (1 to 40).toList)
+    }
+  }
+
+  test("HttpTipReportSink posts and patches the reference's URLs") {
+    withStub { stub =>
+      val sink = HttpTipReportSink(anomali(stub))
+      assert(sink.post("""{"name":"adv"}""") == Sinks.Accepted)
+      assert(sink.patch(42L, """{"body":"x"}""") == Sinks.Accepted)
+      assert(stub.tipPosts.asScala.toList == List("""{"name":"adv"}"""))
+      assert(stub.tipPatches.asScala.toList == List((42L, """{"body":"x"}""")))
+    }
+  }
+
+  test("HttpHtmlFetcher returns html and throws on missing advisory") {
+    withStub { stub =>
+      stub.htmls = Map(7L -> "<p>seven</p>")
+      val f = HttpHtmlFetcher(ww(stub))
+      assert(f.fetch(7L) == "<p>seven</p>")
+      val e = intercept[RuntimeException](f.fetch(8L))
+      assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("graft-ioc http transport: pruned columns reach the wire as query_fields") {
+    withStub { stub =>
+      stub.bulkDocs = Map("qh1" ->
+        """{"count":2,"advanced_query_hash":"qh1","results":[
+          ["domain","evil.com","m1",[70,80],["t1"]],
+          ["url","http://bad","m2",[55],[]]]}""")
+      val df = spark.read.format("graft-ioc")
+        .option("transport", "http")
+        .option("url", s"${stub.url}/bulk")
+        .option("token", "tok")
+        .option("queries", "qh1")
+        .load()
+      // pruned read: only atom_value survives the projection
+      val vals = df.select("atom_value").as[String](
+        org.apache.spark.sql.Encoders.STRING).collect().sorted
+      assert(vals.toSeq == Seq("evil.com", "http://bad"))
+      val pruned = stub.iocRequests.asScala.toList
+      assert(pruned.nonEmpty)
+      // the request carried ONLY the pruned field — P1 on the wire
+      assert(pruned.last.contains("query_fields=atom_value"))
+      assert(!pruned.last.contains("threat_scores"))
+      stub.iocRequests.clear()
+      // full-width read re-expands to the canonical positional layout
+      val rows = df.collect().map(r =>
+        (r.getAs[String]("atom_type"), r.getAs[String]("atom_value"),
+          r.getAs[String]("hashes_md5"))).toSet
+      assert(rows == Set(("domain", "evil.com", "m1"), ("url", "http://bad", "m2")))
+      assert(stub.iocRequests.asScala.last.contains(".hashes.md5"))
+    }
+  }
+
+  test("tipReportState pages through threat_model_search and decodes ww tags") {
+    withStub { stub =>
+      stub.stateObjects = (1 to 5).map(i =>
+        s"""{"id":${100 + i},"modified_ts":"2026-01-0${i}T00:00:00",
+            "tags":["world_watch_advisory","world_watch_$i"]}""") :+
+        """{"id":999,"modified_ts":"2026-01-09T00:00:00",
+            "tags":["unrelated"]}"""
+      val src = HttpSources(ww(stub), anomali(stub), dtl(stub),
+        PipelineConfig(), statePageSize = 2)
+      val state = src.tipReportState(spark).collect()
+        .map(r => (r.getAs[Long]("ww_id"), r.getAs[Long]("tip_id"))).toSet
+      // 3 full pages fetched; the untagged object is dropped
+      assert(state == (1 to 5).map(i => (i.toLong, 100L + i)).toSet)
+    }
+  }
+
+  test("runOnce end-to-end with every seam over HTTP") {
+    withStub { stub =>
+      val cfg = PipelineConfig(datalakeQueries = Seq(
+        QueryDescriptor("qh1", "ds1", "high")))
+      stub.bulkDocs = Map("qh1" ->
+        """{"count":2,"advanced_query_hash":"qh1","results":[
+          ["domain","evil.com","m1",[70,80],["t1"]],
+          ["domain","bad.org",null,[65],[]]]}""")
+      stub.advisoriesJson =
+        """{"items":[
+          {"id":1,"title":"Old advisory","tags":["a"],
+           "timestamp_created":"2026-01-20T00:00:00",
+           "timestamp_updated":"2026-01-26T00:00:00"},
+          {"id":2,"title":"New advisory","tags":["b"],
+           "timestamp_created":"2026-01-27T00:00:00",
+           "timestamp_updated":"2026-01-27T00:00:00"}]}"""
+      stub.htmls = Map(1L -> "<p>one</p>", 2L -> "<p>two</p>")
+      stub.stateObjects = Seq(
+        """{"id":10,"modified_ts":"2026-01-25T06:00:00",
+            "tags":["world_watch_advisory","world_watch_1"]}""")
+      val src = HttpSources(ww(stub), anomali(stub), dtl(stub), cfg)
+      val report = Runner.runOnce(spark, src, cfg,
+        HttpIntelSink(anomali(stub)), HttpTipReportSink(anomali(stub)))
+      assert(report.iocOk && report.bulletinsOk, report.toString)
+      // intelligence: both domains uploaded
+      val intel = stub.intelPayloads.asScala.mkString
+      assert(intel.contains("evil.com") && intel.contains("bad.org"))
+      // bulletins: advisory 1 exists in state → PATCH tip 10; advisory 2 → POST
+      assert(stub.tipPatches.asScala.map(_._1).toList == List(10L))
+      assert(stub.tipPosts.asScala.toList.exists(_.contains("New advisory")))
+      assert(stub.tipPosts.size == 1)
+    }
+  }
+
+  test("tlsVerify=false bypasses chain validation for a self-signed HTTPS endpoint") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("ks.p12").toString
+    val keytool = s"${System.getProperty("java.home")}/bin/keytool"
+    val rc = Seq(keytool, "-genkeypair", "-alias", "t", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", "changeit", "-dname", "CN=graft-test",
+      "-ext", "SAN=ip:127.0.0.1,dns:localhost", "-validity", "2").!
+    assert(rc == 0, "keytool failed")
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
+    try kstore.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kstore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = HttpsServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new HttpsConfigurator(ctx))
+    server.createContext("/", (ex: HttpExchange) => {
+      val b = """{"ok":true}""".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.setExecutor(Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val url = s"https://127.0.0.1:${server.getAddress.getPort}/ping"
+      // verified client rejects the self-signed chain
+      intercept[java.io.IOException](
+        Http.get(Http.Conf(), url, Map.empty))
+      // tlsVerify=false accepts it (the SAN covers 127.0.0.1, so this
+      // holds whether or not the hostname-check property landed in
+      // time — Http.scala documents that ordering caveat)
+      val r = Http.get(Http.Conf(tlsVerify = false), url, Map.empty)
+      assert(r.code == 200 && r.body.contains("ok"))
+    } finally server.stop(0)
+  }
+
+  test("proxy conf routes the request through the configured proxy") {
+    withStub { stub =>
+      // target host is unresolvable; only the proxy route can succeed
+      val conf = Http.Conf(proxyHost = Some("127.0.0.1"),
+        proxyPort = stub.server.getAddress.getPort)
+      val r = Http.get(conf, "http://graft-proxied.invalid/ping", Map.empty)
+      assert(r.code == 200 && r.body.contains("ok"))
+    }
+  }
+}
