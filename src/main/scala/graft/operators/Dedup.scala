@@ -148,24 +148,39 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  private val SIMHASH_BITS = 32
+  // 60 bits = the md5Hash64 kernel's full effective width (first 15
+  // hex chars). Width is selectivity twice over: a random pair lands
+  // at hamming ≤6 with p≈2.7e-4 at 32 bits (the result set itself
+  // grows O(n²)) but p≈4e-11 at 60 — only genuinely similar docs
+  // survive, and candidate buckets shrink with the same factor.
+  private val SIMHASH_BITS = 60
   private val HAMMING_MAX = 6
   // pigeonhole: SH_BANDS > HAMMING_MAX ⇒ every pair at hamming ≤
-  // HAMMING_MAX shares at least one identical band, so banding loses
-  // NO pairs (here 8 > 6, so ≥2 bands agree)
-  private val SH_BANDS = 8
-  private val SH_BAND_BITS = SIMHASH_BITS / SH_BANDS
+  // HAMMING_MAX has all its differing bits spread over ≤6 of the 7
+  // bands, so at least one band is identical and banding loses NO
+  // pairs. Exactly HAMMING_MAX+1 bands maximizes per-band key width
+  // (8-bit keys, 12 for the last band) — wider keys ⇒ fewer accidental
+  // bucket collisions ⇒ smaller buckets for PairExpand.
+  private val SH_BANDS = 7
+  /** Band b covers bit range [offset, offset+width). */
+  private val SH_BAND_LAYOUT: Seq[(Int, Int)] =
+    (0 until SH_BANDS).map { b =>
+      val off = b * (SIMHASH_BITS / SH_BANDS) // 8-bit steps
+      val width = if (b == SH_BANDS - 1) SIMHASH_BITS - off
+                  else SIMHASH_BITS / SH_BANDS
+      (off, width)
+    }
 
   /** SimHash signature + near-dup pairs at Hamming distance ≤ 6.
     * Signature: sign of the per-bit vote over token hashes.
     *
     * Candidate generation is banded LSH (bucket key = (band index,
-    * 4-bit band value), pairs via the native PairExpand generator —
+    * 8/12-bit band value), pairs via the native PairExpand generator —
     * the exact d02/d03 shape), then the EXACT hamming distance is
     * checked per candidate, so the result is identical to an all-pairs
     * scan by the pigeonhole guarantee above. The signature rides the
     * band explode, so the (md5-per-token) kernel runs once and no
-    * join-back is needed. A pair at hamming ≤6 collides in up to 8
+    * join-back is needed. A pair at hamming ≤6 collides in up to 7
     * buckets — the groupBy dedups. */
   def d04(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
       : DataFrame = {
@@ -174,10 +189,10 @@ object Dedup {
     // interpreted aggregate() lambdas, each re-hashing every token)
     val sim = docs(s, dir)
       .select($"doc_id", simhash(word_tokens($"text"), SIMHASH_BITS).as("simhash"))
-    val bandStructs = (0 until SH_BANDS).map { b =>
+    val bandStructs = SH_BAND_LAYOUT.zipWithIndex.map { case ((off, width), b) =>
       struct(lit(b).as("band"),
-        shiftright($"simhash", b * SH_BAND_BITS)
-          .bitwiseAND(lit((1L << SH_BAND_BITS) - 1)).as("key"))
+        shiftright($"simhash", off)
+          .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }
     val buckets = sim
       .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("u"))
