@@ -125,14 +125,15 @@ object Similarity {
     * at 100 TB the explode otherwise multiplies corpus shuffle volume
     * by ROTS.
     *
-    * Approximation stance, measured at sf0.1 (SCALING.md): genuine
-    * near-dups (planted at cos ≥0.9) collide in some rotation with
-    * recall 1.0 (0.99 at cos 0.8); this table's threshold-0.4 pairs
-    * are the tail of the random-cosine distribution (median 0.42, a
-    * ~65° angle) where ANY locality-sensitive family prunes weakly —
-    * measured recall there is 0.69 with ~28% of all-pairs candidates.
-    * [[s03Exact]] is the all-pairs reference used for that recall
-    * measurement. */
+    * Approximation stance — measured by [[RecallReport]], tabulated
+    * in SCALING.md "Recall report", pinned by ScaleSpec: genuine
+    * near-dups (cos ≥0.8 and ≥0.9) collide in some rotation with
+    * recall 1.0 at both sf0.01 and sf0.1; this table's threshold-0.4
+    * pairs are the tail of the random-cosine distribution (median
+    * ~0.42, a ~65° angle) where ANY locality-sensitive family prunes
+    * weakly — measured recall there is 0.68-0.69 with ~24% of
+    * all-pairs candidates. [[s03Exact]] is the all-pairs ground
+    * truth. */
   def s03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
@@ -161,6 +162,17 @@ object Similarity {
       .select(pair_expand($"ids").as(Seq("a_id", "b_id")))
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_coll"))
   }
+
+  /** s03's candidate pairs over the real embeddings table — the
+    * pre-threshold LSH stage [[RecallReport]] measures against
+    * [[s03Exact]]. */
+  private[graft] def s03Candidates(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(emb(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** Embedding count (the recall report's candidate-fraction
+    * denominator n(n-1)/2). */
+  private[graft] def embCount(s: SparkSession, dir: String): Long =
+    emb(s, dir).count()
 
   /** All-pairs exact form of s03 — NOT registered (the O(n²) join is
     * the scale anti-pattern); kept as the ground truth for the recall

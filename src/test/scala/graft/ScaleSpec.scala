@@ -36,6 +36,22 @@ class ScaleSpec extends SparkSpec {
     assert(cappedLsh.except(fullLsh).isEmpty)
   }
 
+  test("recall report: the numbers SCALING.md publishes are what the code measures") {
+    // Deterministic given the sf0.01 data — every divergence from the
+    // published table is a real behavior change, not noise. Keep in
+    // lockstep with SCALING.md "Recall report" (regenerate both with
+    // `runMain graft.operators.RecallReport`).
+    val m = graft.operators.RecallReport.compute(spark, "/root/testdata/sf0.01")
+    val published = Map(
+      "d02_recall_cap16" -> 1.0, "d02_recall_cap64" -> 1.0,
+      "d03_recall_cap16" -> 1.0, "d03_recall_cap64" -> 1.0,
+      "s03_recall_cos0.4" -> 0.6780,
+      "s03_recall_cos0.8" -> 1.0, "s03_recall_cos0.9" -> 1.0,
+      "s03_candidate_fraction" -> 0.2371)
+    assert(m == published,
+      s"recall drifted from the published table:\n measured=$m\n published=$published")
+  }
+
   test("s05 int8-quantized top-k recalls the exact top-k") {
     import graft.operators.Similarity
     val exact = Similarity.s01(spark, sf).collect()
