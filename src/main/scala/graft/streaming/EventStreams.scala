@@ -38,9 +38,11 @@ object EventStreams {
   /** File-based event stream. `dir` must be a directory of events
     * parquet files (the file-stream source tails directories — new
     * files appearing there are the micro-batches). */
-  def stream(spark: SparkSession, dir: String): DataFrame = {
+  def stream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsRawSchema)
+      .options(options)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -96,6 +98,83 @@ object EventStreams {
               state.setTimeoutTimestamp(maxTs, ttl)
             Iterator.single(UserSnapshot(uid, n, total, expired = false))
           }
+      }
+  }
+
+  /** One buffered event awaiting the watermark: micro-precision
+    * event time, id, side (0 = view/left, 1 = purchase/right — the
+    * batch as-of's `__side` tiebreak). */
+  case class AsOfBuffered(tsMicros: Long, eventId: Long, side: Int)
+  case class AsOfState(hasView: Boolean, vId: Long, vTs: Long,
+      buffer: Seq[AsOfBuffered])
+  case class AsOfMatch(event_id: Long, user_id: Long,
+      v_id: Option[Long], gap_s: Option[Long])
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Streaming as-of join — the live face of batch
+    * [[graft.operators.AsOfJoin.a01]] (attribute each purchase to the
+    * user's latest view at-or-before it), closing the batch/stream
+    * parity story for the one pipeline family that had no streaming
+    * form (VERDICT r3 #7).
+    *
+    * Why not a stream-stream join: Spark's interval join can bound
+    * state but expresses "within T", not "the LATEST left row ≤ t" —
+    * as-of needs per-key ordered processing, which is exactly the
+    * `flatMapGroupsWithState` contract. Shape: one shuffle on the key
+    * (same as batch), per-user state = (latest view ≤ watermark) + a
+    * buffer of events still inside the watermark window.
+    *
+    * Correctness protocol: micro-batches deliver events unordered, so
+    * NOTHING is emitted until the watermark passes it. Each
+    * invocation (new data or event-time timeout) flushes the buffered
+    * prefix with ts ≤ watermark in (ts, side) order — views update the
+    * carried state, purchases emit their match; later events stay
+    * buffered and an event-time timeout is armed at the earliest
+    * buffered timestamp so the flush happens even if the user goes
+    * quiet. Emitted rows are therefore IDENTICAL to the batch a01
+    * output for every purchase the watermark has passed; events later
+    * than the watermark delay are the same documented loss window as
+    * every watermarked op here. State is bounded: the view carry is
+    * O(1) per user, the buffer holds at most one watermark-delay of
+    * events per user. */
+  def asOfStream(events: DataFrame, watermarkDelay: String = "1 hour")
+      : Dataset[AsOfMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+            state: GroupState[AsOfState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AsOfState(false, 0L, 0L, Nil))
+          val all = prev.buffer ++ rows.map { case (id, _, ts, tpe) =>
+            AsOfBuffered(micros(ts), id, if (tpe == "view") 0 else 1)
+          }
+          val (ready, later) = all.partition(_.tsMicros <= wmMicros)
+          var hasView = prev.hasView
+          var vId = prev.vId
+          var vTs = prev.vTs
+          val out = ready.sortBy(b => (b.tsMicros, b.side)).flatMap { b =>
+            if (b.side == 0) {
+              hasView = true; vId = b.eventId; vTs = b.tsMicros; None
+            } else Some(AsOfMatch(b.eventId, uid,
+              if (hasView) Some(vId) else None,
+              if (hasView) Some((b.tsMicros - vTs) / 1000000L) else None))
+          }
+          state.update(AsOfState(hasView, vId, vTs, later))
+          if (later.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              later.map(_.tsMicros).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
       }
   }
 

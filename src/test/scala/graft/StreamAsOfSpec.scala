@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+
+/** Streaming as-of join vs batch a01 — the batch/stream parity claim:
+  * split the events table into three time-ordered micro-batches (so
+  * cross-batch buffering is actually exercised), push the watermark
+  * past all real data with two far-future sentinel batches (the first
+  * advances the watermark, the second fires the armed event-time
+  * timeouts), and demand the streamed output EQUALS the batch a01
+  * result row-for-row. */
+class StreamAsOfSpec extends SparkSpec {
+
+  /** Write `df` as a single parquet FILE at `dest` with `mtime` (the
+    * file source schedules by modification time). */
+  private def writeChunk(df: DataFrame, dest: java.nio.file.Path,
+      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+    dest.toFile.setLastModified(mtime)
+  }
+
+  test("streaming as-of join equals batch a01 across micro-batches") {
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts = LONG nanos
+    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    writeChunk(raw.filter($"ts" < t1), dir.resolve("c1.parquet"), base)
+    writeChunk(raw.filter($"ts" >= t1 && $"ts" < t2),
+      dir.resolve("c2.parquet"), base + 1000)
+    writeChunk(raw.filter($"ts" >= t2), dir.resolve("c3.parquet"), base + 2000)
+    val maxTs = raw.agg(org.apache.spark.sql.functions.max($"ts")).head().getLong(0)
+    def sentinel(id: Long, nanos: Long) =
+      Seq((id, nanos, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val day = 24L * 3600 * 1000000000L
+    writeChunk(sentinel(-1L, maxTs + day), dir.resolve("s1.parquet"), base + 3000)
+    writeChunk(sentinel(-2L, maxTs + 2 * day), dir.resolve("s2.parquet"), base + 4000)
+
+    val q = EventStreams.runToMemory(
+      EventStreams.asOfStream(
+        EventStreams.stream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")),
+        watermarkDelay = "1 hour").toDF(),
+      "asof_stream", mode = "append")
+    try {
+      val streamed = spark.table("asof_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.AsOfJoin.a01(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream vs batch: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)} " +
+          s"sizes ${streamed.size}/${batch.size}")
+    } finally q.stop()
+  }
+}
