@@ -26,9 +26,11 @@ import java.util.Locale
   * materialized pair/label tables. Median-of-3 would silently discard
   * the one-time detection+clustering cost (ADVICE r3), so warm-up
   * triggers the materialization explicitly and its wall time is
-  * reported as the `_materialize_dedup_pipeline` entry in
-  * BENCH_QUERIES.json — visible, but not smeared into the per-stage
-  * steady-state medians.
+  * reported as the top-level `materialize_dedup_pipeline_sec` key in
+  * BENCH_QUERIES.json — visible, but outside the `queries` map so
+  * `total_sec` is exactly the sum of the map's non-failed values
+  * (ADVICE r4), and not smeared into the per-stage steady-state
+  * medians.
   *
   * All number formatting is Locale.ROOT: under comma-decimal default
   * locales (de_DE) `f"$v%.4f"` would emit `0,1234` and break the JSON
@@ -84,14 +86,18 @@ object Bench {
       // any failed rep marks the query failed: -1, never a timing
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
-    val matEntry = "_materialize_dedup_pipeline" -> (if (matOk) tMat else -1.0)
-    val qs = (results :+ matEntry)
+    // materialization cost is its own top-level key, NOT a queries
+    // entry: total_sec = sum of non-failed queries values, exactly
+    // reproducible by a consumer summing the map (ADVICE r4)
+    val qs = results
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0) + (if (matOk) 0 else 1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val perQueryJson =
-      s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,"queries":$qs}"""
+      s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,""" +
+        s""""materialize_dedup_pipeline_sec":${fmt(if (matOk) tMat else -1.0)},""" +
+        s""""queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
       (perQueryJson + "\n").getBytes("UTF-8"))

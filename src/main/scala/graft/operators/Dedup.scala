@@ -49,13 +49,8 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** Doc → exploded distinct shingles (the join key for near-dup).
-    * word_shingles is the fused native kernel (one tokenize pass; the
-    * composed HOF form re-tokenizes per element — O(tokens²)/doc). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select($"doc_id", explode(word_shingles($"text", N)).as("s"))
-  }
+  // word_shingles is the fused native kernel (one tokenize pass; the
+  // composed HOF form re-tokenizes per element — O(tokens²)/doc).
 
   // In-bucket pair generation uses the native PairExpand generator
   // (NativeKernels): all (i < j) element pairs of the sorted id array
@@ -68,12 +63,13 @@ object Dedup {
     * at ~0.99, random pairs at ~0.005 — wide margin).
     *
     * Shape: ONE explode+groupBy over the shingles builds per-shingle
-    * doc-id buckets, and candidate pairs are generated inside each
-    * bucket — one shuffle of the shingle rows total, versus the naive
-    * exploded self-join (two shuffles of the full shingle table and a
-    * second evaluation of the shingle kernel). Set sizes come straight
-    * from `size(word_shingles(text))` — per-row, no shuffle — and join
-    * the (tiny) pair aggregate via broadcast.
+    * (doc_id, set-size) buckets, and candidate pairs are generated
+    * inside each bucket — one shuffle of the shingle rows total,
+    * versus the naive exploded self-join (two shuffles of the full
+    * shingle table and a second evaluation of the shingle kernel).
+    * Set sizes ride the shingle rows into the buckets, so the pair
+    * aggregate holds |A| and |B| directly — no sizes table, no
+    * join-back.
     *
     * `maxBucket` is the 100 TB skew guard: a stop-shingle shared by
     * millions of docs would otherwise generate O(m²) pairs in one
@@ -84,19 +80,29 @@ object Dedup {
   def d02(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
       : DataFrame = {
     import s.implicits._
-    val sizes = docs(s, dir)
-      .select($"doc_id", size(word_shingles($"text", N)).cast("long").as("n"))
-    val buckets = shingleRows(s, dir)
-      .groupBy($"s").agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-    val capped = maxBucket.fold(buckets)(m => buckets.filter(size($"ids") <= m))
-    val inter = capped
-      .select(pair_expand($"ids").as(Seq("a_id", "b_id")))
-      .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+    // ONE documents scan and ONE shingle-kernel evaluation: the set
+    // size rides every shingle row (8 bytes) into the bucket structs,
+    // so the pair aggregate already holds |A| and |B| and no sizes
+    // join-back exists at all (the r4 form evaluated word_shingles
+    // twice — scan + kernel are the dominant cost at bench SF — and
+    // ended with two joins against a sizes table)
+    val rows = docs(s, dir)
+      .select($"doc_id", word_shingles($"text", N).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode($"arr").as("s"))
+    // struct sort = doc_id order (n is functionally dependent), so
+    // PairExpand still emits a_id < b_id
+    val buckets = rows
+      .groupBy($"s")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
+      .filter(size($"members") > 1)
+    val capped = maxBucket.fold(buckets)(m =>
+      buckets.filter(size($"members") <= m))
+    capped
+      .select(pair_expand($"members").as(Seq("pa", "pb")))
+      .groupBy($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        first($"pa.n").as("na"), first($"pb.n").as("nb"))
       .select($"a_id", $"b_id",
         round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.5)

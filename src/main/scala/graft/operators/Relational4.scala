@@ -122,12 +122,17 @@ object Relational4 {
     // min/max key range — the range is a plain literal predicate, so
     // it pushes to the parquet scan (row-group stats pruning) where
     // the bloom itself can't. Both actions run on the *small* side.
-    val bloom = high.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    // the min/max job also counts the keys, so the bloom is sized from
+    // the REAL key count at any scale factor (a fixed capacity would
+    // silently degrade fpp toward 1 as the data grows — ADVICE r4)
+    val mm = high.agg(min($"o_orderkey"), max($"o_orderkey"),
+      count($"o_orderkey")).head()
+    val (lo, hi, n) =
+      if (mm.isNullAt(0)) (0L, -1L, 0L)
+      else (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val bloom = high.stat.bloomFilter("o_orderkey", math.max(n, 64L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    val mm = high.agg(min($"o_orderkey"), max($"o_orderkey")).head()
-    val (lo, hi) =
-      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
     val pruned = t(s, dir, "lineitem")
       .filter($"l_orderkey".between(lo, hi) &&
         graft.functions.NativeKernels.bloom_might_contain(bos.toByteArray, $"l_orderkey"))
