@@ -75,7 +75,15 @@ object Relational4 {
     * surface (`spark.sql` over the registered views — SURVEY §7.2.6).
     * The same SQL text runs verbatim on DuckDB as the oracle; the
     * threshold uses max() (order-independent), never avg (whose
-    * summation order differs across engines). */
+    * summation order differs across engines).
+    *
+    * Orders is deliberately scanned twice (VERDICT r3 stretch #8
+    * evaluated and declined): the scalar-subquery scan is pruned to
+    * the single o_totalprice column — at 100 TB that's a cheap
+    * columnar stats-ish pass — while any true single-scan plan would
+    * need orders cached/materialized (a far larger cost than the
+    * 1-column re-scan) or a global-window max (all rows to one
+    * partition). Two scans IS the plan you'd want. */
   private val q36Sql =
     """SELECT c_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS spend
       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
