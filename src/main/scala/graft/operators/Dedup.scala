@@ -30,10 +30,20 @@ import graft.functions.NativeKernels.{word_shingles, word_tokens, minhash_signat
   */
 object Dedup {
 
-  private val N = 3            // shingle width (words)
-  private val K = 16           // minhash signature length
-  private val BANDS = 4        // LSH bands (K/BANDS rows per band)
-  private val ROWS = K / BANDS
+  private[graft] val N = 3     // shingle width (words)
+  private[graft] val K = 16    // minhash signature length
+  private[graft] val BANDS = 4 // LSH bands (K/BANDS rows per band)
+  private[graft] val ROWS = K / BANDS
+
+  /** The d03 LSH band keys of a K-long minhash signature column —
+    * shared with the streaming near-dup face so batch and stream
+    * bucket identically. */
+  private[graft] def minhashBandKeys(sig: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until BANDS).map { b =>
+      md5(concat_ws(",", (0 until ROWS).map(r =>
+        element_at(sig, b * ROWS + r + 1).cast("string")): _*).cast("binary"))
+    }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -125,10 +135,7 @@ object Dedup {
     import s.implicits._
     val sig = docs(s, dir).select($"doc_id",
       minhash_signature(word_shingles($"text", N), K).as("sig"))
-    val bandKeys = (0 until BANDS).map { b =>
-      md5(concat_ws(",", (0 until ROWS).map(r =>
-        element_at($"sig", b * ROWS + r + 1).cast("string")): _*).cast("binary"))
-    }
+    val bandKeys = minhashBandKeys($"sig")
     val bands = sig.select($"doc_id", $"sig",
       explode(array(bandKeys.zipWithIndex.map { case (k, b) =>
         struct(lit(b).as("band"), k.as("key")) }: _*)).as("u"))

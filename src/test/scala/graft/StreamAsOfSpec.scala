@@ -12,17 +12,8 @@ import org.apache.spark.sql.DataFrame
   * result row-for-row. */
 class StreamAsOfSpec extends SparkSpec {
 
-  /** Write `df` as a single parquet FILE at `dest` with `mtime` (the
-    * file source schedules by modification time). */
   private def writeChunk(df: DataFrame, dest: java.nio.file.Path,
-      mtime: Long): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
-    java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-    dest.toFile.setLastModified(mtime)
-  }
+      mtime: Long): Unit = StreamTestIO.writeChunk(df, dest, mtime)
 
   test("streaming as-of join equals batch a01 across micro-batches") {
     val s = spark

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.{DedupStream, EventStreams}
+import org.apache.spark.sql.DataFrame
+
+/** Shared file-stream staging: write a DataFrame as ONE parquet file
+  * with a chosen modification time (the file source schedules batches
+  * by mtime, so tests control micro-batch order deterministically). */
+object StreamTestIO {
+  def writeChunk(df: DataFrame, dest: java.nio.file.Path, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+    dest.toFile.setLastModified(mtime)
+  }
+}
+
+/** Streaming MinHash near-dup vs batch d03: stream the documents table
+  * in two halves split by doc_id parity — planted near-dup pairs get
+  * consecutive ids, so most true pairs STRADDLE the micro-batches and
+  * the cross-batch state path is what's exercised. The distinct
+  * emitted pair set must equal batch d03 exactly (the operator's
+  * at-least-once contract allows duplicate emissions; distinctness is
+  * the consumer's idempotent-apply side). */
+class StreamDedupNearDupSpec extends SparkSpec {
+  test("streaming near-dup pairs equal batch d03 across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    StreamTestIO.writeChunk(docs.filter($"doc_id" % 2 === 0),
+      dir.resolve("even.parquet"), base)
+    StreamTestIO.writeChunk(docs.filter($"doc_id" % 2 === 1),
+      dir.resolve("odd.parquet"), base + 1000)
+    val q = EventStreams.runToMemory(
+      DedupStream.nearDupPairs(
+        DedupStream.documentStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "neardup_stream", mode = "append")
+    try {
+      val streamed = spark.table("neardup_stream")
+        .dropDuplicates("a_id", "b_id")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.Dedup.d03(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream vs batch: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)} " +
+          s"sizes ${streamed.size}/${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
