@@ -178,6 +178,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming as-of with a staleness tolerance (batch a02's
+    * semantics): as-of already picks the LATEST view ≤ t, so a match
+    * outside the tolerance proves no in-tolerance match exists — the
+    * bound composes on [[asOfStream]] as a pure stateless map that
+    * nulls the carried columns, exactly like the batch form's
+    * post-predicate. */
+  def asOfToleranceStream(events: DataFrame, toleranceSeconds: Long,
+      watermarkDelay: String = "1 hour"): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    asOfStream(events, watermarkDelay).map { m =>
+      if (m.gap_s.exists(_ <= toleranceSeconds)) m
+      else m.copy(v_id = None, gap_s = None)
+    }
+  }
+
   /** Stream-stream interval join: purchases ⋈ views of the same user
     * within the last 30 minutes. Both sides watermarked so Spark can
     * bound the join state (without watermarks the buffered state grows

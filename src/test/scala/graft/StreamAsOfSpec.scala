@@ -52,5 +52,21 @@ class StreamAsOfSpec extends SparkSpec {
           s"only-batch=${batch.diff(streamed).take(3)} " +
           s"sizes ${streamed.size}/${batch.size}")
     } finally q.stop()
+
+    // tolerance variant over the same staged stream = batch a02
+    val q2 = EventStreams.runToMemory(
+      EventStreams.asOfToleranceStream(
+        EventStreams.stream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")),
+        toleranceSeconds = 3600L).toDF(),
+      "asof_tol_stream", mode = "append")
+    try {
+      val streamed = spark.table("asof_tol_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.AsOfJoin.a02(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"tolerance stream vs batch a02: sizes ${streamed.size}/${batch.size}")
+    } finally q2.stop()
   }
 }
