@@ -27,13 +27,23 @@ object Http {
 
   /** Uniform transport knobs. `tlsVerify=false` mirrors the
     * reference's `ssl_verify` escape hatch for self-signed
-    * deployments; `proxy` mirrors its `proxies` map. */
+    * deployments; `proxy` mirrors its `proxies` map. `retries` bounds
+    * re-attempts of IDEMPOTENT requests on transport errors and 5xx
+    * responses (backoff = attempt × `retryBackoffMs`); 4xx never
+    * retries (a client error — notably the oversize 400 that drives
+    * the halving protocol — must surface immediately), and
+    * non-idempotent requests (tipreport POST) never retry at the
+    * transport layer because a timed-out-but-processed POST would
+    * duplicate a report. The reference has no retry at all; Spark
+    * task retry covers executor-side fetchers either way. */
   final case class Conf(
       connectTimeoutMs: Long = 10000L,
       requestTimeoutMs: Long = 60000L,
       tlsVerify: Boolean = true,
       proxyHost: Option[String] = None,
-      proxyPort: Int = 3128)
+      proxyPort: Int = 3128,
+      retries: Int = 2,
+      retryBackoffMs: Long = 200L)
 
   final case class Response(code: Int, body: String)
 
@@ -79,11 +89,33 @@ object Http {
       b.build()
     })
 
-  /** One synchronous request. Body is UTF-8 JSON when present. Throws
-    * on transport errors (connection refused, timeout) — callers map
-    * those to their failure surface. */
+  /** One synchronous request (with the Conf's bounded retry when
+    * `idempotent`). Body is UTF-8 JSON when present. Throws on
+    * transport errors that survive the retries — callers map those to
+    * their failure surface. */
   def request(conf: Conf, method: String, url: String,
-      headers: Map[String, String], body: Option[String] = None): Response = {
+      headers: Map[String, String], body: Option[String] = None,
+      idempotent: Boolean = true): Response = {
+    val attempts = if (idempotent) conf.retries + 1 else 1
+    var attempt = 1
+    while (true) {
+      val last = attempt >= attempts
+      try {
+        val r = sendOnce(conf, method, url, headers, body)
+        if (r.code / 100 != 5 || last) return r
+        System.err.println(s"[graft.http] $method $url -> ${r.code}, retry $attempt/${attempts - 1}")
+      } catch {
+        case e: java.io.IOException if !last =>
+          System.err.println(s"[graft.http] $method $url failed ($e), retry $attempt/${attempts - 1}")
+      }
+      Thread.sleep(conf.retryBackoffMs * attempt)
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def sendOnce(conf: Conf, method: String, url: String,
+      headers: Map[String, String], body: Option[String]): Response = {
     val rb = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(conf.requestTimeoutMs))
     headers.foreach { case (k, v) => rb.header(k, v) }

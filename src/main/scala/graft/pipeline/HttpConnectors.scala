@@ -99,8 +99,11 @@ object HttpConnectors {
     private def toResult(r: Http.Response): Sinks.UploadResult =
       if (r.code / 100 == 2) Sinks.Accepted else Sinks.Failed(r.code, r.body)
     override def post(tipReportJson: String): Sinks.UploadResult =
+      // NOT idempotent: a timed-out-but-processed POST would create a
+      // duplicate tipreport, so no transport retry (Http doc)
       toResult(Http.request(ep.http, "POST",
-        s"${ep.baseUrl}/api/v1/tipreport/", ep.headers, Some(tipReportJson)))
+        s"${ep.baseUrl}/api/v1/tipreport/", ep.headers, Some(tipReportJson),
+        idempotent = false))
     override def patch(tipId: Long, patchJson: String): Sinks.UploadResult =
       toResult(Http.request(ep.http, "PATCH",
         s"${ep.baseUrl}/api/v1/tipreport/$tipId/", ep.headers,

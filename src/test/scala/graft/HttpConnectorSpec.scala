@@ -42,6 +42,9 @@ class HttpConnectorSpec extends SparkSpec {
     @volatile var htmls: Map[Long, String] = Map.empty
     /** threat_model_search objects, served with limit/offset paging. */
     @volatile var stateObjects: Seq[String] = Nil
+    /** /flaky returns 503 for the first `flakyFailures` hits. */
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var flakyFailures: Int = 0
 
     val server: HttpServer = HttpServer.create(
       new InetSocketAddress("127.0.0.1", 0), 0)
@@ -117,6 +120,11 @@ class HttpConnectorSpec extends SparkSpec {
             case None => respond(ex, 404, """{"error":"no such search"}""")
           }
         case ("GET", "/ping") => respond(ex, 200, """{"ok":true}""")
+        case (m, "/flaky") =>
+          flakyHits.incrementAndGet()
+          if (flakyHits.get() <= flakyFailures)
+            respond(ex, 503, """{"error":"try later"}""")
+          else respond(ex, 200, s"""{"ok":true,"method":"$m"}""")
         case _ => respond(ex, 404, s"""{"error":"unhandled $path"}""")
       }
     } catch {
@@ -323,6 +331,32 @@ class HttpConnectorSpec extends SparkSpec {
       val r = Http.get(Http.Conf(tlsVerify = false), url, Map.empty)
       assert(r.code == 200 && r.body.contains("ok"))
     } finally server.stop(0)
+  }
+
+  test("retry policy: idempotent requests survive 5xx, POST and 4xx never retry") {
+    withStub { stub =>
+      // GET through two 503s succeeds on the third attempt
+      stub.flakyFailures = 2
+      val conf = Http.Conf(retries = 2, retryBackoffMs = 10L)
+      val r = Http.get(conf, s"${stub.url}/flaky", Map.empty)
+      assert(r.code == 200 && stub.flakyHits.get() == 3)
+      // retries exhausted → last 5xx surfaces
+      stub.flakyHits.set(0); stub.flakyFailures = 10
+      assert(Http.get(conf, s"${stub.url}/flaky", Map.empty).code == 503)
+      assert(stub.flakyHits.get() == 3)
+      // POST is non-idempotent: exactly one attempt, failure surfaces
+      stub.flakyHits.set(0); stub.flakyFailures = 1
+      val postResult = Http.request(conf, "POST", s"${stub.url}/flaky",
+        Map.empty, Some("{}"), idempotent = false)
+      assert(postResult.code == 503 && stub.flakyHits.get() == 1)
+      // oversize 400 surfaces immediately (one attempt) — the halving
+      // protocol depends on it
+      stub.maxIntelBytes = 1
+      val t0 = System.nanoTime()
+      assert(HttpIntelSink(AnomaliEndpoint(stub.url, "u", "k", conf))
+        .upload("""{"meta":{},"objects":[{}]}""") == Sinks.TooLarge)
+      assert((System.nanoTime() - t0) / 1e6 < 500, "400 must not back off")
+    }
   }
 
   test("proxy conf routes the request through the configured proxy") {
