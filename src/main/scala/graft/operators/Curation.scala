@@ -80,11 +80,40 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** Source-mixture rebalancing — the "data mixing" stage of a
+    * training pipeline: deterministically downsample every source to
+    * ≈ the size of the smallest source, yielding a balanced mixture
+    * with NO random seed. The keep decision is a pure hash of the doc
+    * id against a per-source integer threshold, so the sample is
+    * bit-reproducible across runs, engines, task retries, and
+    * partitionings (the property `rand()`-based sampling lacks — at
+    * 100 TB a retried task must not resample). Unlike t10's fixed
+    *-rate strata, the rates here are COMPUTED from the data: two
+    * cheap aggregates (per-source counts; their min) that AQE
+    * broadcasts back onto the corpus scan, then one per-row
+    * hash-threshold filter. Integer threshold arithmetic
+    * ((10000·min) div n) keeps both engines exact. */
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min($"n_src").as("n_min"))
+    docs(s, dir)
+      .join(counts, Seq("source"))
+      .crossJoin(minN)
+      .filter(pmod(hash64_native(concat(lit("mix:"), $"doc_id".cast("string"))),
+        lit(10000L)) < expr("(10000 * n_min) div n_src"))
+      .groupBy($"source")
+      .agg(first($"n_src").as("n_src"), count(lit(1)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_pii_scrub" -> (t07 _),
     "t08_contamination" -> (t08 _),
     "t09_quality_filter" -> (t09 _),
     "t10_stratified_sample" -> (t10 _),
+    "t14_source_mixture" -> (t14 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +144,14 @@ object Curation {
       s"""SELECT lang, count(*) AS n_sampled FROM documents
          |WHERE ${sqlHash64("concat('sample:', CAST(doc_id AS VARCHAR))")} % 10 < 3
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "t14_source_mixture" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |m AS (SELECT min(n_src) AS n_min FROM counts)
+         |SELECT d.source, counts.n_src, count(*) AS n_kept
+         |FROM documents d JOIN counts USING (source) CROSS JOIN m
+         |WHERE ${sqlHash64("concat('mix:', CAST(d.doc_id AS VARCHAR))")} % 10000
+         |  < (10000 * m.n_min) // counts.n_src
+         |GROUP BY d.source, counts.n_src
+         |ORDER BY d.source""".stripMargin,
   )
 }

@@ -44,15 +44,20 @@ object RecallReport {
         s"d03_recall_cap$m" -> r4(recall(pairSet(Dedup.d03(s, dir, Some(m))), d03u)))
     }
     // s03: exact pairs at the output threshold carry their cosine, so
-    // higher thresholds are subsets of one all-pairs evaluation
+    // higher thresholds are subsets of one all-pairs evaluation.
+    // Truth-set SIZES are reported alongside recall: a recall of 1.0
+    // over an empty truth set is vacuous, not a measurement (the r3-r4
+    // comments claimed recall at cos ≥0.8/0.9 — thresholds this
+    // synthetic corpus never reaches; max pair cosine ≈0.51).
     val exactRows = Similarity.s03Exact(s, dir)
       .select("a_id", "b_id", "cos_sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val cand = pairSet(Similarity.s03Candidates(s, dir))
     val n = Similarity.embCount(s, dir).toDouble
-    val sim = Seq(0.4, 0.8, 0.9).map { t =>
+    val sim = Seq(0.4, 0.45, 0.5).flatMap { t =>
       val truth = exactRows.collect { case (p, c) if c >= t => p }.toSet
-      f"s03_recall_cos$t%.1f" -> r4(recall(cand, truth))
+      Seq(f"s03_recall_cos$t%.2f" -> r4(recall(cand, truth)),
+        f"s03_truth_cos$t%.2f" -> truth.size.toDouble)
     } :+ ("s03_candidate_fraction" -> r4(cand.size / (n * (n - 1) / 2)))
     (dedup ++ sim).toMap
   }

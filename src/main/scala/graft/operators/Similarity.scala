@@ -126,13 +126,16 @@ object Similarity {
     * by ROTS.
     *
     * Approximation stance — measured by [[RecallReport]], tabulated
-    * in SCALING.md "Recall report", pinned by ScaleSpec: genuine
-    * near-dups (cos ≥0.8 and ≥0.9) collide in some rotation with
-    * recall 1.0 at both sf0.01 and sf0.1; this table's threshold-0.4
-    * pairs are the tail of the random-cosine distribution (median
-    * ~0.42, a ~65° angle) where ANY locality-sensitive family prunes
-    * weakly — measured recall there is 0.68-0.69 with ~24% of
-    * all-pairs candidates. [[s03Exact]] is the all-pairs ground
+    * in SCALING.md "Recall report" WITH truth-set sizes, pinned by
+    * ScaleSpec. This synthetic corpus has NO high-cosine pairs (max
+    * pair cosine ≈0.51 — random-ish 64-dim embeddings; an earlier
+    * comment claimed measured recall at cos ≥0.8/0.9, which the r5
+    * truth-set counts exposed as vacuous — empty truth). What IS
+    * measurable here: the 0.4-0.5 band, the tail of the
+    * random-cosine distribution (median ~0.42, a ~65° angle) where
+    * ANY locality-sensitive family prunes weakly — recall 0.68-0.69
+    * at 0.4, rising toward the band's top, with ~24% of all-pairs
+    * candidates evaluated. [[s03Exact]] is the all-pairs ground
     * truth. */
   def s03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -161,6 +164,27 @@ object Similarity {
       .filter(size($"ids") > 1)
       .select(pair_expand($"ids").as(Seq("a_id", "b_id")))
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_coll"))
+  }
+
+  /** Semantic dedup clusters (d08): connected components over the
+    * embedding near-dup pairs — "these documents say the same thing"
+    * groups, the embedding-space analog of d06's textual clusters.
+    * Composes [[s03]] (bucketed candidates + exact cosine) with
+    * [[graft.operators.Relational4.d06]]'s iterative min-label
+    * fixpoint. Threshold 0.45 sits at the top of THIS synthetic
+    * corpus's cosine distribution (max pair cosine ≈0.51 — the
+    * embeddings are random-ish 64-dim vectors with no planted
+    * high-cos duplicates, see the Recall report's truth-set sizes);
+    * a real embedding corpus would run 0.8+. The gate is
+    * deterministic at any threshold because the ORACLE mirrors the
+    * same rotation buckets and both sides threshold the ROUNDED
+    * cosine (bit-equal across engines). */
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = s03(s, dir).filter($"cos_sim" >= 0.45).select($"a_id", $"b_id")
+    Relational4.d06(s, dir, Some(pairs))
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size")
+      .orderBy($"vec_id")
   }
 
   /** s03's candidate pairs over the real embeddings table — the
@@ -275,6 +299,7 @@ object Similarity {
     "s03_embedding_neardup" -> (s03 _),
     "s04_ann_ivf" -> (s04 _),
     "s05_scalar_quant" -> (s05 _),
+    "d08_semantic_clusters" -> (d08 _),
   )
 
   // ---- DuckDB oracles (identical arithmetic, generated literals) ----
@@ -387,6 +412,36 @@ object Similarity {
          |WHERE list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
          |   for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    // connected components over the SAME rotation-mirrored pair
+    // generation, thresholded at the ROUNDED cosine ≥ 0.45 exactly as
+    // the Spark side filters s03's rounded output
+    "d08_semantic_clusters" -> {
+      val rotBranches = (0 until ROTS).map(r =>
+        s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |b AS ($rotBranches),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM b x JOIN b y
+         |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT a_id, b_id FROM cand
+         |  JOIN e ex ON ex.vec_id = a_id JOIN e ey ON ey.vec_id = b_id
+         |  WHERE round(list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm), 4) >= 0.45),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e2.src AS id, rc.r FROM reach rc JOIN edges e2 ON e2.dst = rc.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS vec_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY vec_id""".stripMargin
     },
   )
 }

@@ -45,8 +45,9 @@ class ScaleSpec extends SparkSpec {
     val published = Map(
       "d02_recall_cap16" -> 1.0, "d02_recall_cap64" -> 1.0,
       "d03_recall_cap16" -> 1.0, "d03_recall_cap64" -> 1.0,
-      "s03_recall_cos0.4" -> 0.6780,
-      "s03_recall_cos0.8" -> 1.0, "s03_recall_cos0.9" -> 1.0,
+      "s03_recall_cos0.40" -> 0.6780, "s03_truth_cos0.40" -> 59.0,
+      "s03_recall_cos0.45" -> 0.7857, "s03_truth_cos0.45" -> 14.0,
+      "s03_recall_cos0.50" -> 1.0, "s03_truth_cos0.50" -> 1.0,
       "s03_candidate_fraction" -> 0.2371)
     assert(m == published,
       s"recall drifted from the published table:\n measured=$m\n published=$published")
