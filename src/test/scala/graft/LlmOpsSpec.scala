@@ -50,6 +50,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh.nonEmpty, "simhash found no near-dups")
   }
 
+  test("t14 mixture rebalancing: every source present, kept <= source size, small sources intact") {
+    val rows = graft.operators.Curation.t14(spark, sf).collect()
+    val nSources = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources, "a source vanished from the mixture")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_src"))
+    }
+    val minSrc = rows.map(_.getAs[Long]("n_src")).min
+    // the smallest source keeps everything (threshold = 10000 exactly)
+    assert(rows.filter(_.getAs[Long]("n_src") == minSrc)
+      .forall(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_src")))
+  }
+
+  test("d08 semantic clusters: every member pairs with someone (size >= 2)") {
+    val rows = graft.operators.Similarity.d08(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L,
+        "cluster nodes come from pairs, so no singleton clusters")
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("vec_id"),
+        "cluster label is the min member id")
+    }
+  }
+
   test("brute-force topk returns TOPK ranked neighbors per query") {
     val rows = Similarity.s01(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
