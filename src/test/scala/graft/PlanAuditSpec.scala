@@ -54,6 +54,22 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed candidates must not plan an all-pairs join:\n${plan.take(2000)}")
   }
 
+  test("d08: semantic clustering plan has no all-pairs join") {
+    val plan = planOf(graft.operators.Similarity.d08(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic clusters build on bucketed candidates:\n${plan.take(2000)}")
+  }
+
+  test("t14: mixture rates join back without shuffling the corpus twice") {
+    val plan = planOf(graft.operators.Curation.t14(spark, sf))
+    // the per-source counts and their min must come back as broadcast
+    // sides — a sort-merge join here would shuffle the corpus by source
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"count tables should broadcast onto the corpus scan:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rate join:\n${plan.take(2000)}")
+  }
+
   test("t13: sharded packing window is partitioned, t12's is global") {
     val sharded = planOf(graft.operators.Relational5.t13(spark, sf))
     assert(sharded.contains("hashpartitioning(shard"),
