@@ -97,6 +97,40 @@ object Relational4 {
     s.sql(q36Sql)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, new engine surface):
+    * month spine from the orders date range — the anchor row is the
+    * first month, the recursive member steps +1 month to the max —
+    * left-joined to the per-month aggregate so empty months would
+    * zero-fill. IDENTICAL SQL text runs on DuckDB as the oracle
+    * (dialect-shared: date_trunc cast to TIMESTAMP per the q16
+    * convention, `INTERVAL 1 MONTH` literal both engines accept).
+    * Recursion depth = #months (~80 for the TPC-H date range), within
+    * Spark's default recursion limit. The sequence()+explode form
+    * (e02) is the preferred spine at scale — this registers the
+    * recursion ENGINE as covered surface, not a recommendation. */
+  private val q41Sql =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT lo AS month, hi FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(month + INTERVAL 1 MONTH AS TIMESTAMP) AS month, hi
+      |  FROM spine WHERE month < hi),
+      |m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |        count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |      FROM orders GROUP BY 1)
+      |SELECT s.month, CAST(coalesce(m.n, 0) AS BIGINT) AS n,
+      |  coalesce(m.total, 0.0) AS total
+      |FROM (SELECT month FROM spine) s LEFT JOIN m ON s.month = m.month
+      |ORDER BY s.month""".stripMargin
+
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q41Sql)
+  }
+
   /** RANGE window frame: trailing 30-minute per-user frame (count and
     * max — order-independent aggregates only). Frame bound is in
     * epoch MICROseconds on both engines so tie handling is identical
@@ -338,6 +372,7 @@ object Relational4 {
     "q34_grouped_topk" -> (q34 _),
     "q35_lead_lag" -> (q35 _),
     "q36_exists_subquery" -> (q36 _),
+    "q41_recursive_spine" -> (q41 _),
     "q37_range_frame" -> (q37 _),
     "x02_bloom_prune" -> (x02 _),
     "e02_gap_fill" -> (e02 _),
@@ -381,6 +416,7 @@ object Relational4 {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY event_id""".stripMargin,
     "q36_exists_subquery" -> q36Sql,
+    "q41_recursive_spine" -> q41Sql,
     "q37_range_frame" ->
       """SELECT event_id, user_id,
         | count(*) OVER w AS n_30m,
