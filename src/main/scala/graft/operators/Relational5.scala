@@ -159,6 +159,55 @@ object Relational5 {
       .orderBy($"custkey", $"version")
   }
 
+  /** VARIANT (Spark 4's semi-structured type): props parsed once into
+    * a variant, fields typed out with `variant_get` — the
+    * shredding-friendly path that replaces per-field JSON string
+    * re-parses (q17's form). The oracle computes the same RESULT via
+    * DuckDB's JSON functions (dialects differ; values don't). */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT event_id,
+      | variant_get(v, '$.k', 'bigint') AS k,
+      | CAST(variant_get(v, '$.k', 'bigint') % 10 AS BIGINT) AS k_mod
+      |FROM (SELECT event_id, parse_json(props) AS v FROM events)
+      |ORDER BY event_id""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: each
+    * customer's single largest order — the "top-1 per key via
+    * lateral" idiom. IDENTICAL SQL text runs on DuckDB (both engines
+    * speak `, LATERAL (...)`); Spark plans it as a rewritten
+    * aggregate/join, not a per-row loop. Inner-join semantics drop
+    * order-less customers; (price, orderkey) tie-break keeps it
+    * total. */
+  private val q43Sql =
+    """SELECT c.c_custkey, l.o_orderkey, l.total
+      |FROM customer c,
+      | LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+      |          FROM orders o WHERE o.o_custkey = c.c_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q43Sql)
+  }
+
+  /** UNPIVOT (wide→long, the inverse of q30's pivot): lineitem's three
+    * money columns melted into (metric, val) rows. Values are raw
+    * 2-decimal source data — pure passthrough, no arithmetic, so no
+    * rounding concerns. DuckDB's `UNPIVOT ... ON ... INTO` spells the
+    * same reshape. */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      | metric, val
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem)
+      |UNPIVOT (val FOR metric IN (l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_repetition" -> (t11 _),
     "t12_seq_packing" -> (t12 _),
@@ -166,6 +215,9 @@ object Relational5 {
     "q38_ignore_nulls" -> (q38 _),
     "q39_full_outer" -> (q39 _),
     "q40_scd2_history" -> (q40 _),
+    "q42_variant_json" -> (q42 _),
+    "q43_lateral_topk" -> (q43 _),
+    "q44_unpivot" -> (q44 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +293,16 @@ object Relational5 {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY custkey, version""".stripMargin,
+    "q42_variant_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q43_lateral_topk" -> q43Sql,
+    "q44_unpivot" ->
+      """UNPIVOT (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_extendedprice, l_discount, l_tax FROM lineitem)
+        |ON l_extendedprice, l_discount, l_tax INTO NAME metric VALUE val
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
   )
 }
