@@ -216,16 +216,26 @@ object HttpConnectors {
       val out = Seq.newBuilder[Model.TipReportState]
       var offset = 0
       var more = true
+      // a server that ignores offset would return full pages forever —
+      // cap the walk and fail loudly instead of looping
+      val maxPages = 100000
+      var pages = 0
       while (more) {
         val r = Http.get(anomali.http, s"$base&offset=$offset",
           anomali.headers)
         if (r.code / 100 != 2)
           throw new RuntimeException(
             s"threat_model_search failed: ${r.code} ${r.body}")
-        val page = Json.tipReportObjects(r.body)
-        out ++= page
+        out ++= Json.tipReportObjects(r.body)
         offset += statePageSize
-        more = page.size == statePageSize
+        pages += 1
+        if (pages >= maxPages)
+          throw new RuntimeException(
+            s"threat_model_search paging did not terminate after $pages pages")
+        // continue on the RAW object count: the decoder drops objects
+        // without a world_watch tag, and a dropped object mid-page must
+        // not truncate the walk
+        more = Json.objectCount(r.body) == statePageSize
       }
       out.result().toDS().toDF()
     }
@@ -266,6 +276,14 @@ object HttpConnectors {
             html = "")
         }
         case _ => Nil
+      }
+
+    /** Raw `objects` array length (pagination signal — independent of
+      * how many objects the decoder keeps). */
+    def objectCount(body: String): Int =
+      (JsonMethods.parse(body) \ "objects") match {
+        case JArray(objs) => objs.size
+        case _ => 0
       }
 
     /** `{"objects":[{id,modified_ts,tags:[...]}]}` — the reference

@@ -245,16 +245,20 @@ class HttpConnectorSpec extends SparkSpec {
 
   test("tipReportState pages through threat_model_search and decodes ww tags") {
     withStub { stub =>
-      stub.stateObjects = (1 to 5).map(i =>
-        s"""{"id":${100 + i},"modified_ts":"2026-01-0${i}T00:00:00",
-            "tags":["world_watch_advisory","world_watch_$i"]}""") :+
+      // the untagged object sits in the FIRST page: decoding drops it,
+      // but pagination must continue on the raw page size (a decoded
+      // short page once truncated the walk here)
+      stub.stateObjects =
         """{"id":999,"modified_ts":"2026-01-09T00:00:00",
-            "tags":["unrelated"]}"""
+            "tags":["unrelated"]}""" +:
+        (1 to 5).map(i =>
+          s"""{"id":${100 + i},"modified_ts":"2026-01-0${i}T00:00:00",
+              "tags":["world_watch_advisory","world_watch_$i"]}""")
       val src = HttpSources(ww(stub), anomali(stub), dtl(stub),
         PipelineConfig(), statePageSize = 2)
       val state = src.tipReportState(spark).collect()
         .map(r => (r.getAs[Long]("ww_id"), r.getAs[Long]("tip_id"))).toSet
-      // 3 full pages fetched; the untagged object is dropped
+      // all 3 pages fetched; only the untagged object is dropped
       assert(state == (1 to 5).map(i => (i.toLong, 100L + i)).toSet)
     }
   }
