@@ -37,6 +37,7 @@ object ConfigLoader {
       }
       case _ => Nil
     }
+    val proxy = parseProxies(j \ "proxies")
     PipelineConfig(
       anomaliClassification = str("anomali_classification", "private"),
       defaultItype = (j \ "default_itype") match {
@@ -51,7 +52,33 @@ object ConfigLoader {
       maxPayloadBytes = (j \ "max_payload_bytes") match {
         case JInt(i) => i.toLong   // parse as Long: a 4 GB limit must
         case _ => 1L << 20         // not wrap through Int
-      })
+      },
+      sslVerify = bool("ssl_verify", dflt = true),
+      proxyHost = proxy._1,
+      proxyPort = proxy._2)
+  }
+
+  /** The reference's `proxies` map uses Python-requests format
+    * (`{"https": "http://host:port", ...}`,
+    * `src/config.py.default:46-47`): take the https entry (falling
+    * back to http), strip the scheme, split host:port. */
+  private def parseProxies(v: org.json4s.JValue): (Option[String], Int) = {
+    import org.json4s._
+    val url = v match {
+      case JObject(fields) =>
+        val m = fields.collect { case (k, JString(s)) => k -> s }.toMap
+        m.get("https").orElse(m.get("http"))
+      case _ => None
+    }
+    url.map(_.replaceFirst("^[a-z]+://", "").stripSuffix("/")) match {
+      case Some(hp) if hp.nonEmpty =>
+        hp.split(":", 2) match {
+          case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty =>
+            (Some(h), p.toInt)
+          case _ => (Some(hp), 3128)
+        }
+      case _ => (None, 3128)
+    }
   }
 
   def fromFile(path: String): PipelineConfig =

@@ -41,7 +41,19 @@ object Model {
       addDtlTags: Boolean = false,
       datalakeQueries: Seq[QueryDescriptor] = Nil,
       /** Greedy sink batch bound in serialized bytes (K1). */
-      maxPayloadBytes: Long = 1L << 20)
+      maxPayloadBytes: Long = 1L << 20,
+      /** Transport config (`ssl_verify` / `proxies`,
+        * `src/config.py.default:46-50`) — applied UNIFORMLY to every
+        * endpoint via [[httpConf]], unlike the reference which passes
+        * them to 1 of its 4 call sites. */
+      sslVerify: Boolean = true,
+      proxyHost: Option[String] = None,
+      proxyPort: Int = 3128) {
+    /** The one [[Http.Conf]] every connector built from this config
+      * shares. */
+    def httpConf: Http.Conf = Http.Conf(
+      tlsVerify = sslVerify, proxyHost = proxyHost, proxyPort = proxyPort)
+  }
 
   /** Decoded bulk-search row: the positional `threat[0..4]` list
     * (`src/Datalake2Anomali.py:342-375`) with names, tagged by its

@@ -337,6 +337,22 @@ class HttpConnectorSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ssl_verify and proxies config reach the uniform transport conf") {
+    val cfg = ConfigLoader.fromJson(
+      """{"ssl_verify": false,
+         |"proxies": {"https": "http://proxy.local:8888", "http": "http://other:1"}}""".stripMargin)
+    assert(!cfg.sslVerify)
+    assert(cfg.httpConf == Http.Conf(tlsVerify = false,
+      proxyHost = Some("proxy.local"), proxyPort = 8888))
+    // defaults: verify on, no proxy
+    val dflt = ConfigLoader.fromJson("{}")
+    assert(dflt.httpConf == Http.Conf())
+    // host-only proxy entry keeps the conventional port
+    val hostOnly = ConfigLoader.fromJson("""{"proxies": {"http": "http://p"}}""")
+    assert(hostOnly.httpConf.proxyHost.contains("p") &&
+      hostOnly.httpConf.proxyPort == 3128)
+  }
+
   test("retry policy: idempotent requests survive 5xx, POST and 4xx never retry") {
     withStub { stub =>
       // GET through two 503s succeeds on the third attempt
