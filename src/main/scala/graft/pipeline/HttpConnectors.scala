@@ -148,9 +148,19 @@ object HttpConnectors {
           s"bulk search $queryHash failed: ${r.code} ${r.body}")
       val slot = fields.map(IocBulkSource.QueryFieldSlot)
       IocBulkSource.parseResults(r.body).map { cells =>
-        val full = Array.fill[Any](IocBulkSource.PositionalWidth)(null)
-        slot.zip(cells).foreach { case (i, c) => full(i) = c }
-        full.toSeq
+        if (cells.length > fields.length &&
+            cells.length <= IocBulkSource.PositionalWidth)
+          // the server ignored query_fields and sent (a prefix of) the
+          // canonical positional row — pass it through instead of
+          // mis-mapping positions (detectable whenever the projection
+          // was a strict subset; a full-width request is already
+          // canonical either way)
+          cells
+        else {
+          val full = Array.fill[Any](IocBulkSource.PositionalWidth)(null)
+          slot.zip(cells).foreach { case (i, c) => full(i) = c }
+          full.toSeq
+        }
       }
     }
   }

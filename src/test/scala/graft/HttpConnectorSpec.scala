@@ -45,6 +45,8 @@ class HttpConnectorSpec extends SparkSpec {
     /** /flaky returns 503 for the first `flakyFailures` hits. */
     val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var flakyFailures: Int = 0
+    /** When false, /bulk ignores query_fields (full positional rows). */
+    @volatile var honorQueryFields: Boolean = true
 
     val server: HttpServer = HttpServer.create(
       new InetSocketAddress("127.0.0.1", 0), 0)
@@ -98,6 +100,8 @@ class HttpConnectorSpec extends SparkSpec {
         case ("GET", p) if p.startsWith("/bulk/") =>
           iocRequests.add(ex.getRequestURI.toString)
           bulkDocs.get(p.stripPrefix("/bulk/")) match {
+            case Some(doc) if !honorQueryFields =>
+              respond(ex, 200, doc)
             case Some(doc) =>
               // honor query_fields like the real API: return cells in
               // requested-field order only
@@ -240,6 +244,15 @@ class HttpConnectorSpec extends SparkSpec {
           r.getAs[String]("hashes_md5"))).toSet
       assert(rows == Set(("domain", "evil.com", "m1"), ("url", "http://bad", "m2")))
       assert(stub.iocRequests.asScala.last.contains(".hashes.md5"))
+      // a server that IGNORES query_fields (returns full positional
+      // rows) must not be mis-mapped: the fetcher detects the width
+      // mismatch and passes the canonical row through
+      stub.honorQueryFields = false
+      val vals2 = df.select("atom_value").as[String](
+        org.apache.spark.sql.Encoders.STRING).collect().sorted
+      assert(vals2.toSeq == Seq("evil.com", "http://bad"),
+        "full-width fallback mis-mapped positions")
+      stub.honorQueryFields = true
     }
   }
 
