@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NativeKernels.word_shingles
+import graft.functions.TextOps.{sqlTokens, sqlShinglesOfT}
+
+/** Sixth tranche — remaining SQL surface (FILTER-clause aggregates,
+  * GROUPING SETS) plus two pipeline signals:
+  *
+  *  - e04: exponentially-decayed moving average over the per-minute
+  *    event series — the smoothing step a monitoring/feature pipeline
+  *    applies before thresholding. Weights are exact powers of two so
+  *    the arithmetic is bit-identical across engines (products by
+  *    2^-j are exact in binary floating point; the sum is a fixed
+  *    left-to-right expression, not an order-free aggregate).
+  *  - t15: duplicated-n-gram statistics per document — the
+  *    "what fraction of this doc is copied from elsewhere in the
+  *    corpus" signal behind exact-substring dedup (Lee et al. 2022,
+  *    "Deduplicating Training Data Makes Language Models Better"):
+  *    an 8-token window that appears in more than one document marks
+  *    both as carrying duplicated text.
+  *
+  * q45/q46/e04 run IDENTICAL SQL on both engines (the q41/q43
+  * convention): the oracle string is the query string.
+  */
+object Relational6 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Aggregate FILTER clause: per-priority order stats with three
+    * differently-filtered aggregates in one grouping pass — the
+    * one-scan replacement for three self-joined subqueries. Spark
+    * compiles FILTER into the same partial/final hash aggregate as
+    * the `sum(when(...))` DataFrame form — one scan, map-side
+    * combine. */
+  private val q45Sql =
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE month(o_orderdate) <= 6), 0), 2) AS h1_total,
+      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS avg_f
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q45Sql)
+  }
+
+  /** GROUPING SETS — the explicit-set sibling of q33's CUBE / q20's
+    * ROLLUP: only the three groupings a report actually needs, not
+    * the full 2^k lattice (at 100 TB the saved groupings are saved
+    * shuffle volume; Spark expands the sets in ONE Expand+HashAggregate
+    * pass, not one scan per set). */
+  private val q46Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))
+      |ORDER BY gid, status, priority""".stripMargin
+
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q46Sql)
+  }
+
+  /** e04 EWMA window depth (rows) and its 2^-j weights. */
+  private val EWMA_DEPTH = 8
+
+  /** Exponentially-weighted moving average of per-minute event counts
+    * per event_type: ewma_i = Σ_j c_{i-j}·2^-j / Σ_j 2^-j over the
+    * last 8 observed minutes (missing lags drop out of BOTH sums, so
+    * early rows are properly normalized, not damped toward zero).
+    *
+    * Determinism: counts are integers; 2^-j scaling is exact; the
+    * numerator/denominator are fixed left-fold expressions evaluated
+    * in identical order by both engines; one division then round(4).
+    * One shuffle for the minute aggregate, one for the per-type
+    * window — and the window is partitioned by event_type, so the
+    * sort parallelizes across types (no global sort). */
+  private val e04Sql: String = {
+    val lags = (1 until EWMA_DEPTH).map { j =>
+      s"lag(c, $j) OVER (PARTITION BY event_type ORDER BY minute) AS c$j"
+    }.mkString(",\n  ")
+    val num = "c" + (1 until EWMA_DEPTH).map { j =>
+      val w = java.math.BigDecimal.valueOf(math.pow(2.0, -j)).toPlainString
+      s" + coalesce(c$j, 0) * $w"
+    }.mkString
+    val den = "1.0" + (1 until EWMA_DEPTH).map { j =>
+      val w = java.math.BigDecimal.valueOf(math.pow(2.0, -j)).toPlainString
+      s" + (CASE WHEN c$j IS NULL THEN 0 ELSE $w END)"
+    }.mkString
+    s"""WITH m AS (
+       |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+       |         event_type, CAST(count(*) AS DOUBLE) AS c
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT minute, event_type, c,
+       |  $lags
+       |  FROM m)
+       |SELECT minute, event_type, CAST(c AS BIGINT) AS n,
+       |  round(($num) / ($den), 4) AS ewma
+       |FROM l
+       |ORDER BY event_type, minute""".stripMargin
+  }
+
+  def e04(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(e04Sql)
+  }
+
+  private val T15_W = 8 // duplicated-span window width (tokens)
+
+  /** Per-document duplicated-n-gram stats: of a doc's distinct 8-token
+    * windows, how many also appear in ANOTHER document — the signal
+    * exact-substring dedup thresholds on. Docs shorter than 8 tokens
+    * have no windows and are absent (both engines).
+    *
+    * Shape: ONE documents scan + shingle-kernel pass; the per-doc
+    * window count rides each shingle row (the d02 trick), so no
+    * join-back to a sizes table built from a second kernel
+    * evaluation. Cross-doc sharing is the shingle groupBy (the only
+    * full-width shuffle); the doc totals re-aggregate the same rows
+    * map-side-combined, shuffling one (doc_id, n) row per partition
+    * per doc, not the shingles again. At 100 TB the shingle groupBy
+    * is the cost — the same one d02 pays, keyed by cryptographic
+    * hashes so it's skew-free up to true stop-phrases (capped there
+    * by maxBucket; here a stop-phrase just counts as duplicated,
+    * which is the correct signal). */
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .select($"doc_id", word_shingles($"text", T15_W).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"), explode($"arr").as("sh"))
+    // distinct doc count per shingle: >1 ⇒ the window is duplicated
+    // (shingles are distinct within a doc, so count(*) = #docs)
+    val dup = rows.groupBy($"sh")
+      .agg(collect_list(struct($"doc_id", $"n")).as("members"))
+      .filter(size($"members") > 1)
+      .select(explode($"members").as("m"))
+      .groupBy($"m.doc_id".as("doc_id"))
+      .agg(count(lit(1)).as("dup_ngrams"))
+    val base = rows.groupBy($"doc_id").agg(max($"n").as("n_ngrams"))
+    base.join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_ngrams",
+        coalesce($"dup_ngrams", lit(0L)).as("dup_ngrams"),
+        round(coalesce($"dup_ngrams", lit(0L)) / $"n_ngrams", 4).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val t15Oracle =
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(T15_W)}) AS s FROM docs),
+       |base AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id),
+       |cnt AS (SELECT s, count(*) AS m FROM sh GROUP BY s),
+       |dup AS (SELECT doc_id, count(*) AS dup_ngrams
+       |  FROM sh JOIN cnt USING (s) WHERE m > 1 GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_ngrams,
+       |  coalesce(d.dup_ngrams, 0) AS dup_ngrams,
+       |  round(coalesce(d.dup_ngrams, 0) / b.n_ngrams, 4) AS dup_frac
+       |FROM base b LEFT JOIN dup d USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_filter_agg" -> (q45 _),
+    "q46_grouping_sets" -> (q46 _),
+    "e04_ewma" -> (e04 _),
+    "t15_dup_ngram_stats" -> (t15 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_filter_agg" -> q45Sql,
+    "q46_grouping_sets" -> q46Sql,
+    "e04_ewma" -> e04Sql,
+    "t15_dup_ngram_stats" -> t15Oracle,
+  )
+}
