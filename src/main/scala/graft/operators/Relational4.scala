@@ -293,6 +293,76 @@ object Relational4 {
       .orderBy($"doc_id")
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the published edge-contraction alternative to d06's
+    * min-label propagation, over the same pairs and with the same
+    * output (and oracle). Registered because the two have different
+    * 100 TB failure modes: label propagation runs O(component
+    * DIAMETER) rounds — fine for blob-shaped near-dup clusters,
+    * unbounded for chain-shaped graphs — while star rounds contract
+    * paths doubly-exponentially (O(log²) rounds regardless of
+    * diameter) and never materialize a per-node label table until the
+    * end, only the shrinking edge set.
+    *
+    * large-star: every node re-hangs its STRICTLY LARGER neighbors
+    * under the minimum of its closed neighborhood; small-star re-hangs
+    * the smaller ones. Each is a groupBy-min plus a join back to the
+    * edges — all shuffles on node id. The fixpoint is a star forest
+    * rooted at component minima; convergence is detected by an edge-set
+    * signature (count + hash sum — one driver action per round, same
+    * budget as d06's `chg` flag). Every emitted edge (hi, lo) keeps
+    * hi > lo, so the set signature is orientation-stable. */
+  def d09(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val pairs = pairsIn.getOrElse(Dedup.d02(s, dir)).select($"a_id", $"b_id")
+    var edges = pairs
+      .select(greatest($"a_id", $"b_id").as("hi"), least($"a_id", $"b_id").as("lo"))
+      .filter($"hi" =!= $"lo").distinct().localCheckpoint()
+    def signature(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and cannot overflow under ANSI
+      // arithmetic (a hash SUM can)
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"hi", $"lo")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var done = false
+    while (!done) {
+      // large-star: symmetrized adjacency; m(u) = min(Γ(u) ∪ {u});
+      // each undirected edge is emitted once, from its smaller
+      // endpoint u, as (v, m(u)) with v > u ≥ m(u)
+      val sym = edges.select($"hi".as("u"), $"lo".as("v"))
+        .union(edges.select($"lo".as("u"), $"hi".as("v")))
+      val mL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      val ls = sym.join(mL, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("hi"), $"m".as("lo")).distinct()
+      // small-star: edges already point large→small; node u re-hangs
+      // its smaller neighbors (minus the minimum m) and itself under m
+      val mS = ls.groupBy($"hi").agg(min($"lo").as("m"))
+      val next = ls.join(mS, Seq("hi"))
+        .select($"lo", $"m").filter($"lo" =!= $"m")
+        .select($"lo".as("hi"), $"m".as("lo"))
+        .union(mS.select($"hi", $"m".as("lo")))
+        .distinct().localCheckpoint()
+      val nsig = signature(next)
+      done = nsig == sig
+      sig = nsig
+      edges = next
+    }
+    // fixpoint = star forest: every non-root has exactly one edge, to
+    // its component's minimum; roots (and only roots) appear as `lo`
+    val nodes = pairs.select($"a_id".as("id"))
+      .union(pairs.select($"b_id".as("id"))).distinct()
+    val labels = nodes
+      .join(edges.select($"hi".as("id"), $"lo".as("c")), Seq("id"), "left")
+      .select($"id", coalesce($"c", $"id").as("comp"))
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** Materialized pipeline state, keyed per (session, dir): a real
     * pipeline runs near-dup detection ONCE, materializes the pair
     * table, runs clustering ONCE, materializes the label table, and
@@ -384,6 +454,7 @@ object Relational4 {
     // per-stage plans ([[materializedPairs]]/[[materializedLabels]])
     "d06m_clusters_materialized" -> (d06FromLabels _),
     "d07m_apply_materialized" -> (d07FromLabels _),
+    "d09_cc_largestar" -> ((s, d) => d09(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,6 +542,13 @@ object Relational4 {
       s"""$ccOraclePrefix
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // an alternative CC algorithm over the same pairs — same ground truth
+    "d09_cc_largestar" ->
+      s"""$ccOraclePrefix,
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+         |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
     // materialized forms compute the same result — same ground truth
     "d06m_clusters_materialized" ->

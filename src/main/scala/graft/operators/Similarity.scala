@@ -263,7 +263,10 @@ object Similarity {
     * per-value arithmetic (floor of identical doubles), so the whole
     * operator is deterministic and oracle-checkable; dot products are
     * fold-left via the codegen'd kernel as everywhere else. */
-  def s05(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, qe, nrm) of every embedding after int8 quantize →
+    * dequantize on the per-dimension [min, max] 256-level grid —
+    * s05's representation, shared with s06's coarse stage. */
+  private def quantizedVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dims = emb(s, dir)
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
@@ -277,10 +280,15 @@ object Similarity {
         when($"scale" === 0.0, lit(0L))
           .otherwise(floor(($"v" - $"mn") / $"scale")))
       .withColumn("deq", $"mn" + $"code" * $"scale")
-    val qvecs = deq.groupBy($"vec_id")
+    deq.groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"deq"))),
         x => x.getField("deq")).as("qe"))
       .withColumn("nrm", sqrt(vec_dot($"qe", $"qe")))
+  }
+
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qvecs = quantizedVecs(s, dir)
     val q = qvecs.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
     val scored = qvecs.join(q, $"vec_id" =!= $"q_id")
@@ -293,12 +301,55 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val S06_CAND = 25 // coarse candidates per query before re-rank
+
+  /** Two-stage ANN: coarse top-[[S06_CAND]] on the int8-dequantized
+    * vectors (s05's representation — the 4× bandwidth-compressed scan
+    * an ANN server runs over the full corpus), then EXACT fp32 cosine
+    * re-rank of only those candidates — the standard serving shape
+    * (quantized scan for recall, tiny exact pass for precision).
+    *
+    * At 100 TB the economics are the point: stage 1 touches every
+    * vector but reads codes at 1/4 the bytes; stage 2 reads full
+    * vectors for CAND×NQUERIES rows only (a semi-join against the
+    * candidate ids — at this SF both small sides broadcast). Both
+    * stages are deterministic (s05's floor-grid proof + s01's exact
+    * proof; both rank cuts tie-break on neighbor_id), so the whole
+    * composition is oracle-checkable. */
+  def s06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = quantizedVecs(s, dir)
+    val cq = qv.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
+    val wC = Window.partitionBy($"q_id").orderBy($"qcos".desc, $"neighbor_id")
+    val cands = qv.join(cq, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        (vec_dot($"q_emb", $"qe") / ($"q_nrm" * $"nrm")).as("qcos"))
+      .withColumn("crank", row_number().over(wC))
+      .filter($"crank" <= S06_CAND)
+      .select($"q_id", $"neighbor_id")
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val qx = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    cands
+      .join(e, cands("neighbor_id") === e("vec_id"))
+      .join(qx, Seq("q_id"))
+      .select($"q_id", $"neighbor_id",
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
     "s04_ann_ivf" -> (s04 _),
     "s05_scalar_quant" -> (s05 _),
+    "s06_two_stage_rerank" -> (s06 _),
     "d08_semantic_clusters" -> (d08 _),
   )
 
@@ -392,6 +443,40 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS qcos_sim, rank
+         |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+    "s06_two_stage_rerank" ->
+      s"""WITH dims AS (SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${DIM + 1}) r(i)),
+         |stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM dims GROUP BY pos),
+         |deq AS (SELECT vec_id, pos,
+         |  CASE WHEN mx = mn THEN mn
+         |       ELSE mn + floor((v - mn) / ((mx - mn) / 255.0)) * ((mx - mn) / 255.0)
+         |  END AS deq
+         |  FROM dims JOIN stats USING (pos)),
+         |qv AS (SELECT vec_id, list(deq ORDER BY pos) AS qe FROM deq GROUP BY vec_id),
+         |n AS (SELECT vec_id, qe,
+         |  sqrt(list_sum([qe[i] * qe[i] for i in range(1, ${DIM + 1})])) AS nrm FROM qv),
+         |cq AS (SELECT vec_id AS q_id, qe AS q_emb, nrm AS q_nrm FROM n
+         |  WHERE vec_id < $NQUERIES),
+         |coarse AS (SELECT q_id, n.vec_id AS neighbor_id,
+         |  list_sum([q_emb[i] * n.qe[i] for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS qcos
+         |  FROM n JOIN cq ON n.vec_id <> cq.q_id),
+         |cand AS (SELECT q_id, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id) AS crank
+         |  FROM coarse) WHERE crank <= $S06_CAND),
+         |e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |qx AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM e WHERE vec_id < $NQUERIES),
+         |rer AS (SELECT cand.q_id, cand.neighbor_id,
+         |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (q_nrm * e.nrm) AS cos
+         |  FROM cand JOIN e ON e.vec_id = cand.neighbor_id
+         |  JOIN qx ON qx.q_id = cand.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rer)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
     "s03_embedding_neardup" -> {
       // candidate generation mirrors the engine's ROTS rotations

@@ -121,4 +121,26 @@ class Relational4Spec extends SparkSpec {
       out.unpersist()
     } finally pairs.unpersist()
   }
+
+  test("d09 large-star/small-star CC equals d06 label propagation") {
+    val s = spark
+    import s.implicits._
+    val a = Relational4.d06(s, sf).collect().toSeq
+    val b = Relational4.d09(s, sf).collect().toSeq
+    assert(a == b, "the two CC algorithms must produce identical cluster tables")
+  }
+
+  test("d09 converges on a long chain (diameter >> star rounds)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // path graph 0-1-2-...-63: one component, diameter 63 — the shape
+    // where label propagation needs O(diameter) rounds; star rounds
+    // must still converge (doubly-exponential contraction) and label
+    // every node with the minimum, 0
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Relational4.d09(s, sf, Some(chain))
+    assert(out.filter($"cluster_id" =!= 0L || $"cluster_size" =!= 64L).isEmpty)
+    assert(out.count() == 64)
+  }
 }
