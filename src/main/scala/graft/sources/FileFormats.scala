@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** File-format IO for the corpus tables beyond parquet: JSONL (the
+  * interchange format training-data pipelines actually exchange) and
+  * headered CSV, both with ENFORCED schemas and an explicit
+  * corrupt-record side channel — plus a size-targeted parquet writer
+  * for the curated output of a pipeline.
+  *
+  * Scale stance (100 TB):
+  *  - schemas are always declared, never inferred — inference is a
+  *    full extra pass over the data before the first real job;
+  *  - JSONL and headered CSV are line-splittable, so a 100 TB input
+  *    still parallelizes by HDFS/object-store block (multiline JSON
+  *    would serialize per file);
+  *  - bad records must not kill a week-long job NOR vanish silently:
+  *    PERMISSIVE mode routes them to a `_corrupt` column the caller
+  *    splits off and quarantines (the F1/F5 reject-side-output
+  *    pattern at the file boundary);
+  *  - output files are the unit of downstream parallelism and of
+  *    object-store request cost: `maxRecordsPerFile` bounds file size
+  *    without an extra repartition job, and sorting WITHIN partitions
+  *    clusters values for parquet RLE/dictionary + min-max pruning at
+  *    zero shuffle cost (a global sort would be a full exchange).
+  */
+object FileFormats {
+
+  /** `schema` + a trailing `_corrupt` string column (PERMISSIVE
+    * parsers need the slot declared to surface bad records). */
+  private def withCorrupt(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("_corrupt", StringType))
+
+  /** Read line-delimited JSON with an enforced schema. Malformed
+    * lines land in `_corrupt` with every data column null. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Read headered CSV with an enforced schema (no inference pass).
+    * Rows that fail to parse land in `_corrupt`. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
+  /** Split a PERMISSIVE read into (good rows without the `_corrupt`
+    * column, quarantined raw lines). Callers write the quarantine
+    * next to the output — bad data is data.
+    *
+    * The input is persisted (memory-and-disk): Spark refuses to
+    * re-query a raw file scan through ONLY its corrupt-record column
+    * (the re-parse could observe different corruption), so the parse
+    * must be materialized once and both branches served from it —
+    * which is also the single-pass shape you want at 100 TB. The
+    * caller unpersists the INPUT frame when both branches are
+    * consumed. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = df.filter(col("_corrupt").isNull).drop("_corrupt")
+    val bad = df.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw"))
+    (good, bad)
+  }
+
+  /** Write as JSONL. Spark's json sink is line-delimited already —
+    * one object per line, splittable on read. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Size-targeted parquet write: bound rows per output file and
+    * cluster rows within each partition by `sortCols` so parquet's
+    * dictionary/RLE encoders and min-max row-group stats actually
+    * bite. NO shuffle: `sortWithinPartitions` is a local sort and
+    * `maxRecordsPerFile` splits oversized tasks at write time. */
+  def writeSizedParquet(df: DataFrame, path: String,
+      maxRecordsPerFile: Long, sortCols: Seq[String]): Unit = {
+    val clustered =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    clustered.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+}
