@@ -123,35 +123,29 @@ object Relational6 {
     * exact-substring dedup thresholds on. Docs shorter than 8 tokens
     * have no windows and are absent (both engines).
     *
-    * Shape: ONE documents scan + shingle-kernel pass; the per-doc
-    * window count rides each shingle row (the d02 trick), so no
-    * join-back to a sizes table built from a second kernel
-    * evaluation. Cross-doc sharing is the shingle groupBy (the only
-    * full-width shuffle); the doc totals re-aggregate the same rows
-    * map-side-combined, shuffling one (doc_id, n) row per partition
-    * per doc, not the shingles again. At 100 TB the shingle groupBy
-    * is the cost — the same one d02 pays, keyed by cryptographic
-    * hashes so it's skew-free up to true stop-phrases (capped there
-    * by maxBucket; here a stop-phrase just counts as duplicated,
-    * which is the correct signal). */
+    * Shape: ONE documents scan + shingle-kernel pass and NO join —
+    * the shingle groupBy tags each bucket duplicated (>1 member),
+    * the members explode back out carrying the tag, and one per-doc
+    * aggregate counts total and duplicated windows together (a
+    * two-branch total/dup formulation would re-scan and re-run the
+    * kernel: different groupBy keys never reuse an exchange). The
+    * full-width shuffle is the shingle groupBy — the same one d02
+    * pays, keyed by effectively-random text so it's skew-free up to
+    * true stop-phrases, and a stop-phrase here just counts as
+    * duplicated, which is the correct signal. The second shuffle
+    * moves only (bool, doc_id) pairs. */
   def t15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = t(s, dir, "documents")
-      .select($"doc_id", word_shingles($"text", T15_W).as("arr"))
-      .select($"doc_id", size($"arr").cast("long").as("n"), explode($"arr").as("sh"))
-    // distinct doc count per shingle: >1 ⇒ the window is duplicated
-    // (shingles are distinct within a doc, so count(*) = #docs)
-    val dup = rows.groupBy($"sh")
-      .agg(collect_list(struct($"doc_id", $"n")).as("members"))
-      .filter(size($"members") > 1)
-      .select(explode($"members").as("m"))
-      .groupBy($"m.doc_id".as("doc_id"))
-      .agg(count(lit(1)).as("dup_ngrams"))
-    val base = rows.groupBy($"doc_id").agg(max($"n").as("n_ngrams"))
-    base.join(dup, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_ngrams",
-        coalesce($"dup_ngrams", lit(0L)).as("dup_ngrams"),
-        round(coalesce($"dup_ngrams", lit(0L)) / $"n_ngrams", 4).as("dup_frac"))
+    t(s, dir, "documents")
+      .select($"doc_id", explode(word_shingles($"text", T15_W)).as("sh"))
+      // shingles are distinct within a doc, so members = docs sharing it
+      .groupBy($"sh").agg(collect_list($"doc_id").as("members"))
+      .select((size($"members") > 1).as("dup"), explode($"members").as("doc_id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when($"dup", 1L).otherwise(0L)).as("dup_ngrams"))
+      .select($"doc_id", $"n_ngrams", $"dup_ngrams",
+        round($"dup_ngrams" / $"n_ngrams", 4).as("dup_frac"))
       .orderBy($"doc_id")
   }
 

@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
       "df and N branches must both reuse tf's (doc_id, term) exchange")
   }
 
+  test("t15: duplicated-n-gram stats scan documents once, no join") {
+    val plan = planOf(graft.operators.Relational6.t15(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${finalPlan.take(2500)}")
+    assert(!finalPlan.contains("Join"),
+      s"total and dup counts must come from one aggregate, not a join:\n${finalPlan.take(2500)}")
+  }
+
   test("q34: typed top-k aggregator partial-aggregates") {
     val plan = planOf(Relational4.q34(spark, sf))
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
