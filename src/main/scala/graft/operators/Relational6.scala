@@ -162,11 +162,37 @@ object Relational6 {
        |FROM base b LEFT JOIN dup d USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Heavy hitters: top-5 users by event count via the SpaceSaving
+    * sketch ([[graft.functions.HeavyHitters]]) with k=32 counters,
+    * exact counts alongside (the x01 convention). Rows-only like
+    * x01/x03: sketch content is merge-order- and engine-specific;
+    * `LlmOpsSpec` asserts the order-free guarantees (exactness when
+    * k ≥ domain, `est-err ≤ true ≤ est` always). At 100 TB the
+    * sketch's map-side partials shuffle ≤ k triples per partition
+    * versus the exact groupBy's every-distinct-item exchange — here
+    * the exact join-back exists only to expose the error bound. */
+  def x04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hh = udaf(graft.functions.HeavyHitters.SpaceSaving(32))
+    val top = t(s, dir, "events")
+      .agg(hh($"user_id").as("entries"))
+      .select(posexplode($"entries").as(Seq("idx", "e")))
+      .filter($"idx" < 5)
+      .select(($"idx" + 1).cast("long").as("rank"), $"e.item".as("user_id"),
+        $"e.count".as("est_count"), $"e.err".as("max_err"))
+    val exact = t(s, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("exact_count"))
+    top.join(exact, Seq("user_id"))
+      .select($"rank", $"user_id", $"est_count", $"max_err", $"exact_count")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_filter_agg" -> (q45 _),
     "q46_grouping_sets" -> (q46 _),
     "e04_ewma" -> (e04 _),
     "t15_dup_ngram_stats" -> (t15 _),
+    "x04_heavy_hitters" -> (x04 _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -111,4 +111,42 @@ class LlmOpsSpec extends SparkSpec {
       Set("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "frame0_hash"))
     assert(feats.forall(_.getAs[String]("frame0_hash").length == 32))
   }
+
+  test("x04: SpaceSaving is exact when k covers the domain") {
+    val s = spark
+    import s.implicits._
+    // sf0.001 events has 15 distinct users < k=32: never an eviction,
+    // merges of non-full summaries add nothing — sketch ≡ exact
+    val out = Relational6.x04(s, sf).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_err") == 0L)
+      assert(r.getAs[Long]("est_count") == r.getAs[Long]("exact_count"))
+    }
+  }
+
+  test("SpaceSaving invariants hold under eviction pressure (k << domain)") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: item 7 dominates (500), 100 tail items × 5 each;
+    // k=8 counters force constant eviction across 16 partitions
+    val data = Seq.fill(500)(7L) ++ (100L until 200L).flatMap(i => Seq.fill(5)(i))
+    val truth = data.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val ds = data.toDF("item").repartition(16)
+    val hh = udaf(graft.functions.HeavyHitters.SpaceSaving(8))
+    val entries = ds.agg(hh($"item").as("e"))
+      .select(explode($"e").as("x")).select($"x.*")
+      .collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("count"), r.getAs[Long]("err")))
+    assert(entries.length == 8)
+    // the guaranteed heavy hitter (true > n/k) must be present and ranked first
+    assert(entries.head._1 == 7L, s"dominant item missing from ${entries.toSeq}")
+    // every reported entry: est - err ≤ true ≤ est
+    entries.foreach { case (item, est, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(t <= est, s"item $item: true $t > estimate $est")
+      assert(est - err <= t, s"item $item: est $est - err $err > true $t")
+    }
+  }
 }
