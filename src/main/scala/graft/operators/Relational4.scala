@@ -335,8 +335,12 @@ object Relational4 {
       val sym = edges.select($"hi".as("u"), $"lo".as("v"))
         .union(edges.select($"lo".as("u"), $"hi".as("v")))
       val mL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      // no mid-round distinct: sym is duplicate-free (edges are), two
+      // emitters can produce the same (v, m) only via shared-neighbor
+      // fan-in (degree-bounded), and the end-of-round distinct dedups
+      // anyway — a distinct here would be a third full shuffle
       val ls = sym.join(mL, Seq("u")).filter($"v" > $"u")
-        .select($"v".as("hi"), $"m".as("lo")).distinct()
+        .select($"v".as("hi"), $"m".as("lo"))
       // small-star: edges already point large→small; node u re-hangs
       // its smaller neighbors (minus the minimum m) and itself under m
       val mS = ls.groupBy($"hi").agg(min($"lo").as("m"))

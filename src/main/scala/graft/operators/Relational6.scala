@@ -162,6 +162,33 @@ object Relational6 {
        |FROM base b LEFT JOIN dup d USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Ordered string aggregation — Spark 4 `listagg(...) WITHIN GROUP`
+    * vs DuckDB `string_agg(... ORDER BY ...)`: same semantics, two
+    * dialects (the one new-surface query here whose oracle CANNOT be
+    * the identical string). Deterministic: DISTINCT + an ORDER BY on
+    * the aggregated expression itself gives one canonical rendering
+    * per group on both engines. */
+  private val q47SparkSql =
+    """SELECT o_orderpriority,
+      |  listagg(DISTINCT o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val q47Oracle =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q47SparkSql)
+  }
+
   /** Heavy hitters: top-5 users by event count via the SpaceSaving
     * sketch ([[graft.functions.HeavyHitters]]) with k=32 counters,
     * exact counts alongside (the x01 convention). Rows-only like
@@ -193,6 +220,7 @@ object Relational6 {
     "e04_ewma" -> (e04 _),
     "t15_dup_ngram_stats" -> (t15 _),
     "x04_heavy_hitters" -> (x04 _),
+    "q47_listagg" -> (q47 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +228,6 @@ object Relational6 {
     "q46_grouping_sets" -> q46Sql,
     "e04_ewma" -> e04Sql,
     "t15_dup_ngram_stats" -> t15Oracle,
+    "q47_listagg" -> q47Oracle,
   )
 }
