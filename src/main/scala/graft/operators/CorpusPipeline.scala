@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.NativeKernels.word_tokens
+import graft.sources.FileFormats
+
+/** The capstone composition: a full corpus-curation run wiring the
+  * individual operators into the pipeline a training-data team
+  * actually executes, ending in a size-targeted parquet layout ready
+  * for a pre-training data loader.
+  *
+  *   ingest → contamination drop (t08) → quality filter (t09)
+  *   → exact dedup (d01) → near-dup dedup (d02→d06 labels, the
+  *   materialized pipeline state) → PII scrub (t07)
+  *   → sharded sequence packing (t13's window) → sized parquet write
+  *
+  * Composition model — and why it scales: each DETECTION stage
+  * produces a verdict frame (doc ids to drop, or keep, or labels);
+  * the corpus itself is reassembled ONCE at the end by semi/anti
+  * joins against those verdicts. Verdict frames are orders of
+  * magnitude smaller than the corpus (ids only), so at 100 TB they
+  * broadcast or hash-join cheaply, and the full-width text rows flow
+  * through exactly one scrub+pack+write pass. The near-dup stage
+  * reuses [[Relational4.materializedLabels]] — detection and
+  * clustering run once per (session, dir), exactly as a production
+  * pipeline materializes them between stages.
+  *
+  * Per-stage counts in the returned stats frame are driver actions on
+  * id-set frames (not full-corpus passes); a production run gets the
+  * same numbers from the row counts of the stage outputs it
+  * materializes anyway. */
+object CorpusPipeline {
+
+  private val PACK_BUDGET = 512L
+
+  /** Run the full curation into `outDir`; returns the stats frame
+    * (stage, rows_kept) in pipeline order. */
+  def curate(s: SparkSession, dir: String, outDir: String,
+      shards: Long = 8L, maxRecordsPerFile: Long = 1000L): DataFrame = {
+    import s.implicits._
+
+    val docs = Tables.load(s, dir, "documents")
+
+    // --- verdict frames (id sets; each states which docs survive) ---
+    val contaminated = Curation.t08(s, dir).select($"doc_id")
+    val qualityKeep = Curation.t09(s, dir).select($"doc_id")
+    val exactKeep = Dedup.d01(s, dir).select($"keep_id".as("doc_id"))
+    val nearDupDrop = Relational4.materializedLabels(s, dir)
+      .filter($"id" =!= $"comp").select($"id".as("doc_id"))
+
+    // --- one corpus assembly pass over the verdicts ---
+    val s1 = docs.join(contaminated, Seq("doc_id"), "left_anti")
+    val s2 = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
+
+    // PII scrub on the survivors only (t07's exact chained regexes)
+    val scrub = Curation.t07(s, dir).select($"doc_id", $"clean_text")
+    val clean = s4.join(scrub, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"source", $"clean_text")
+
+    // sharded packing (t13's running-sum window over the survivors)
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    val packed = clean
+      .withColumn("n_tokens", size(word_tokens($"clean_text")).cast("long"))
+      .withColumn("shard", $"doc_id" % shards)
+      .withColumn("cum_before", coalesce(
+        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"doc_id", $"lang", $"source", $"clean_text", $"n_tokens",
+        $"shard", floor($"cum_before" / PACK_BUDGET).as("chunk_id"),
+        ($"cum_before" % PACK_BUDGET).as("chunk_offset"))
+
+    FileFormats.writeSizedParquet(packed, outDir, maxRecordsPerFile,
+      sortCols = Seq("shard", "chunk_id", "chunk_offset"))
+
+    val stats = Seq(
+      ("00_ingest", docs.count()),
+      ("01_decontaminated", s1.count()),
+      ("02_quality", s2.count()),
+      ("03_exact_dedup", s3.count()),
+      ("04_near_dedup", s4.count()),
+      ("05_packed_written", s.read.parquet(outDir).count()))
+    stats.toDF("stage", "rows_kept")
+  }
+}

@@ -355,6 +355,23 @@ object EventStreams {
 
   /** Run any of the streams above to a named memory sink, synchronously
     * (Trigger.AvailableNow ≙ the reference's one-shot mode). */
+  /** Streaming heavy hitters (the live face of batch x04): the
+    * SpaceSaving udaf in a global streaming aggregate. The sketch's
+    * mergeability is exactly what incremental execution needs — each
+    * micro-batch folds its rows into the ≤ k-entry state, so state is
+    * O(k) forever while a naive streaming groupBy-count's state grows
+    * with every distinct key seen. Complete output mode re-emits the
+    * current top entries per trigger. */
+  def heavyHittersStream(events: DataFrame, k: Int = 32): DataFrame = {
+    val hh = org.apache.spark.sql.functions.udaf(
+      graft.functions.HeavyHitters.SpaceSaving(k))
+    events.agg(hh(col("user_id")).as("entries"))
+      .select(posexplode(col("entries")).as(Seq("idx", "e")))
+      .select((col("idx") + 1).cast("long").as("rank"),
+        col("e.item").as("user_id"), col("e.count").as("est_count"),
+        col("e.err").as("max_err"))
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append")
       : StreamingQuery = {
     val q = df.writeStream.outputMode(mode)

@@ -219,6 +219,31 @@ class TransformWithStateSpec extends SparkSpec {
 /** Stream-static dimension join: every micro-batch row is enriched
   * from the static side exactly as the batch join would. */
 class StreamStaticJoinSpec extends SparkSpec {
+  test("streaming heavy hitters match batch x04 (sketch is exact here)") {
+    val s = spark
+    import s.implicits._
+    // k=32 ≥ the 15 users at this SF: the sketch is exact under any
+    // micro-batch split, so stream must equal batch x04's top rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.runToMemory(
+      EventStreams.heavyHittersStream(EventStreams.stream(spark, dir.toString)),
+      "hh_stream", mode = "complete")
+    try {
+      val streamed = spark.table("hh_stream")
+        .filter($"rank" <= 5)
+        .select($"rank", $"user_id", $"est_count", $"max_err")
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Relational6.x04(spark, sf)
+        .select($"rank", $"user_id", $"est_count", $"max_err")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch heavy hitters diverge: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join matches the batch join") {
     val s = spark
     import s.implicits._
