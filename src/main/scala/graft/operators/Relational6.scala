@@ -35,13 +35,16 @@ object Relational6 {
     * one-scan replacement for three self-joined subqueries. Spark
     * compiles FILTER into the same partial/final hash aggregate as
     * the `sum(when(...))` DataFrame form — one scan, map-side
-    * combine. */
+    * combine. Deliberately sum+count, not a filtered avg: rounding a
+    * QUOTIENT invites engine-ulp boundary flips (the w02 lesson);
+    * sums of 2-decimal data round safely. */
   private val q45Sql =
     """SELECT o_orderpriority,
       |  count(*) AS n,
       |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
       |  round(coalesce(sum(o_totalprice) FILTER (WHERE month(o_orderdate) <= 6), 0), 2) AS h1_total,
-      |  round(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS avg_f
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS f_total,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
