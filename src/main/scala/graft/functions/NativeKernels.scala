@@ -260,6 +260,58 @@ object NativeKernels {
     override protected def withNewChildInternal(c: Expression): Hash64 = copy(c)
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every word k-gram IN POSITION ORDER (non-
+    * distinct — winnowing needs the sequence), slide a w-hash window,
+    * select each window's minimum, return the DISTINCT minima sorted
+    * ascending (the canonical value-set form; tie-position rules only
+    * matter for positional attribution, which this operator does not
+    * emit). Documents sharing a token run of ≥ w+k-1 words share at
+    * least one fingerprint — the detection guarantee exact-substring
+    * matchers build on. Shorter-than-w hash sequences collapse to one
+    * whole-sequence window; docs with fewer than k tokens emit an
+    * empty array. One fused pass: tokenize, one md5 per gram, one
+    * O(m·w) min sweep (m·w is small; a deque would be O(m)). */
+  case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectString(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = normTokens(v.toString)
+      val m = toks.length - k + 1
+      if (m <= 0) return new GenericArrayData(new Array[Any](0))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val g = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        g(i) = md5Hash64(md, sb.toString.getBytes("UTF-8"))
+        i += 1
+      }
+      val nw = math.max(m - w + 1, 1)
+      val sel = new java.util.TreeSet[java.lang.Long]()
+      var j = 0
+      while (j < nw) {
+        var mn = g(j)
+        var t = j + 1
+        val end = math.min(j + w, m)
+        while (t < end) { if (g(t) < mn) mn = g(t); t += 1 }
+        sel.add(mn)
+        j += 1
+      }
+      val out = new Array[Any](sel.size)
+      val it = sel.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowedFingerprints =
+      copy(child = c)
+  }
+
   /** Generator: all ordered pairs (i < j) of an array column's
     * elements, as rows (a_id, b_id) of the element type. The native
     * form of the LSH bucket pair expansion — the composed nested
@@ -330,4 +382,6 @@ object NativeKernels {
   def simhash(c: Column, bits: Int): Column = col(SimHash(ex(c), bits))
   def hash64_native(c: Column): Column = col(Hash64(ex(c.cast("string"))))
   def pair_expand(c: Column): Column = col(PairExpand(ex(c)))
+  def winnowed_fingerprints(c: Column, k: Int, w: Int): Column =
+    col(WinnowedFingerprints(ex(c.cast("string")), k, w))
 }

@@ -165,6 +165,44 @@ object Relational6 {
        |FROM base b LEFT JOIN dup d USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  private val T16_K = 4 // winnowing gram width (tokens)
+  private val T16_W = 4 // winnowing window (grams)
+
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the
+    * rolling-hash fingerprint family, as used by MOSS): the distinct
+    * window-minima of the positional k-gram hash sequence, one fused
+    * kernel pass per document
+    * ([[graft.functions.NativeKernels.WinnowedFingerprints]]).
+    * Any two documents sharing ≥ w+k-1 consecutive tokens share a
+    * fingerprint, and the sketch is ~1/w the size of the full gram
+    * set — the bandwidth knob for substring-level matching at 100 TB
+    * (t15 ships every duplicated gram; this ships the winnowed
+    * sample with a detection guarantee). Oracle mirrors the exact
+    * selection with DuckDB list comprehensions over the same
+    * engine-portable hash. */
+  def t16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.NativeKernels.winnowed_fingerprints(
+          $"text", T16_K, T16_W)).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  private val t16Oracle: String = {
+    val gram = (0 until T16_K).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  [${graft.functions.TextOps.sqlHash64(s"($gram)")}
+       |   for i in range(1, len(t) - ${T16_K - 2})] AS gh
+       |  FROM docs),
+       |fps AS (SELECT doc_id,
+       |  unnest(list_distinct([list_min(gh[i:least(i + ${T16_W - 1}, len(gh))])
+       |    for i in range(1, greatest(len(gh) - ${T16_W - 1}, 1) + 1)])) AS fp
+       |  FROM g WHERE len(gh) >= 1)
+       |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
+  }
+
   /** Ordered string aggregation — Spark 4 `listagg(...) WITHIN GROUP`
     * vs DuckDB `string_agg(... ORDER BY ...)`: same semantics, two
     * dialects (the one new-surface query here whose oracle CANNOT be
@@ -224,6 +262,7 @@ object Relational6 {
     "t15_dup_ngram_stats" -> (t15 _),
     "x04_heavy_hitters" -> (x04 _),
     "q47_listagg" -> (q47 _),
+    "t16_winnowing" -> (t16 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +271,6 @@ object Relational6 {
     "e04_ewma" -> e04Sql,
     "t15_dup_ngram_stats" -> t15Oracle,
     "q47_listagg" -> q47Oracle,
+    "t16_winnowing" -> t16Oracle,
   )
 }

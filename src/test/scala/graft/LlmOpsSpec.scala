@@ -112,6 +112,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats.forall(_.getAs[String]("frame0_hash").length == 32))
   }
 
+  test("t16 winnowing: strong near-dups share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // jaccard ≥ 0.9 pairs share long token runs, far beyond the
+    // w+k-1 = 7-token guarantee threshold — each must share ≥ 1
+    // winnowed fingerprint
+    val fps = Relational6.t16(s, sf).cache()
+    try {
+      val strong = Dedup.d02(s, sf).filter($"jaccard" >= 0.9)
+        .select($"a_id", $"b_id")
+      val shared = strong
+        .join(fps.select($"doc_id".as("a_id"), $"fp"), Seq("a_id"))
+        .join(fps.select($"doc_id".as("b_id"), $"fp"), Seq("b_id", "fp"))
+        .select($"a_id", $"b_id").distinct()
+      assert(strong.count() > 0, "fixture must contain strong near-dups")
+      assert(strong.except(shared).isEmpty,
+        "every strong near-dup pair must share a winnowed fingerprint")
+      // and the sketch really is a sample: fewer fingerprints than grams
+      val nFp = fps.count()
+      val nGrams = Tables.load(s, sf, "documents")
+        .select(explode(graft.functions.NativeKernels.word_shingles($"text", 4)))
+        .count()
+      assert(nFp < nGrams / 2, s"winnowed set ($nFp) should be ≪ gram set ($nGrams)")
+    } finally fps.unpersist()
+  }
+
   test("x04: SpaceSaving is exact when k covers the domain") {
     val s = spark
     import s.implicits._
