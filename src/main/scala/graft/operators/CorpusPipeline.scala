@@ -57,10 +57,11 @@ object CorpusPipeline {
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
     val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
 
-    // PII scrub on the survivors only (t07's exact chained regexes)
-    val scrub = Curation.t07(s, dir).select($"doc_id", $"clean_text")
-    val clean = s4.join(scrub, Seq("doc_id"))
-      .select($"doc_id", $"lang", $"source", $"clean_text")
+    // PII scrub applied to SURVIVORS only — the same chained-regex
+    // expression t07 registers, as a per-row projection on the
+    // filtered corpus (no join, no wasted regex over dropped docs)
+    val clean = s4.select($"doc_id", $"lang", $"source",
+      Curation.scrubExpr($"text").as("clean_text"))
 
     // sharded packing (t13's running-sum window over the survivors)
     val w = Window.partitionBy($"shard").orderBy($"doc_id")

@@ -20,17 +20,24 @@ object Curation {
   private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val phoneRe = "\\+?\\d[\\d -]{7,}\\d"
 
-  /** PII scrubbing: redact emails, IPv4s, phone-like digit runs.
-    * Chained regexp_replace — order matters (emails before phones so
-    * digit runs inside addresses are gone first) and is identical in
-    * the oracle. */
-  def t07(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scrubbed = regexp_replace(
+  /** The PII scrub as a column expression — applied by t07 to the
+    * whole table and by [[CorpusPipeline]] to survivors only (scrub
+    * AFTER filtering: at 100 TB, regex over dropped docs is pure
+    * waste). Chained regexp_replace — order matters (emails before
+    * phones so digit runs inside addresses are gone first) and is
+    * identical in the oracle. */
+  private[operators] def scrubExpr(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace($"text", emailRe, "<EMAIL>"),
+        regexp_replace(text, emailRe, "<EMAIL>"),
         ipRe, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** PII scrubbing: redact emails, IPv4s, phone-like digit runs. */
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scrubbed = scrubExpr($"text")
     docs(s, dir).select(
       $"doc_id",
       scrubbed.as("clean_text"),

@@ -94,4 +94,70 @@ class PropertySpec extends AnyFunSuite {
       merged == expected
     })
   }
+
+  // ---- SpaceSaving heavy hitters ----
+
+  private val streamGen: Gen[List[Long]] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.const(1L),              // a planted frequent item
+      3 -> Gen.chooseNum(2L, 6L),      // a mid-weight band
+      2 -> Gen.chooseNum(100L, 200L))) // a long tail
+
+  test("SpaceSaving bounds survive any two-way partitioning") {
+    val agg = graft.functions.HeavyHitters.SpaceSaving(6)
+    check(Prop.forAll(streamGen, Gen.chooseNum(0, 50)) { (xs, cut) =>
+      val truth = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val (l, r) = xs.splitAt(math.min(cut, xs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged.length <= 6 &&
+        merged.forall { e =>
+          val t = truth.getOrElse(e.item, 0L)
+          t <= e.count && e.count - e.err <= t
+        } &&
+        // every item with true frequency > n/k must be reported
+        truth.forall { case (item, t) =>
+          t <= xs.length / 6 || merged.exists(_.item == item)
+        }
+    })
+  }
+
+  // ---- Winnowing fingerprints ----
+
+  private val tokGen: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum('a', 'z').map(_.toString))
+
+  /** Evaluate the kernel on one JVM row (it is a pure function). */
+  private def winnow(tokens: Seq[String]): Set[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.NativeKernels.WinnowedFingerprints(
+      Literal(tokens.mkString(" ")), 4, 4)
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSet
+  }
+
+  test("winnowing guarantee: a shared w+k-1 token run ⇒ shared fingerprint") {
+    val runGen = Gen.listOfN(7, Gen.chooseNum('a', 'z').map(_.toString))
+    check(Prop.forAll(tokGen, tokGen, tokGen, runGen) { (p1, p2, p3, run) =>
+      val d1 = p1 ++ run ++ p2
+      val d2 = p3 ++ run
+      winnow(d1).intersect(winnow(d2)).nonEmpty
+    })
+  }
+
+  test("winnowing selects a subset of the gram hashes, nonempty when grams exist") {
+    check(Prop.forAll(tokGen) { toks =>
+      val fps = winnow(toks)
+      val grams = toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) fps.isEmpty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val all = grams.map { g =>
+          val hex = md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        }.toSet
+        fps.nonEmpty && fps.subsetOf(all)
+      }
+    })
+  }
 }
