@@ -230,6 +230,47 @@ object Relational6 {
     s.sql(q47SparkSql)
   }
 
+  /** Edit-distance verification of near-dup candidates — the
+    * character-level second opinion a dedup pipeline runs on
+    * token-level matches (catches e.g. token-preserving reorderings
+    * that n-gram Jaccard over-scores). levenshtein() is a native
+    * integer function in BOTH engines — deterministic, no rounding.
+    * Scale note: edit distance is O(len²) per pair — affordable
+    * precisely because it runs on the CANDIDATE pairs (d02's bucketed
+    * output), never the corpus cross-product; the 64-char prefix
+    * bounds the cost per pair. */
+  private val Q48_PREFIX = 64
+
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id",
+        substring(graft.functions.TextOps.normText($"text"), 1, Q48_PREFIX).as("p"))
+    val pairs = Dedup.d02(s, dir).filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id", $"jaccard")
+    pairs
+      .join(docs.select($"doc_id".as("a_id"), $"p".as("pa")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"p".as("pb")), Seq("b_id"))
+      .select($"a_id", $"b_id", $"jaccard",
+        levenshtein($"pa", $"pb").cast("long").as("prefix_edit_dist"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q48Oracle: String = {
+    import graft.functions.TextOps.{sqlNorm, sqlTokens}
+    s"""WITH docs AS (SELECT doc_id,
+       |  substr(${sqlNorm("text")}, 1, $Q48_PREFIX) AS p FROM documents),
+       |pairs AS (SELECT a_id, b_id, jaccard
+       |  FROM (${Dedup.oracles("d02_ngram_jaccard")})
+       |  WHERE jaccard >= 0.5)
+       |SELECT a_id, b_id, jaccard,
+       |  CAST(levenshtein(da.p, db.p) AS BIGINT) AS prefix_edit_dist
+       |FROM pairs
+       |JOIN docs da ON da.doc_id = a_id
+       |JOIN docs db ON db.doc_id = b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Heavy hitters: top-5 users by event count via the SpaceSaving
     * sketch ([[graft.functions.HeavyHitters]]) with k=32 counters,
     * exact counts alongside (the x01 convention). Rows-only like
@@ -263,6 +304,7 @@ object Relational6 {
     "x04_heavy_hitters" -> (x04 _),
     "q47_listagg" -> (q47 _),
     "t16_winnowing" -> (t16 _),
+    "q48_edit_distance" -> (q48 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +314,6 @@ object Relational6 {
     "t15_dup_ngram_stats" -> t15Oracle,
     "q47_listagg" -> q47Oracle,
     "t16_winnowing" -> t16Oracle,
+    "q48_edit_distance" -> q48Oracle,
   )
 }

@@ -32,19 +32,34 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The t02 score components over a text column — shared by t02 and
+    * the streaming curation face (`streaming/CorpusStream`), so batch
+    * and stream threshold on bit-identical arithmetic. */
+  private[graft] def qualityParts(text: Column)
+      : (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(nTok, lit(1.0))
+    val symbols = size(regexp_extract_all(text, lit("[^a-z0-9\\s]"), lit(0)))
+      .cast("double")
+    val symbolRatio = symbols / greatest(length(text).cast("double"), lit(1.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    (toks, stopRatio, symbolRatio, lenScore)
+  }
+
+  /** The combined [0,1] quality score (rounded like t02 emits it). */
+  private[graft] def qualityExpr(text: Column): Column = {
+    val (_, stopRatio, symbolRatio, lenScore) = qualityParts(text)
+    round(lenScore * 0.5 + stopRatio * 0.3 + (lit(1.0) - symbolRatio) * 0.2, 4)
+  }
+
   /** Quality scoring: length saturation, stopword ratio, symbol ratio
     * combined into one [0,1] score (identical double arithmetic on both
     * engines — safe to threshold on). */
   def t02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val nTok = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
-      greatest(nTok, lit(1.0))
-    val symbols = size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0)))
-      .cast("double")
-    val symbolRatio = symbols / greatest(length($"text").cast("double"), lit(1.0))
-    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val (toks, stopRatio, symbolRatio, lenScore) = qualityParts($"text")
     docs(s, dir).select(
       $"doc_id",
       size(toks).cast("long").as("n_tokens"),

@@ -55,3 +55,45 @@ class StreamDedupNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Streaming curation (quality gate + exact dedup vs all docs seen)
+  * against its batch contract: with ids replayed in ascending order,
+  * the admitted set is exactly "quality-passing AND the minimum doc_id
+  * of its fingerprint group among quality-passers". */
+class StreamCurationSpec extends SparkSpec {
+  test("streaming curation admits exactly the batch keeper set") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextOps.{hash64, normText}
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-stream")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    // three id-ordered chunks — duplicates land in different batches
+    StreamTestIO.writeChunk(docs.filter($"doc_id" < 150),
+      dir.resolve("c0.parquet"), base)
+    StreamTestIO.writeChunk(docs.filter($"doc_id" >= 150 && $"doc_id" < 300),
+      dir.resolve("c1.parquet"), base + 1000)
+    StreamTestIO.writeChunk(docs.filter($"doc_id" >= 300),
+      dir.resolve("c2.parquet"), base + 2000)
+    val q = EventStreams.runToMemory(
+      graft.streaming.CorpusStream.curateStream(
+        DedupStream.documentStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))),
+      "curate_stream", mode = "append")
+    try {
+      val streamed = spark.table("curate_stream")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = docs
+        .withColumn("quality", graft.operators.TextAnalysis.qualityExpr($"text"))
+        .filter($"quality" >= 0.5)
+        .withColumn("fp", hash64(normText($"text")))
+        .groupBy($"fp").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"admitted sets diverge: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)}")
+      assert(streamed.nonEmpty && streamed.size < docs.count())
+    } finally q.stop()
+  }
+}
