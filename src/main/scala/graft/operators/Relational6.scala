@@ -203,6 +203,47 @@ object Relational6 {
        |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
   }
 
+  /** q49 bin width = the window length (5 min), in microseconds. */
+  private val Q49_BIN_US = 300000000L
+
+  /** Interval join with NO equality key — "for each purchase, how
+    * many views (any user) in the preceding 5 minutes" — the shape
+    * that naively plans as a BroadcastNestedLoopJoin (O(n·m) with a
+    * broadcast of a whole side; q32 dodges this because user_id gives
+    * it an equi-key). The scale form BINS time: with bin = window
+    * length, a matching view lies in the purchase's bin or the one
+    * before, so each view registers two (bin, view) candidate rows
+    * and the join runs as a plain hash equi-join on bin — each true
+    * pair produced exactly once (the two copies carry distinct keys).
+    * `PlanAuditSpec` asserts no nested-loop/cartesian operator. The
+    * oracle states the same join as the plain inequality predicate —
+    * declarative ground truth, engine-native evaluation. */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+        floor(unix_micros($"ts") / Q49_BIN_US).as("bin"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"ts".as("v_ts"),
+        explode(array(floor(unix_micros($"ts") / Q49_BIN_US),
+          floor(unix_micros($"ts") / Q49_BIN_US) + 1)).as("bin"))
+    val matched = p.join(v, Seq("bin"))
+      .filter($"v_ts" <= $"p_ts" && $"v_ts" > $"p_ts" - expr("INTERVAL 5 MINUTES"))
+      .groupBy($"p_id").agg(count(lit(1)).as("n_views_5m"))
+    p.select($"p_id").join(matched, Seq("p_id"), "left")
+      .select($"p_id", coalesce($"n_views_5m", lit(0L)).as("n_views_5m"))
+      .orderBy($"p_id")
+  }
+
+  private val q49Oracle =
+    """SELECT p.event_id AS p_id, count(v.event_id) AS n_views_5m
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON v.ts <= p.ts AND v.ts > p.ts - INTERVAL 5 MINUTE
+      |GROUP BY p.event_id
+      |ORDER BY p_id""".stripMargin
+
   /** Ordered string aggregation — Spark 4 `listagg(...) WITHIN GROUP`
     * vs DuckDB `string_agg(... ORDER BY ...)`: same semantics, two
     * dialects (the one new-surface query here whose oracle CANNOT be
@@ -305,6 +346,7 @@ object Relational6 {
     "q47_listagg" -> (q47 _),
     "t16_winnowing" -> (t16 _),
     "q48_edit_distance" -> (q48 _),
+    "q49_binned_range_join" -> (q49 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,5 +357,6 @@ object Relational6 {
     "q47_listagg" -> q47Oracle,
     "t16_winnowing" -> t16Oracle,
     "q48_edit_distance" -> q48Oracle,
+    "q49_binned_range_join" -> q49Oracle,
   )
 }

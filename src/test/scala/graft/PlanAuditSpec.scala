@@ -118,6 +118,12 @@ class PlanAuditSpec extends SparkSpec {
       s"total and dup counts must come from one aggregate, not a join:\n${finalPlan.take(2500)}")
   }
 
+  test("q49: binned range join plans as a hash equi-join, not a nested loop") {
+    val plan = planOf(graft.operators.Relational6.q49(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no-equi-key interval join must bin, not nested-loop:\n${plan.take(2500)}")
+  }
+
   test("q34: typed top-k aggregator partial-aggregates") {
     val plan = planOf(Relational4.q34(spark, sf))
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
