@@ -38,7 +38,9 @@ object GraftExtensions {
       ("word_shingles_3", 1, args => WordShingles(Cast(args.head, StringType), 3)),
       ("minhash_sig_16", 1, args => MinHashSignature(args.head, 16)),
       ("simhash_32", 1, args => SimHash(args.head, 32)),
-      ("hash64", 1, args => Hash64(Cast(args.head, StringType))))
+      ("hash64", 1, args => Hash64(Cast(args.head, StringType))),
+      ("winnow_fp_4_4", 1,
+        args => WinnowedFingerprints(Cast(args.head, StringType), 4, 4)))
 
   /** Register the functions on an already-built session (tests, REPL).
     * Also registers the typed top-k aggregator as a SQL UDAF

@@ -12,12 +12,14 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT vec_dot(embedding, embedding) AS sq, hash64(CAST(vec_id AS STRING)) AS h,
         |       size(word_shingles_3('a b c d')) AS nsh,
         |       simhash_32(word_tokens('hello world')) AS sh,
-        |       element_at(minhash_sig_16(word_shingles_3('a b c d e')), 1) AS mh0
+        |       element_at(minhash_sig_16(word_shingles_3('a b c d e')), 1) AS mh0,
+        |       size(winnow_fp_4_4('a b c d e f g h i j')) AS nfp
         |FROM embeddings LIMIT 1""".stripMargin).head()
     assert(r.getDouble(0) > 0)
     assert(r.getLong(1) > 0)
     assert(r.getInt(2) == 2)
     assert(r.getLong(4) > 0)
+    assert(r.getInt(5) >= 1 && r.getInt(5) <= 4, "10 tokens → 7 grams → ≤4 minima")
   }
 
   test("graft_topk3 SQL UDAF matches the window top-3") {
