@@ -112,6 +112,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats.forall(_.getAs[String]("frame0_hash").length == 32))
   }
 
+  test("registration consistency: oracles ⊆ queries; rows-only = the sketches") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without a query: ${o -- q}")
+    assert((q -- o) == Set("x01_approx_distinct", "x03_approx_quantile",
+      "x04_heavy_hitters"),
+      s"undocumented rows-only queries: ${q -- o}")
+  }
+
   test("t16 winnowing: strong near-dups share a fingerprint") {
     val s = spark
     import s.implicits._
