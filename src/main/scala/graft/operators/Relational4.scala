@@ -385,6 +385,8 @@ object Relational4 {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val embLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val hooked =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -395,6 +397,7 @@ object Relational4 {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           pairCache.keys.filter(_._1 eq s).foreach(pairCache.remove)
           labelCache.keys.filter(_._1 eq s).foreach(labelCache.remove)
+          embLabelCache.keys.filter(_._1 eq s).foreach(embLabelCache.remove)
           hooked.remove(s)
         }
       })
@@ -418,6 +421,30 @@ object Relational4 {
         .select($"doc_id".as("id"), $"cluster_id".as("comp"))
         .localCheckpoint()
     })
+  }
+
+  /** Materialized semantic-cluster labels `(id, comp)` — d08's
+    * pipeline-state form: the s03 thresholded pair set detected once,
+    * the CC fixpoint run once per (session, dir) (mirror of
+    * [[materializedLabels]] over embedding-space pairs). */
+  def materializedEmbLabels(s: SparkSession, dir: String): DataFrame = {
+    evictOnStop(s)
+    embLabelCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      d06(s, dir, Some(Similarity.d08Pairs(s, dir).localCheckpoint()))
+        .select($"doc_id".as("id"), $"cluster_id".as("comp"))
+        .localCheckpoint()
+    })
+  }
+
+  /** d08 output shape from the materialized semantic labels. */
+  private def d08FromLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = materializedEmbLabels(s, dir)
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select($"id".as("vec_id"), $"comp".as("cluster_id"), $"cluster_size")
+      .orderBy($"vec_id")
   }
 
   /** d06 output shape from a materialized label table: sizes + order. */
@@ -459,6 +486,7 @@ object Relational4 {
     "d06m_clusters_materialized" -> (d06FromLabels _),
     "d07m_apply_materialized" -> (d07FromLabels _),
     "d09_cc_largestar" -> ((s, d) => d09(s, d)),
+    "d08m_semantic_materialized" -> (d08FromLabels _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,6 +582,8 @@ object Relational4 {
          |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
          |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // materialized semantic clusters — same ground truth as d08
+    "d08m_semantic_materialized" -> Similarity.oracles("d08_semantic_clusters"),
     // materialized forms compute the same result — same ground truth
     "d06m_clusters_materialized" ->
       s"""$ccOraclePrefix,

@@ -179,10 +179,16 @@ object Similarity {
     * deterministic at any threshold because the ORACLE mirrors the
     * same rotation buckets and both sides threshold the ROUNDED
     * cosine (bit-equal across engines). */
+  /** d08's thresholded pair set — shared with the materialized
+    * pipeline form ([[Relational4.materializedEmbLabels]]). */
+  private[operators] def d08Pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s03(s, dir).filter($"cos_sim" >= 0.45).select($"a_id", $"b_id")
+  }
+
   def d08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = s03(s, dir).filter($"cos_sim" >= 0.45).select($"a_id", $"b_id")
-    Relational4.d06(s, dir, Some(pairs))
+    Relational4.d06(s, dir, Some(d08Pairs(s, dir)))
       .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size")
       .orderBy($"vec_id")
   }
