@@ -61,7 +61,15 @@ object ConfigLoader {
   /** The reference's `proxies` map uses Python-requests format
     * (`{"https": "http://host:port", ...}`,
     * `src/config.py.default:46-47`): take the https entry (falling
-    * back to http), strip the scheme, split host:port. */
+    * back to http) and parse it as a URI — host and port come from
+    * the structured parse, so credentials (`http://u:p@host:3128`),
+    * paths, and bracketed IPv6 literals all resolve to the right
+    * host instead of a silently broken one. An entry the URI parser
+    * can't extract a host from fails loudly: a mis-typed proxy
+    * config must not degrade into a direct-connection ProxySelector
+    * at runtime. Proxy AUTH is intentionally unsupported (as in
+    * `java.net.http` itself, which ignores userInfo) — an entry
+    * carrying credentials still yields host+port. */
   private def parseProxies(v: org.json4s.JValue): (Option[String], Int) = {
     import org.json4s._
     val url = v match {
@@ -70,14 +78,25 @@ object ConfigLoader {
         m.get("https").orElse(m.get("http"))
       case _ => None
     }
-    url.map(_.replaceFirst("^[a-z]+://", "").stripSuffix("/")) match {
-      case Some(hp) if hp.nonEmpty =>
-        hp.split(":", 2) match {
-          case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty =>
-            (Some(h), p.toInt)
-          case _ => (Some(hp), 3128)
+    url.map(_.trim).filter(_.nonEmpty) match {
+      case None => (None, 3128)
+      case Some(raw) =>
+        // requests also accepts scheme-less "host:port"; give the URI
+        // parser an authority to work with in that case
+        val withScheme =
+          if (raw.contains("://")) raw else s"http://$raw"
+        val parsed =
+          try {
+            val u = java.net.URI.create(withScheme)
+            Option(u.getHost).map(h =>
+              (h, if (u.getPort >= 0) u.getPort else 3128))
+          } catch { case _: IllegalArgumentException => None }
+        parsed match {
+          case Some((h, p)) => (Some(h), p)
+          case None => throw new IllegalArgumentException(
+            s"unparseable proxies entry '$raw': expected " +
+              "[scheme://][user:pass@]host[:port]")
         }
-      case _ => (None, 3128)
     }
   }
 

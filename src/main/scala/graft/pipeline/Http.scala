@@ -1,10 +1,10 @@
 package graft.pipeline
 
-import java.net.{InetSocketAddress, ProxySelector, URI}
+import java.net.{InetSocketAddress, ProxySelector, Socket, URI}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.security.cert.X509Certificate
 import java.time.Duration
-import javax.net.ssl.{SSLContext, TrustManager, X509TrustManager}
+import javax.net.ssl.{SSLContext, SSLEngine, TrustManager, X509ExtendedTrustManager}
 
 /** Shared HTTP transport for every connector (SURVEY §2.9).
   *
@@ -52,11 +52,37 @@ object Http {
   private val clients =
     new java.util.concurrent.ConcurrentHashMap[Conf, HttpClient]()
 
+  /** Trust-all context scoped to `tlsVerify=false` clients ONLY.
+    *
+    * The hostname (endpoint-identification) bypass must not leak to
+    * verify-enabled endpoints: java.net.http sets the HTTPS
+    * endpoint-identification algorithm on its SSLParameters, and JSSE
+    * then routes the WHOLE server check — chain validation AND the
+    * hostname match — through `X509ExtendedTrustManager
+    * .checkServerTrusted(chain, authType, socket/engine)` when the
+    * installed trust manager is an extended one. A plain
+    * `X509TrustManager` would instead be wrapped by JSSE's
+    * AbstractTrustManagerWrapper, which performs the hostname check
+    * itself regardless of what the delegate accepts. So overriding the
+    * socket/engine variants as no-ops here disables both checks for
+    * THIS SSLContext only — clients built with `tlsVerify=true` keep
+    * the default context and full validation. (An earlier revision set
+    * the JVM-global `jdk.internal.httpclient
+    * .disableHostnameVerification` property, which — once the
+    * internal Utils class loads — would have disabled the hostname
+    * check for every java.net.http client in the process, including
+    * verify-enabled endpoints. The reference scopes ssl_verify per
+    * request, `src/Datalake2Anomali.py:111`; this matches that
+    * scoping.) */
   private def trustAllContext(): SSLContext = {
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, Array[TrustManager](new X509TrustManager {
+    ctx.init(null, Array[TrustManager](new X509ExtendedTrustManager {
       override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
       override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+      override def checkClientTrusted(c: Array[X509Certificate], a: String, s: Socket): Unit = ()
+      override def checkServerTrusted(c: Array[X509Certificate], a: String, s: Socket): Unit = ()
+      override def checkClientTrusted(c: Array[X509Certificate], a: String, e: SSLEngine): Unit = ()
+      override def checkServerTrusted(c: Array[X509Certificate], a: String, e: SSLEngine): Unit = ()
       override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
     }), new java.security.SecureRandom())
     ctx
@@ -64,22 +90,6 @@ object Http {
 
   def client(conf: Conf): HttpClient =
     clients.computeIfAbsent(conf, { c =>
-      if (!c.tlsVerify) {
-        // The trust-all SSLContext only bypasses CHAIN validation;
-        // java.net.http forces HTTPS endpoint identification (the
-        // hostname check) unless this JVM-wide property is read as
-        // true when jdk.internal.net.http.common.Utils class-loads.
-        // Setting it here is best-effort: it covers the common case
-        // (first TLS connection in this JVM is ours) but cannot help
-        // if another library already opened an HttpClient TLS
-        // connection. So tlsVerify=false guarantees the chain bypass
-        // and bypasses the hostname check when it can — strictly more
-        // uniform than the reference, which passes ssl_verify to only
-        // one of its four endpoints (src/Datalake2Anomali.py:111 vs
-        // :144,211,238).
-        System.setProperty(
-          "jdk.internal.httpclient.disableHostnameVerification", "true")
-      }
       val b = HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(c.connectTimeoutMs))
         .followRedirects(HttpClient.Redirect.NORMAL)

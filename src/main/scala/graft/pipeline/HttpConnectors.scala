@@ -83,8 +83,16 @@ object HttpConnectors {
   final case class HttpIntelSink(ep: AnomaliEndpoint)
       extends Sinks.IntelSink {
     override def upload(payloadJson: String): Sinks.UploadResult = {
+      // NOT idempotent despite the PATCH verb: this endpoint APPENDS
+      // the posted intel objects, so a timed-out-but-server-processed
+      // attempt retried at the transport layer would ingest the same
+      // objects twice. Like the tipreport POST, the retry policy is
+      // Spark task retry (a re-run task re-uploads its whole
+      // partition — at-least-once either way, but not silently
+      // doubled inside one healthy task).
       val r = Http.request(ep.http, "PATCH",
-        s"${ep.baseUrl}/api/v2/intelligence/", ep.headers, Some(payloadJson))
+        s"${ep.baseUrl}/api/v2/intelligence/", ep.headers, Some(payloadJson),
+        idempotent = false)
       if (r.code / 100 == 2) Sinks.Accepted
       else if (r.code == 400 && r.body.contains(MaxSizeMarker)) Sinks.TooLarge
       else Sinks.Failed(r.code, r.body)

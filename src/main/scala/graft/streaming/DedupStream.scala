@@ -87,16 +87,22 @@ object DedupStream {
             Seq.empty[(Long, Seq[Long])])(_.members)
           val out = Seq.newBuilder[NearDupPair]
           // arrivals in doc_id order so intra-batch pairs get a < b
-          // deterministically regardless of partition iteration order
+          // deterministically regardless of partition iteration order.
+          // A doc_id already in state is a RE-DELIVERY (source replay,
+          // overlapping feeds): its pairs were emitted on first
+          // delivery and its signature is a pure function of the text,
+          // so the whole row is a no-op — storing a second copy would
+          // grow state unboundedly under replay and double-emit every
+          // future match in the bucket.
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            members.foreach { case (seenId, seenSig) =>
-              if (seenId != r.doc_id) {
+            if (!members.exists(_._1 == r.doc_id)) {
+              members.foreach { case (seenId, seenSig) =>
                 val sim = estSim(seenSig, r.sig)
                 if (sim >= threshold) out += NearDupPair(
                   math.min(seenId, r.doc_id), math.max(seenId, r.doc_id), sim)
               }
+              members :+= (r.doc_id, r.sig)
             }
-            members :+= (r.doc_id, r.sig)
           }
           state.update(BucketMembers(members))
           out.result().iterator

@@ -54,6 +54,37 @@ class StreamDedupNearDupSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("re-delivered documents are a state and emission no-op") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    // reference run: each half delivered once
+    def run(chunks: Seq[(DataFrame, Long)], table: String): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-redeliver")
+      dir.toFile.deleteOnExit()
+      chunks.zipWithIndex.foreach { case ((df, mtime), i) =>
+        StreamTestIO.writeChunk(df, dir.resolve(s"c$i.parquet"), mtime)
+      }
+      val q = EventStreams.runToMemory(
+        DedupStream.nearDupPairs(
+          DedupStream.documentStream(spark, dir.toString,
+            Map("maxFilesPerTrigger" -> "1"))).toDF(),
+        table, mode = "append")
+      try spark.table(table).count() finally q.stop()
+    }
+    val base = System.currentTimeMillis() - 60000
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val once = run(Seq(even -> base, odd -> (base + 1000)), "redeliver_once")
+    // replayed run: the even half arrives AGAIN between the two — a
+    // source replay. Stored-copy doubling would re-emit every matching
+    // pair in the replayed buckets; the guard makes it emit nothing.
+    val replayed = run(Seq(even -> base, even -> (base + 500),
+      odd -> (base + 1000)), "redeliver_twice")
+    assert(replayed == once,
+      s"re-delivery changed emission count: $once -> $replayed")
+  }
 }
 
 /** Streaming curation (quality gate + exact dedup vs all docs seen)
@@ -94,6 +125,40 @@ class StreamCurationSpec extends SparkSpec {
         s"admitted sets diverge: only-stream=${streamed.diff(batch).take(3)} " +
           s"only-batch=${batch.diff(streamed).take(3)}")
       assert(streamed.nonEmpty && streamed.size < docs.count())
+    } finally q.stop()
+  }
+
+  test("intra-batch winner is min doc_id regardless of partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextOps.{hash64, normText}
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-onebatch")
+    dir.toFile.deleteOnExit()
+    // the WHOLE corpus in one micro-batch, shuffled across many input
+    // partitions: every duplicate group collides inside a single batch,
+    // so the winner is decided by the per-group minBy, not by which
+    // partition the state op happens to see first
+    StreamTestIO.writeChunk(docs.orderBy(org.apache.spark.sql.functions
+      .hash($"doc_id")), dir.resolve("all.parquet"),
+      System.currentTimeMillis() - 60000)
+    val q = EventStreams.runToMemory(
+      graft.streaming.CorpusStream.curateStream(
+        DedupStream.documentStream(spark, dir.toString)
+          .repartition(16)),
+      "curate_onebatch", mode = "append")
+    try {
+      val streamed = spark.table("curate_onebatch")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = docs
+        .withColumn("quality", graft.operators.TextAnalysis.qualityExpr($"text"))
+        .filter($"quality" >= 0.5)
+        .withColumn("fp", hash64(normText($"text")))
+        .groupBy($"fp").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"one-batch admitted set diverges: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)}")
     } finally q.stop()
   }
 }
