@@ -307,12 +307,12 @@ object Relational4 {
     *
     * large-star: every node re-hangs its STRICTLY LARGER neighbors
     * under the minimum of its closed neighborhood; small-star re-hangs
-    * the smaller ones. Each is a groupBy-min plus a join back to the
-    * edges — all shuffles on node id. The fixpoint is a star forest
-    * rooted at component minima; convergence is detected by an edge-set
-    * signature (count + hash sum — one driver action per round, same
-    * budget as d06's `chg` flag). Every emitted edge (hi, lo) keeps
-    * hi > lo, so the set signature is orientation-stable. */
+    * the smaller ones. Each phase is ONE window-min shuffle on node id
+    * (see the in-loop comment for why not groupBy+join). The fixpoint
+    * is a star forest rooted at component minima, detected by a direct
+    * structural test per round (`isStarForest` — one tiny groupBy job)
+    * rather than an edge-set-signature compare, which would pay a full
+    * extra round to observe "nothing changed". */
   def d09(s: SparkSession, dir: String,
       pairsIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
@@ -320,38 +320,58 @@ object Relational4 {
     var edges = pairs
       .select(greatest($"a_id", $"b_id").as("hi"), least($"a_id", $"b_id").as("lo"))
       .filter($"hi" =!= $"lo").distinct().localCheckpoint()
-    def signature(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      // bit_xor is order-independent and cannot overflow under ANSI
-      // arithmetic (a hash SUM can)
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"hi", $"lo")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = signature(edges)
-    var done = false
-    while (!done) {
+    /** The fixpoint is testable DIRECTLY: the edge set is a star
+      * forest iff no node has two parents (appears as `hi` twice) and
+      * no node is both a child and a root (appears as `hi` and as
+      * `lo`) — and a star forest is exactly the algorithm's fixpoint
+      * (sufficiency: both phases map a star to itself; necessity: the
+      * paper's). Contraction preserves the original components and
+      * every edge keeps hi > lo, so each star's root is its
+      * component's minimum. Testing this per round — one tiny
+      * groupBy job over the checkpointed edges — stops at the TRUE
+      * fixpoint round; an edge-set-signature comparison would need
+      * one extra full confirm round to observe that nothing changed. */
+    def isStarForest(e: org.apache.spark.sql.DataFrame): Boolean =
+      e.select($"hi".as("n"), lit(1L).as("h"))
+        .union(e.select($"lo".as("n"), lit(0L).as("h")))
+        .groupBy($"n").agg(sum($"h").as("hc"), count(lit(1)).as("c"))
+        .filter($"hc" > 1 || ($"hc" >= 1 && $"c" > $"hc"))
+        .limit(1).isEmpty
+    while (!isStarForest(edges)) {
+      // Each star phase is ONE window-min over its partition key —
+      // not the groupBy-min + join-back formulation, which shuffles
+      // the full adjacency TWICE per phase (once partially-aggregated
+      // for the min table, once again to join it back) and pays an
+      // AQE join re-plan per round. The window shuffles the adjacency
+      // once and evaluates the min in place; per-node key skew is the
+      // same in both forms (that skew is what the large/small-star
+      // alternation itself bounds, per the paper).
+      //
       // large-star: symmetrized adjacency; m(u) = min(Γ(u) ∪ {u});
       // each undirected edge is emitted once, from its smaller
       // endpoint u, as (v, m(u)) with v > u ≥ m(u)
       val sym = edges.select($"hi".as("u"), $"lo".as("v"))
         .union(edges.select($"lo".as("u"), $"hi".as("v")))
-      val mL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
-      // no mid-round distinct: sym is duplicate-free (edges are), two
-      // emitters can produce the same (v, m) only via shared-neighbor
-      // fan-in (degree-bounded), and the end-of-round distinct dedups
-      // anyway — a distinct here would be a third full shuffle
-      val ls = sym.join(mL, Seq("u")).filter($"v" > $"u")
+      val ls = sym
+        .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
+        .filter($"v" > $"u")
         .select($"v".as("hi"), $"m".as("lo"))
-      // small-star: edges already point large→small; node u re-hangs
-      // its smaller neighbors (minus the minimum m) and itself under m
-      val mS = ls.groupBy($"hi").agg(min($"lo").as("m"))
-      val next = ls.join(mS, Seq("hi"))
-        .select($"lo", $"m").filter($"lo" =!= $"m")
-        .select($"lo".as("hi"), $"m".as("lo"))
-        .union(mS.select($"hi", $"m".as("lo")))
+      // small-star: edges already point large→small, so min(lo) over
+      // the node's edges IS the closed-neighborhood minimum. Each row
+      // emits its re-hung edge (lo, m) plus the root edge (hi, m) in
+      // one explode pass — self-loops (where an emitted pair's ends
+      // coincide) are filtered in the same expression, duplicate
+      // (hi, m) copies collapse in the end-of-round distinct that the
+      // fixpoint signature needs anyway.
+      val next = ls
+        .withColumn("m", min($"lo").over(Window.partitionBy($"hi")))
+        .select(explode(filter(
+          array(
+            struct($"hi", $"m".as("lo")),
+            struct($"lo".as("hi"), $"m".as("lo"))),
+          e => e("hi") =!= e("lo"))).as("e"))
+        .select($"e.hi".as("hi"), $"e.lo".as("lo"))
         .distinct().localCheckpoint()
-      val nsig = signature(next)
-      done = nsig == sig
-      sig = nsig
       edges = next
     }
     // fixpoint = star forest: every non-root has exactly one edge, to
