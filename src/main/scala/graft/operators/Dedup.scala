@@ -231,7 +231,7 @@ object Dedup {
     "d04_simhash" -> ((s, d) => d04(s, d)),
   )
 
-  private def sqlShingleRows: String =
+  private[operators] def sqlShingleRows: String =
     s"""docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(${sqlShinglesOfT(N)}) AS s FROM docs)""".stripMargin
 

@@ -620,7 +620,7 @@ object Relational4 {
 
   /** Shared recursive-CTE prefix computing connected components of the
     * d02 near-dup pairs: `comp(id, cluster_id)` = min reachable id. */
-  private lazy val ccOraclePrefix: String =
+  private[operators] lazy val ccOraclePrefix: String =
     s"""WITH RECURSIVE
        |pairs AS (SELECT a_id, b_id FROM (${Dedup.oracles("d02_ngram_jaccard")})),
        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs

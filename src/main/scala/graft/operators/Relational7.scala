@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.{hash64, sqlHash64, sqlTokens}
+import graft.functions.NativeKernels.{word_shingles, word_tokens}
+
+/** Seventh tranche — the training-data preparation steps between a
+  * curated corpus and a tokenized training run, each oracle-checked:
+  *
+  *  - t17: sliding-window document chunking (context-length packing's
+  *    upstream: every doc becomes fixed-size token chunks with
+  *    overlap, the shape retrieval indexing and next-token training
+  *    both consume);
+  *  - t18: unigram language-model scoring (the CCNet-style "how
+  *    surprising is this document under the corpus's own token
+  *    distribution" quality signal);
+  *  - t19: byte-pair merge-candidate statistics (the first step of
+  *    BPE tokenizer training: adjacent symbol-pair frequencies
+  *    weighted by word frequency);
+  *  - d10: soft-dedup training weights (keep every duplicate but
+  *    down-weight by near-dup cluster size — the alternative to d07's
+  *    hard drop);
+  *  - d11: cross-corpus near-duplicate detection (dedupe an incoming
+  *    corpus against a frozen reference corpus — the near-dup face of
+  *    t08's exact-overlap decontamination).
+  */
+object Relational7 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val CHUNK = 64  // t17 chunk length (tokens)
+  private val STRIDE = 48 // t17 chunk stride (tokens; overlap = 16)
+
+  /** Sliding-window chunking: each document yields token chunks of
+    * length [[CHUNK]] starting every [[STRIDE]] tokens (chunks start
+    * while any token remains, so every token is covered and
+    * consecutive chunks overlap by CHUNK−STRIDE). Output carries the
+    * chunk's token count and an engine-portable hash of its text —
+    * the compact join key downstream chunk-level dedup/indexing uses.
+    *
+    * Scale: embarrassingly parallel — one documents scan, the
+    * explode fans out ~n_tokens/STRIDE rows per doc, and there is NO
+    * shuffle at all before the gate's ORDER BY (a real pipeline
+    * writes chunks partitioned by doc range and never sorts
+    * globally). Zero-token documents have no chunks and are absent
+    * by construction on both engines. */
+  def t17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", word_tokens($"text").as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"doc_id", $"tk",
+        explode(sequence(lit(0), size($"tk") - 1, lit(STRIDE))).as("start"))
+      .select($"doc_id", ($"start" / STRIDE).cast("long").as("chunk_id"),
+        slice($"tk", $"start" + 1, lit(CHUNK)).as("ct"))
+      .select($"doc_id", $"chunk_id", size($"ct").cast("long").as("n_tok"),
+        hash64(concat_ws(" ", $"ct")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val t17Oracle =
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), $STRIDE)) AS start
+       |       FROM docs WHERE len(tk) > 0)
+       |SELECT doc_id, CAST(start // $STRIDE AS BIGINT) AS chunk_id,
+       |  CAST(least($CHUNK, len(tk) - start) AS BIGINT) AS n_tok,
+       |  ${sqlHash64(s"array_to_string(tk[start+1:least(start+$CHUNK, len(tk))], ' ')")} AS chunk_hash
+       |FROM st
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Unigram LM quality score: per-document mean negative
+    * log-likelihood under the corpus's own unigram distribution
+    * (p(tok) = corpus count / total tokens) — the cheap stand-in for
+    * the KenLM perplexity filter web-corpus curation runs (CCNet):
+    * boilerplate-heavy and natural documents score low, token-salad
+    * scores high.
+    *
+    * Shape: one tokenize pass feeds a per-(doc, token) count
+    * aggregate; the vocabulary (token → corpus count) derives from
+    * THAT aggregate, not a second corpus scan, and the corpus total
+    * derives from the vocabulary — the t06 lesson (no extra action,
+    * no re-scan for a scalar: the total rides in as a 1-row
+    * cross-joined frame inside the same plan). The score join is
+    * (doc, token)-side keyed by token: multiplicity is 1 on the
+    * vocabulary side, so no row blowup — a stop-word key's partition
+    * is merely LARGE, the AQE-skew / salting case SCALING.md covers,
+    * and at 100 TB the vocabulary is exactly the reusable dictionary
+    * a real pipeline materializes once.
+    *
+    * Determinism: the summed term is m·(ln T − ln c) in doubles —
+    * round(4) absorbs summation-order ulps (the t06/e04 convention). */
+  def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"doc_id", explode(word_tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("m"))
+    val vocab = dt.groupBy($"tok").agg(sum($"m").as("c"))
+    val total = vocab.agg(sum($"c").as("tt"))
+    dt.join(vocab, Seq("tok"))
+      .crossJoin(total)
+      .groupBy($"doc_id")
+      .agg(sum($"m").cast("long").as("n_tok"),
+        round(sum($"m" * (log($"tt") - log($"c"))) / sum($"m"), 4).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  private val t18Oracle =
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM docs),
+       |dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
+       |vocab AS (SELECT tok, sum(m) AS c FROM dt GROUP BY tok),
+       |total AS (SELECT sum(c) AS tt FROM vocab)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+       |  round(sum(m * (ln(tt) - ln(c))) / sum(m), 4) AS avg_nll
+       |FROM dt JOIN vocab USING (tok) CROSS JOIN total
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  private val T19_TOP = 30 // merge candidates reported
+
+  /** BPE merge-candidate statistics: the frequency of each adjacent
+    * character pair across the corpus, weighted by word frequency and
+    * counted WITH multiplicity inside a word — exactly the table the
+    * first merge step of byte-pair-encoding tokenizer training ranks.
+    * The top pair is what BPE would merge first.
+    *
+    * Shape: the corpus collapses to the word-frequency table FIRST
+    * (one tokenize pass + one groupBy with map-side combine — the
+    * vocabulary is tiny next to the corpus), and pair expansion runs
+    * over DISTINCT WORDS, not over every token occurrence: a word of
+    * length L emits L−1 pairs once, each carrying the word's count.
+    * At 100 TB that ordering makes pair extraction a vocabulary-sized
+    * job instead of a corpus-sized one — the same economics as real
+    * BPE trainers. Full (count desc, pair asc) ordering makes the
+    * top-K cut deterministic; Spark plans it as TakeOrderedAndProject
+    * (no global sort). */
+  def t19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(word_tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    words.filter(length($"w") >= 2)
+      .select($"wc", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(T19_TOP)
+  }
+
+  private val t19Oracle =
+    s"""WITH docs AS (SELECT ${sqlTokens("text")} AS tk FROM documents),
+       |w AS (SELECT unnest(tk) AS w FROM docs),
+       |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY w),
+       |p AS (SELECT wc, unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+       |      FROM wc WHERE len(w) >= 2)
+       |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+       |FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT $T19_TOP""".stripMargin
+
+  /** Soft dedup: every document keeps a training weight 1/cluster_size
+    * from the d06 near-dup clusters (unclustered docs weigh 1.0) —
+    * the down-weight-don't-drop alternative to d07's hard removal
+    * (one epoch over the weighted corpus sees each duplicated TEXT
+    * with the same total mass as a unique one). Reads the
+    * once-per-session materialized label table
+    * ([[Relational4.materializedLabels]]) like the other *-from-state
+    * pipeline stages — the weights join is label-table-sized, one
+    * broadcast-or-shuffle join against documents. */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Relational4.materializedLabels(s, dir)
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    val cl = labels.join(sizes, Seq("comp"))
+      .select($"id".as("doc_id"), $"cluster_size")
+    t(s, dir, "documents")
+      .join(cl, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce($"cluster_size", lit(1L)), 6).as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  private val d10Oracle =
+    s"""${Relational4.ccOraclePrefix},
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |cl AS (SELECT comp.id, sizes.cluster_size FROM comp JOIN sizes USING (cluster_id))
+       |SELECT d.doc_id,
+       |  CAST(coalesce(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  round(CAST(1 AS DOUBLE) / coalesce(cl.cluster_size, 1), 6) AS weight
+       |FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Cross-corpus near-duplicate detection: find candidate documents
+    * (odd doc_ids — "the incoming crawl") whose text near-duplicates
+    * a REFERENCE corpus (even doc_ids — "the frozen training set"),
+    * by n-gram Jaccard at the d02 threshold. This is decontamination
+    * at the near-dup level (t08 catches exact n-gram overlap with an
+    * eval set; this catches paraphrase-grade duplication against a
+    * corpus) and equally the incremental-ingest primitive: dedupe the
+    * new batch against everything already admitted WITHOUT
+    * re-pairing the reference against itself.
+    *
+    * Shape: exactly d02's single-scan bucket build (shingle → sorted
+    * member list → PairExpand), with one extra predicate: only pairs
+    * that STRADDLE the corpora survive (opposite doc_id parity here;
+    * a real deployment tags rows with their corpus id and compares
+    * tags). Within-reference and within-candidate pairs never leave
+    * the bucket — at 100 TB that's the difference between "new batch
+    * × its collisions" and re-running full-corpus dedup. */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .select($"doc_id", word_shingles($"text", Dedup.N).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode($"arr").as("s"))
+    val buckets = rows
+      .groupBy($"s")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
+      .filter(size($"members") > 1)
+    buckets
+      .select(graft.functions.NativeKernels.pair_expand($"members")
+        .as(Seq("pa", "pb")))
+      .filter($"pa.doc_id" % 2 =!= $"pb.doc_id" % 2)
+      .groupBy($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        first($"pa.n").as("na"), first($"pb.n").as("nb"))
+      .select(
+        when($"a_id" % 2 === 1, $"a_id").otherwise($"b_id").as("cand_id"),
+        when($"a_id" % 2 === 1, $"b_id").otherwise($"a_id").as("ref_id"),
+        round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"cand_id", $"ref_id")
+  }
+
+  private val d11Oracle =
+    s"""WITH ${Dedup.sqlShingleRows},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT b.doc_id AS cand_id, a.doc_id AS ref_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |  GROUP BY 1, 2)
+       |SELECT cand_id, ref_id,
+       |  round(inter / (nr.n + nc.n - inter), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes nr ON nr.doc_id = ref_id
+       |JOIN sizes nc ON nc.doc_id = cand_id
+       |WHERE round(inter / (nr.n + nc.n - inter), 4) >= 0.5
+       |ORDER BY cand_id, ref_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_chunking" -> (t17 _),
+    "t18_unigram_nll" -> (t18 _),
+    "t19_bpe_pairs" -> (t19 _),
+    "d10_dedup_weights" -> (d10 _),
+    "d11_cross_corpus_neardup" -> (d11 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t17_chunking" -> t17Oracle,
+    "t18_unigram_nll" -> t18Oracle,
+    "t19_bpe_pairs" -> t19Oracle,
+    "d10_dedup_weights" -> d10Oracle,
+    "d11_cross_corpus_neardup" -> d11Oracle,
+  )
+}
