@@ -50,8 +50,13 @@ object Relational7 {
   def t17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
+      // tokens are non-empty iff the trimmed text is non-empty — the
+      // cheap pre-tokenize form of `size(tk) > 0`, which Catalyst
+      // would otherwise push below the projection and so evaluate the
+      // tokenize kernel TWICE per row (once in the filter, once in
+      // the projection)
+      .filter(trim($"text") =!= "")
       .select($"doc_id", word_tokens($"text").as("tk"))
-      .filter(size($"tk") > 0)
       .select($"doc_id", $"tk",
         explode(sequence(lit(0), size($"tk") - 1, lit(STRIDE))).as("start"))
       .select($"doc_id", ($"start" / STRIDE).cast("long").as("chunk_id"),

@@ -130,4 +130,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"),
       "the aggregator's map side must reduce groups to k rows before the shuffle")
   }
+
+  test("t17: chunking tokenizes once and only shuffles for the final sort") {
+    val plan = planOf(graft.operators.Relational7.t17(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("tokens(")) == 1,
+      s"the tokens kernel must run once per row (a size(tk)>0 filter " +
+        s"pushed below the projection doubles it):\n${finalPlan.take(2500)}")
+    assert(finalPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"tiling must be shuffle-free; the one exchange is the gate's " +
+        s"ORDER BY:\n${finalPlan.take(2500)}")
+  }
+
+  test("t18: unigram NLL scans documents once (vocab and total derive in-plan)") {
+    val plan = planOf(graft.operators.Relational7.t18(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      "vocabulary must derive from the (doc, token) aggregate's exchange")
+  }
+
+  test("t19: BPE pair stats end in TakeOrderedAndProject, no global sort") {
+    val plan = planOf(graft.operators.Relational7.t19(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-K cut must not plan a global sort:\n${plan.take(2000)}")
+  }
+
+  test("d11: cross-corpus near-dup has no self-join and no all-pairs join") {
+    val plan = planOf(graft.operators.Relational7.d11(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"),
+      s"pairs must come from in-bucket expansion, not a shingle self-join:\n${finalPlan.take(2500)}")
+    assert(finalPlan.toLowerCase.contains("pairexpand"),
+      "the native pair generator must drive candidate generation")
+  }
 }
