@@ -349,6 +349,44 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val KMEANS_K = 8
+
+  /** One Lloyd (k-means) iteration over the embedding corpus — the
+    * iterative primitive of embedding-space clustering (corpus
+    * balancing, semantic bucketing, IVF cell training — s04 consumes
+    * exactly such centroids). Seeds are the first [[KMEANS_K]] vectors
+    * (deterministic init); each vector joins the BROADCAST seed table,
+    * computes fold-left squared distance (the engine-portable
+    * accumulation order, like every dot product here), and assigns to
+    * the nearest seed with total (dist, cluster) tie-break. Output is
+    * the per-cluster step summary: member count and mean distance
+    * (the inertia decomposition a training loop thresholds on).
+    *
+    * Full Lloyd = this step iterated with `localCheckpoint` between
+    * rounds (the d06/d09 pattern: one action per round, flat plans);
+    * a production run materializes assignments once per round, so the
+    * per-step plan IS the scale shape: corpus scanned once, K·DIM
+    * doubles broadcast, one K-row aggregate — no shuffle of the
+    * corpus at all. */
+  def s07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding")
+    val seeds = e.filter($"vec_id" < KMEANS_K)
+      .select($"vec_id".as("cluster"), $"embedding".as("cvec"))
+    val sqDist = (v: Column, c: Column) =>
+      aggregate(zip_with(v, c,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, d) => acc + d)
+    val wNear = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+    e.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"cluster", sqDist($"embedding", $"cvec").as("dist"))
+      .withColumn("rn", row_number().over(wNear))
+      .filter($"rn" === 1)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"), round(avg($"dist"), 4).as("mean_dist"))
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -356,6 +394,7 @@ object Similarity {
     "s04_ann_ivf" -> (s04 _),
     "s05_scalar_quant" -> (s05 _),
     "s06_two_stage_rerank" -> (s06 _),
+    "s07_kmeans_step" -> (s07 _),
     "d08_semantic_clusters" -> (d08 _),
   )
 
@@ -374,7 +413,24 @@ object Similarity {
 
   private def sqlBucket: String = sqlBucketRot(0)
 
+  private val s07Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cluster, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < $KMEANS_K),
+       |d AS (SELECT e.vec_id, s.cluster,
+       |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |    for i in range(1, ${DIM + 1})]) AS dist
+       |  FROM e CROSS JOIN seeds s),
+       |a AS (SELECT vec_id, cluster, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM d)
+       |SELECT cluster, count(*) AS n_members, round(avg(dist), 4) AS mean_dist
+       |FROM a WHERE rn = 1
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s07_kmeans_step" -> s07Oracle,
     "s01_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm

@@ -87,6 +87,44 @@ class StreamDedupNearDupSpec extends SparkSpec {
   }
 }
 
+/** Streaming cross-corpus near-dup (the d11 admission gate live):
+  * odd docs arrive as a stream in two micro-batches and are checked
+  * against the frozen even-doc reference index; the emitted pair set
+  * must equal batch d11 exactly. */
+class StreamCrossCorpusSpec extends SparkSpec {
+  test("streamed cross-corpus pairs equal batch d11") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-crosscorpus")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    StreamTestIO.writeChunk(odd.filter($"doc_id" < 250),
+      dir.resolve("c0.parquet"), base)
+    StreamTestIO.writeChunk(odd.filter($"doc_id" >= 250),
+      dir.resolve("c1.parquet"), base + 1000)
+    val refIdx = graft.streaming.CrossCorpusStream.referenceIndex(
+      docs.filter($"doc_id" % 2 === 0))
+    val q = EventStreams.runToMemory(
+      graft.streaming.CrossCorpusStream.againstReference(
+        DedupStream.documentStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")),
+        refIdx).toDF(),
+      "crosscorpus_stream", mode = "append")
+    try {
+      val streamed = spark.table("crosscorpus_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Relational7.d11(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream vs batch d11: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)} sizes ${streamed.size}/${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
+
 /** Streaming curation (quality gate + exact dedup vs all docs seen)
   * against its batch contract: with ids replayed in ascending order,
   * the admitted set is exactly "quality-passing AND the minimum doc_id
