@@ -255,12 +255,50 @@ object Relational7 {
        |WHERE round(inter / (nr.n + nc.n - inter), 4) >= 0.5
        |ORDER BY cand_id, ref_id""".stripMargin
 
+  /** Weighted corpus sampling, hash-deterministic: keep each document
+    * with probability equal to its d10 soft-dedup weight, decided by
+    * comparing an md5-derived uniform in [0,1) against the weight —
+    * one pass, no RNG state, bit-reproducible under task retry and
+    * across engines (the t10 sampling convention composed with d10's
+    * weights). The sampled corpus has each duplicate CLUSTER
+    * represented with the same expected mass as a unique document —
+    * "epoch-equivalent" downsampling without hard-dropping anything.
+    * The uniform is salted (`samp:`) so it is independent of every
+    * other hash-of-doc_id in the pipeline. */
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = hash64(concat(lit("samp:"), $"doc_id".cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    d10(s, dir)
+      .withColumn("u", u)
+      .filter($"u" < $"weight")
+      .select($"doc_id", $"cluster_size", $"weight", round($"u", 6).as("u"))
+      .orderBy($"doc_id")
+  }
+
+  private val t20Oracle =
+    s"""${Relational4.ccOraclePrefix},
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |cl AS (SELECT comp.id, sizes.cluster_size FROM comp JOIN sizes USING (cluster_id)),
+       |wt AS (SELECT d.doc_id,
+       |  CAST(coalesce(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  round(CAST(1 AS DOUBLE) / coalesce(cl.cluster_size, 1), 6) AS weight,
+       |  CAST(${TextOpsSqlU} AS DOUBLE) / 1152921504606846976.0 AS u
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+       |SELECT doc_id, cluster_size, weight, round(u, 6) AS u
+       |FROM wt WHERE u < weight
+       |ORDER BY doc_id""".stripMargin
+
+  private def TextOpsSqlU: String =
+    sqlHash64("concat('samp:', CAST(d.doc_id AS VARCHAR))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_chunking" -> (t17 _),
     "t18_unigram_nll" -> (t18 _),
     "t19_bpe_pairs" -> (t19 _),
     "d10_dedup_weights" -> (d10 _),
     "d11_cross_corpus_neardup" -> (d11 _),
+    "t20_weighted_sample" -> (t20 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +307,6 @@ object Relational7 {
     "t19_bpe_pairs" -> t19Oracle,
     "d10_dedup_weights" -> d10Oracle,
     "d11_cross_corpus_neardup" -> d11Oracle,
+    "t20_weighted_sample" -> t20Oracle,
   )
 }

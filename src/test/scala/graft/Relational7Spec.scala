@@ -96,6 +96,21 @@ class Relational7Spec extends SparkSpec {
     assert(w.count() == docs, "every document must keep a weight row")
   }
 
+  test("t20 weighted sample is deterministic and keeps every full-weight doc") {
+    val s = spark
+    import s.implicits._
+    val a = Relational7.t20(s, sf).collect().map(_.toSeq).toSet
+    val b = Relational7.t20(s, sf).collect().map(_.toSeq).toSet
+    assert(a == b, "hash-based sampling must be bit-reproducible")
+    // u < 1 always, so weight-1.0 (unclustered) docs are all kept
+    val full = Relational7.d10(s, sf).filter($"weight" === 1.0).count()
+    val keptFull = Relational7.t20(s, sf).filter($"weight" === 1.0).count()
+    assert(keptFull == full, "every unclustered doc must survive")
+    // and the kept rows all satisfy the acceptance predicate (the
+    // emitted u is rounded to 6 digits, so allow that rounding slack)
+    assert(Relational7.t20(s, sf).filter($"u" >= $"weight" + 1e-6).isEmpty)
+  }
+
   test("d11 equals d02's cross-parity subset with candidate/reference roles") {
     val s = spark
     import s.implicits._
