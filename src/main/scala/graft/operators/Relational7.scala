@@ -292,6 +292,62 @@ object Relational7 {
   private def TextOpsSqlU: String =
     sqlHash64("concat('samp:', CAST(d.doc_id AS VARCHAR))")
 
+  private val E05_LOOKBACK = 30 // trailing minutes in the baseline frame
+  private val E05_MINOBS = 10   // minimum observations before scoring
+  private val E05_Z = 2.5       // anomaly threshold
+
+  /** Rolling z-score anomaly flags over the per-minute event-count
+    * series (the alerting face of the e02/e04 family): each
+    * (event_type, minute) count is scored against the mean/stddev of
+    * the trailing [[E05_LOOKBACK]] OBSERVED minutes — strictly
+    * preceding, so a spike never suppresses its own detection — and
+    * flagged when |z| ≥ [[E05_Z]] after [[E05_MINOBS]] observations.
+    *
+    * Determinism: the baseline rides on EXACT integer window sums
+    * (Σc, Σc², k are BIGINT over integer counts); mean/variance/z are
+    * then one fixed double expression over those exact inputs —
+    * bit-equal across engines with no reliance on either engine's
+    * stddev accumulation order (a `stddev_samp` window would be
+    * Welford-order-dependent). IDENTICAL SQL text runs on both
+    * engines (the q41/q45 convention).
+    *
+    * Scale: one minute aggregate (shuffle on (minute, type)) + one
+    * per-type window — windows partition by event_type so the sort
+    * parallelizes across series, never globally.
+    *
+    * At sf0.001 the series never accumulates [[E05_MINOBS]] observed
+    * minutes per type, so the result is legitimately empty there; the
+    * sf0.01 gate scores ~100 anomalies. */
+  private val e05Sql =
+    s"""WITH m AS (
+       |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+       |         event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT minute, event_type, c,
+       |    sum(c)   OVER win AS s1,
+       |    sum(c*c) OVER win AS s2,
+       |    count(*) OVER win AS k
+       |  FROM m
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY minute
+       |                 ROWS BETWEEN $E05_LOOKBACK PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, minute, c AS n,
+       |  round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+       |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+       |           / (k - 1)), 4) AS z
+       |FROM w
+       |WHERE k >= $E05_MINOBS
+       |  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k) / (k - 1) > 0
+       |  AND abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+       |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+       |           / (k - 1))) >= $E05_Z
+       |ORDER BY event_type, minute""".stripMargin
+
+  def e05(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(e05Sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_chunking" -> (t17 _),
     "t18_unigram_nll" -> (t18 _),
@@ -299,6 +355,7 @@ object Relational7 {
     "d10_dedup_weights" -> (d10 _),
     "d11_cross_corpus_neardup" -> (d11 _),
     "t20_weighted_sample" -> (t20 _),
+    "e05_zscore_anomaly" -> (e05 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,5 +365,6 @@ object Relational7 {
     "d10_dedup_weights" -> d10Oracle,
     "d11_cross_corpus_neardup" -> d11Oracle,
     "t20_weighted_sample" -> t20Oracle,
+    "e05_zscore_anomaly" -> e05Sql,
   )
 }
