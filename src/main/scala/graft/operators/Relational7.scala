@@ -318,7 +318,10 @@ object Relational7 {
     * At sf0.001 the series never accumulates [[E05_MINOBS]] observed
     * minutes per type, so the result is legitimately empty there; the
     * sf0.01 gate scores ~100 anomalies. */
-  private val e05Sql =
+  /** e05's SQL with explicit knobs — the default-constant instance is
+    * the registered query/oracle; the streaming parity spec
+    * instantiates smaller knobs so the tiny SF produces flags. */
+  private[graft] def e05SqlWith(lookback: Int, minObs: Int, z: Double): String =
     s"""WITH m AS (
        |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
        |         event_type, CAST(count(*) AS BIGINT) AS c
@@ -330,18 +333,20 @@ object Relational7 {
        |    count(*) OVER win AS k
        |  FROM m
        |  WINDOW win AS (PARTITION BY event_type ORDER BY minute
-       |                 ROWS BETWEEN $E05_LOOKBACK PRECEDING AND 1 PRECEDING))
+       |                 ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING))
        |SELECT event_type, minute, c AS n,
        |  round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
        |           / (k - 1)), 4) AS z
        |FROM w
-       |WHERE k >= $E05_MINOBS
+       |WHERE k >= $minObs
        |  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k) / (k - 1) > 0
        |  AND abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
-       |           / (k - 1))) >= $E05_Z
+       |           / (k - 1))) >= $z
        |ORDER BY event_type, minute""".stripMargin
+
+  private val e05Sql = e05SqlWith(E05_LOOKBACK, E05_MINOBS, E05_Z)
 
   def e05(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)

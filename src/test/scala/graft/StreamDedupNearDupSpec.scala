@@ -125,6 +125,74 @@ class StreamCrossCorpusSpec extends SparkSpec {
   }
 }
 
+/** Streaming z-score anomaly flags vs batch e05: a synthetic event
+  * series with known spikes is replayed in three event-time-ordered
+  * micro-batches; every minute that CLOSES in the stream must flag
+  * exactly as the batch SQL does (each series' final minute never
+  * closes and is excluded from the batch side). Synthetic because the
+  * sf0.001 events table has at most one event per (type, minute) —
+  * baseline variance is identically zero there, so NO knobs can make
+  * the real table produce a flag; the synthetic series exercises the
+  * production knobs (30/10/2.5) for real. */
+class StreamAnomalySpec extends SparkSpec {
+  test("streamed anomaly flags equal batch e05 on closed minutes") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // per-(type, minute) counts: noisy base with two 10x spikes
+    val rows = for {
+      t <- Seq("alpha", "beta", "gamma")
+      m <- 0 until 120
+      cnt = if (m == 37 || m == 73) 40L
+            else 4L + ((m + t.length) % 5)
+      i <- 0L until cnt
+    } yield (m * 1000L + i, (m * 60L + (i % 60)) * 1000000000L,
+      i, t, 1.0, "{}")
+    val raw = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    val minuteOf = expr("ts div 60000000000")
+    StreamTestIO.writeChunk(raw.filter(minuteOf < 40),
+      dir.resolve("c0.parquet"), base)
+    StreamTestIO.writeChunk(raw.filter(minuteOf >= 40 && minuteOf < 80),
+      dir.resolve("c1.parquet"), base + 1000)
+    StreamTestIO.writeChunk(raw.filter(minuteOf >= 80),
+      dir.resolve("c2.parquet"), base + 2000)
+    val q = EventStreams.runToMemory(
+      graft.streaming.AnomalyStream.flags(
+        EventStreams.stream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "anomaly_stream", mode = "append")
+    try {
+      val streamed = spark.table("anomaly_stream")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      // batch e05 SQL over the SAME synthetic series (micros ts view)
+      val batchEvents = raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      batchEvents.createOrReplaceTempView("events")
+      val batchAll = spark.sql(
+        graft.operators.Relational7.e05SqlWith(30, 10, 2.5))
+      val lastMinute = batchEvents.groupBy($"event_type")
+        .agg(max(date_trunc("minute", $"ts")).as("minute"))
+      val batch = batchAll.join(lastMinute, Seq("event_type", "minute"),
+          "left_anti")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"stream vs batch e05: only-stream=${streamed.diff(batch).take(3)} " +
+          s"only-batch=${batch.diff(streamed).take(3)} " +
+          s"sizes ${streamed.size}/${batch.size}")
+      // both spikes flagged in every series
+      assert(streamed.count { case (_, ts, _, _) =>
+        Set(37L, 73L).contains(ts.getTime / 60000L) } == 6,
+        s"expected the 2 spikes x 3 series flagged: $streamed")
+    } finally q.stop()
+  }
+}
+
 /** Streaming curation (quality gate + exact dedup vs all docs seen)
   * against its batch contract: with ids replayed in ascending order,
   * the admitted set is exactly "quality-passing AND the minimum doc_id
