@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextOps.{hash64, sqlHash64, sqlTokens}
 import graft.functions.NativeKernels.{word_shingles, word_tokens}
@@ -353,6 +354,91 @@ object Relational7 {
     s.sql(e05Sql)
   }
 
+  private val Q51_PREFIX = 64 // edit-distance prefix (the q48 bound)
+
+  /** Fuzzy best-match join (record linkage): for every incoming
+    * document with at least one cross-corpus near-dup candidate (d11),
+    * pick THE best reference match — minimum edit distance over the
+    * normalized 64-char prefixes, ties broken by reference id. The
+    * blocking-then-verification-then-resolution shape every entity-
+    * resolution engine runs: shingle buckets propose (cheap, high
+    * recall), levenshtein verifies (exact, per candidate only), argmin
+    * resolves. Candidate generation never leaves d11's bucketed plan,
+    * so the quadratic verifier touches only proposed pairs. */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefixes = t(s, dir, "documents")
+      .select($"doc_id",
+        substring(graft.functions.TextOps.normText($"text"), 1, Q51_PREFIX).as("p"))
+    val w = Window.partitionBy($"cand_id").orderBy($"dist", $"ref_id")
+    d11(s, dir)
+      .join(prefixes.select($"doc_id".as("cand_id"), $"p".as("pc")), Seq("cand_id"))
+      .join(prefixes.select($"doc_id".as("ref_id"), $"p".as("pr")), Seq("ref_id"))
+      .select($"cand_id", $"ref_id", $"jaccard",
+        levenshtein($"pc", $"pr").cast("long").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"cand_id", $"ref_id".as("best_ref_id"), $"jaccard", $"dist")
+      .orderBy($"cand_id")
+  }
+
+  private val q51Oracle = {
+    import graft.functions.TextOps.sqlNorm
+    s"""WITH d11 AS ($d11Oracle),
+       |p AS (SELECT doc_id, substr(${sqlNorm("text")}, 1, $Q51_PREFIX) AS p
+       |      FROM documents),
+       |v AS (SELECT cand_id, ref_id, jaccard,
+       |  CAST(levenshtein(pc.p, pr.p) AS BIGINT) AS dist
+       |  FROM d11 JOIN p pc ON pc.doc_id = cand_id
+       |           JOIN p pr ON pr.doc_id = ref_id),
+       |r AS (SELECT cand_id, ref_id, jaccard, dist,
+       |  row_number() OVER (PARTITION BY cand_id ORDER BY dist, ref_id) AS rn
+       |  FROM v)
+       |SELECT cand_id, ref_id AS best_ref_id, jaccard, dist
+       |FROM r WHERE rn = 1
+       |ORDER BY cand_id""".stripMargin
+  }
+
+  private val T22_VOCAB = 100 // vocabulary size (top tokens by count)
+
+  /** Out-of-vocabulary rate: the fraction of each document's token
+    * OCCURRENCES that fall outside the corpus's top-[[T22_VOCAB]]
+    * tokens — the tokenizer-coverage / domain-shift signal a pipeline
+    * checks before committing to a vocabulary. Total (count desc,
+    * token asc) order makes the vocabulary cut deterministic. The
+    * vocabulary derives from the same (doc, token) aggregate the
+    * scoring side uses (one corpus scan, exchange reuse — the t18
+    * shape) and is top-K tiny, so membership is a broadcast join. */
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"doc_id", explode(word_tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("m"))
+    val vocab = dt.groupBy($"tok").agg(sum($"m").as("c"))
+      .orderBy($"c".desc, $"tok").limit(T22_VOCAB)
+      .select($"tok", lit(1).as("in_vocab"))
+    dt.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"m").cast("long").as("n_tok"),
+        sum(when($"in_vocab".isNull, $"m").otherwise(0L)).cast("long").as("oov"),
+        round(sum(when($"in_vocab".isNull, $"m").otherwise(0L)) / sum($"m"), 4)
+          .as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
+  private val t22Oracle =
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM docs),
+       |dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
+       |vc AS (SELECT tok, sum(m) AS c FROM dt GROUP BY tok),
+       |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT $T22_VOCAB)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN m ELSE 0 END) AS BIGINT) AS oov,
+       |  round(sum(CASE WHEN v.tok IS NULL THEN m ELSE 0 END) / sum(m), 4) AS oov_rate
+       |FROM dt LEFT JOIN vocab v ON v.tok = dt.tok
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_chunking" -> (t17 _),
     "t18_unigram_nll" -> (t18 _),
@@ -361,6 +447,8 @@ object Relational7 {
     "d11_cross_corpus_neardup" -> (d11 _),
     "t20_weighted_sample" -> (t20 _),
     "e05_zscore_anomaly" -> (e05 _),
+    "q51_fuzzy_best_match" -> (q51 _),
+    "t22_oov_rate" -> (t22 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,5 +459,7 @@ object Relational7 {
     "d11_cross_corpus_neardup" -> d11Oracle,
     "t20_weighted_sample" -> t20Oracle,
     "e05_zscore_anomaly" -> e05Sql,
+    "q51_fuzzy_best_match" -> q51Oracle,
+    "t22_oov_rate" -> t22Oracle,
   )
 }
