@@ -87,4 +87,56 @@ object CorpusPipeline {
       ("05_packed_written", s.read.parquet(outDir).count()))
     stats.toDF("stage", "rows_kept")
   }
+
+  /** The soft-dedup variant of [[curate]]: instead of hard-dropping
+    * near-dup non-representatives (stage 04), every exact-dedup
+    * survivor keeps its d10 weight (1/cluster_size) and the corpus is
+    * downsampled by t20's hash-deterministic acceptance — each
+    * duplicate cluster contributes ~unit expected mass, but WHICH
+    * member survives is the md5 draw, not always the minimum id
+    * (preserving some intra-cluster diversity across training runs
+    * keyed by different salts). Same verdict-frame composition: the
+    * weight table is label-sized, the acceptance is a per-row
+    * predicate, and the corpus is still assembled in one pass. */
+  def curateWeighted(s: SparkSession, dir: String, outDir: String,
+      shards: Long = 8L, maxRecordsPerFile: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+
+    val contaminated = Curation.t08(s, dir).select($"doc_id")
+    val qualityKeep = Curation.t09(s, dir).select($"doc_id")
+    val exactKeep = Dedup.d01(s, dir).select($"keep_id".as("doc_id"))
+    // weighted-sample keep set: Relational7.t20's acceptance verdict
+    val sampleKeep = Relational7.t20(s, dir).select($"doc_id")
+
+    val s1 = docs.join(contaminated, Seq("doc_id"), "left_anti")
+    val s2 = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(sampleKeep, Seq("doc_id"), "left_semi")
+
+    val clean = s4.select($"doc_id", $"lang", $"source",
+      Curation.scrubExpr($"text").as("clean_text"))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    val packed = clean
+      .withColumn("n_tokens", size(word_tokens($"clean_text")).cast("long"))
+      .withColumn("shard", $"doc_id" % shards)
+      .withColumn("cum_before", coalesce(
+        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"doc_id", $"lang", $"source", $"clean_text", $"n_tokens",
+        $"shard", floor($"cum_before" / PACK_BUDGET).as("chunk_id"),
+        ($"cum_before" % PACK_BUDGET).as("chunk_offset"))
+
+    FileFormats.writeSizedParquet(packed, outDir, maxRecordsPerFile,
+      sortCols = Seq("shard", "chunk_id", "chunk_offset"))
+
+    val stats = Seq(
+      ("00_ingest", docs.count()),
+      ("01_decontaminated", s1.count()),
+      ("02_quality", s2.count()),
+      ("03_exact_dedup", s3.count()),
+      ("04_weighted_sample", s4.count()),
+      ("05_packed_written", s.read.parquet(outDir).count()))
+    stats.toDF("stage", "rows_kept")
+  }
 }

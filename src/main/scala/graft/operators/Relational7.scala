@@ -20,12 +20,23 @@ import graft.functions.NativeKernels.{word_shingles, word_tokens}
   *  - t19: byte-pair merge-candidate statistics (the first step of
   *    BPE tokenizer training: adjacent symbol-pair frequencies
   *    weighted by word frequency);
+  *  - t20: hash-deterministic weighted sampling (d10's weights
+  *    composed with the t10 acceptance convention — epoch-equivalent
+  *    downsampling, bit-reproducible);
+  *  - t22: out-of-vocabulary rate against the corpus's top-K tokens
+  *    (tokenizer-coverage / domain-shift signal);
   *  - d10: soft-dedup training weights (keep every duplicate but
   *    down-weight by near-dup cluster size — the alternative to d07's
   *    hard drop);
   *  - d11: cross-corpus near-duplicate detection (dedupe an incoming
   *    corpus against a frozen reference corpus — the near-dup face of
-  *    t08's exact-overlap decontamination).
+  *    t08's exact-overlap decontamination; streaming face
+  *    [[graft.streaming.CrossCorpusStream]]);
+  *  - q51: fuzzy best-match join (blocking → edit-distance verify →
+  *    argmin resolution — the record-linkage shape);
+  *  - e05: rolling z-score anomaly flags over the per-minute event
+  *    series (strictly-preceding baseline on exact integer window
+  *    sums; streaming face [[graft.streaming.AnomalyStream]]).
   */
 object Relational7 {
 

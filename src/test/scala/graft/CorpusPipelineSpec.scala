@@ -61,4 +61,27 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(rederived.isEmpty, "packing columns must be reproducible")
     } finally curated.unpersist()
   }
+
+  test("curateWeighted replaces the hard near-dup drop with t20's sample") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated-w").toString
+    val stats = CorpusPipeline.curateWeighted(s, sf, out, shards = 4L,
+      maxRecordsPerFile = 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("05_packed_written") == stats("04_weighted_sample"))
+    assert(stats("04_weighted_sample") > 0)
+    val ids = s.read.parquet(out).select($"doc_id")
+    // survivors are exactly the earlier stages' survivors that t20 keeps
+    val t20Keep = graft.operators.Relational7.t20(s, sf).select($"doc_id")
+    assert(ids.join(t20Keep, Seq("doc_id"), "left_anti").isEmpty,
+      "every written doc must pass the weighted-sample acceptance")
+    // deterministic: a second run writes the identical id set
+    val out2 = java.nio.file.Files.createTempDirectory("graft-curated-w2").toString
+    CorpusPipeline.curateWeighted(s, sf, out2, shards = 4L,
+      maxRecordsPerFile = 100L)
+    val ids2 = s.read.parquet(out2).select($"doc_id")
+    assert(ids.except(ids2).isEmpty && ids2.except(ids).isEmpty,
+      "weighted curation must be bit-reproducible")
+  }
 }
