@@ -387,6 +387,51 @@ object Similarity {
       .orderBy($"cluster")
   }
 
+  /** Squared distance between a float-array column and a double-array
+    * column, fold-left (the s04/s07 accumulation order). */
+  private def sqDistD(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c,
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Full Lloyd: [[s07]]'s step iterated `iters` times with
+    * `localCheckpoint` between rounds (the d06/d09 iterative pattern —
+    * one action per round, flat plans). Returns per-round total
+    * inertia `(round, total_inertia)`; each round assigns against the
+    * PREVIOUS round's centroids and recomputes them as per-cluster
+    * per-dimension means (the s04 centroid shape). Monotone
+    * non-increasing inertia is Lloyd's invariant — the spec asserts
+    * it. Per round: corpus scanned once, centroids (K·DIM doubles)
+    * broadcast, one K-row aggregate — the corpus never shuffles. */
+  def lloydIterate(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding")
+    var cent = e.filter($"vec_id" < KMEANS_K)
+      .select($"vec_id".as("cluster"),
+        transform($"embedding", x => x.cast("double")).as("cvec"))
+      .localCheckpoint()
+    val wNear = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+    val inertia = Seq.newBuilder[(Int, Double)]
+    for (round <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"embedding", $"cluster",
+          sqDistD($"embedding", $"cvec").as("dist"))
+        .withColumn("rn", row_number().over(wNear))
+        .filter($"rn" === 1)
+        .localCheckpoint()
+      inertia += round ->
+        assigned.agg(sum($"dist")).head().getDouble(0)
+      cent = assigned
+        .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cluster", $"pos").agg(avg($"v".cast("double")).as("c"))
+        .groupBy($"cluster")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cvec"))
+        .localCheckpoint()
+    }
+    inertia.result().toDF("round", "total_inertia")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),

@@ -111,6 +111,18 @@ class Relational7Spec extends SparkSpec {
     assert(Relational7.t20(s, sf).filter($"u" >= $"weight" + 1e-6).isEmpty)
   }
 
+  test("Lloyd iteration: total inertia is monotone non-increasing") {
+    val s = spark
+    val rounds = graft.operators.Similarity.lloydIterate(s, sf, 4)
+      .orderBy("round").collect().map(_.getDouble(1)).toSeq
+    assert(rounds.length == 4)
+    rounds.zip(rounds.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: $rounds")
+    }
+    // and it actually improves over the seed assignment
+    assert(rounds.last < rounds.head, s"no improvement: $rounds")
+  }
+
   test("d11 equals d02's cross-parity subset with candidate/reference roles") {
     val s = spark
     import s.implicits._
