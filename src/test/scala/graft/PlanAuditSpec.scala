@@ -158,6 +158,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the top-K cut must not plan a global sort:\n${plan.take(2000)}")
   }
 
+  test("q51: fuzzy best-match verifies candidates only, no all-pairs join") {
+    val plan = planOf(graft.operators.Relational7.q51(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"levenshtein must run on proposed pairs only:\n${plan.take(2500)}")
+  }
+
+  test("t22: OOV rate scans documents once (vocab derives from the dt aggregate)") {
+    val plan = planOf(graft.operators.Relational7.t22(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      "the vocabulary must reuse the (doc, token) aggregate's exchange")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "top-K vocabulary membership must broadcast")
+  }
+
   test("d11: cross-corpus near-dup has no self-join and no all-pairs join") {
     val plan = planOf(graft.operators.Relational7.d11(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
