@@ -450,6 +450,51 @@ object Relational7 {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Containment near-dup: pairs where the SMALLER shingle set is
+    * mostly inside the other — `inter / min(|A|, |B|)` ≥ 0.8. The
+    * companion metric to d02's Jaccard: a short document quoted
+    * wholesale inside a long one has near-1 containment but tiny
+    * Jaccard (the union is dominated by the long side), so
+    * symmetric-similarity dedup structurally misses it — and
+    * quoted-in-full duplication is exactly what training-data dedup
+    * wants to catch (Lee et al. 2022 track both metrics). Same
+    * single-scan bucket machinery as d02; only the pair-aggregate
+    * formula differs. */
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .select($"doc_id", word_shingles($"text", Dedup.N).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode($"arr").as("s"))
+    rows
+      .groupBy($"s")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
+      .filter(size($"members") > 1)
+      .select(graft.functions.NativeKernels.pair_expand($"members")
+        .as(Seq("pa", "pb")))
+      .groupBy($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        first($"pa.n").as("na"), first($"pb.n").as("nb"))
+      .select($"a_id", $"b_id",
+        round($"inter" / least($"na", $"nb"), 4).as("containment"))
+      .filter($"containment" >= 0.8)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val d12Oracle =
+    s"""WITH ${Dedup.sqlShingleRows},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(inter / least(na.n, nb.n), 4) AS containment
+       |FROM pairs
+       |JOIN sizes na ON na.doc_id = a_id
+       |JOIN sizes nb ON nb.doc_id = b_id
+       |WHERE round(inter / least(na.n, nb.n), 4) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_chunking" -> (t17 _),
     "t18_unigram_nll" -> (t18 _),
@@ -460,6 +505,7 @@ object Relational7 {
     "e05_zscore_anomaly" -> (e05 _),
     "q51_fuzzy_best_match" -> (q51 _),
     "t22_oov_rate" -> (t22 _),
+    "d12_containment" -> (d12 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +518,6 @@ object Relational7 {
     "e05_zscore_anomaly" -> e05Sql,
     "q51_fuzzy_best_match" -> q51Oracle,
     "t22_oov_rate" -> t22Oracle,
+    "d12_containment" -> d12Oracle,
   )
 }
