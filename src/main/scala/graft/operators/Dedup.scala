@@ -87,25 +87,34 @@ object Dedup {
     * shared shingle is that common — near-dups still collide on their
     * rarer shingles. Uncapped here (the oracle doesn't cap; sf0.1's
     * widest bucket is 25 docs). */
-  def d02(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+  /** Per-shingle sorted (doc_id, set-size) member buckets — the
+    * shared candidate-generation state of d02 and its asymmetric /
+    * cross-corpus siblings (`Relational7.d11`/`d12`).
+    *
+    * ONE documents scan and ONE shingle-kernel evaluation: the set
+    * size rides every shingle row (8 bytes) into the bucket structs,
+    * so a pair aggregate downstream already holds |A| and |B| and no
+    * sizes join-back exists at all (the r4 form evaluated
+    * word_shingles twice — scan + kernel are the dominant cost at
+    * bench SF — and ended with two joins against a sizes table).
+    * Struct sort = doc_id order (n is functionally dependent), so
+    * PairExpand emits a_id < b_id. */
+  private[operators] def shingleBuckets(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    // ONE documents scan and ONE shingle-kernel evaluation: the set
-    // size rides every shingle row (8 bytes) into the bucket structs,
-    // so the pair aggregate already holds |A| and |B| and no sizes
-    // join-back exists at all (the r4 form evaluated word_shingles
-    // twice — scan + kernel are the dominant cost at bench SF — and
-    // ended with two joins against a sizes table)
-    val rows = docs(s, dir)
+    docs(s, dir)
       .select($"doc_id", word_shingles($"text", N).as("arr"))
       .select($"doc_id", size($"arr").cast("long").as("n"),
         explode($"arr").as("s"))
-    // struct sort = doc_id order (n is functionally dependent), so
-    // PairExpand still emits a_id < b_id
-    val buckets = rows
       .groupBy($"s")
       .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
       .filter(size($"members") > 1)
+  }
+
+  def d02(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
+    import s.implicits._
+    val buckets = shingleBuckets(s, dir)
     val capped = maxBucket.fold(buckets)(m =>
       buckets.filter(size($"members") <= m))
     capped

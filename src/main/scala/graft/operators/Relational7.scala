@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextOps.{hash64, sqlHash64, sqlTokens}
-import graft.functions.NativeKernels.{word_shingles, word_tokens}
+import graft.functions.NativeKernels.word_tokens
 
 /** Seventh tranche — the training-data preparation steps between a
   * curated corpus and a tokenized training run, each oracle-checked:
@@ -229,15 +229,7 @@ object Relational7 {
     * × its collisions" and re-running full-corpus dedup. */
   def d11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = t(s, dir, "documents")
-      .select($"doc_id", word_shingles($"text", Dedup.N).as("arr"))
-      .select($"doc_id", size($"arr").cast("long").as("n"),
-        explode($"arr").as("s"))
-    val buckets = rows
-      .groupBy($"s")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
-      .filter(size($"members") > 1)
-    buckets
+    Dedup.shingleBuckets(s, dir)
       .select(graft.functions.NativeKernels.pair_expand($"members")
         .as(Seq("pa", "pb")))
       .filter($"pa.doc_id" % 2 =!= $"pb.doc_id" % 2)
@@ -462,14 +454,7 @@ object Relational7 {
     * formula differs. */
   def d12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = t(s, dir, "documents")
-      .select($"doc_id", word_shingles($"text", Dedup.N).as("arr"))
-      .select($"doc_id", size($"arr").cast("long").as("n"),
-        explode($"arr").as("s"))
-    rows
-      .groupBy($"s")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
-      .filter(size($"members") > 1)
+    Dedup.shingleBuckets(s, dir)
       .select(graft.functions.NativeKernels.pair_expand($"members")
         .as(Seq("pa", "pb")))
       .groupBy($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"))
