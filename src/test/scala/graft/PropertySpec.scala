@@ -145,6 +145,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("proxy URL parsing extracts host/port under any scheme/creds/path combo") {
+    val hostGen = Gen.nonEmptyListOf(Gen.alphaLowerChar)
+      .map(_.take(12).mkString)
+    check(Prop.forAll(hostGen, Gen.chooseNum(1, 65535),
+        Gen.oneOf(true, false), Gen.oneOf(true, false),
+        Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (host, port, withScheme, withCreds, withPath, withPort) =>
+        val url = (if (withScheme) "http://" else "") +
+          (if (withCreds) "user:pa55wd@" else "") +
+          host + (if (withPort) s":$port" else "") +
+          (if (withPath) "/some/path" else "")
+        val cfg = graft.pipeline.ConfigLoader.fromJson(
+          s"""{"proxies": {"https": "$url"}}""")
+        cfg.proxyHost.contains(host) &&
+          cfg.proxyPort == (if (withPort) port else 3128)
+    })
+  }
+
   test("winnowing selects a subset of the gram hashes, nonempty when grams exist") {
     check(Prop.forAll(tokGen) { toks =>
       val fps = winnow(toks)
