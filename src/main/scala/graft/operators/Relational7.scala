@@ -62,19 +62,26 @@ object Relational7 {
   def t17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      // tokens are non-empty iff the trimmed text is non-empty — the
-      // cheap pre-tokenize form of `size(tk) > 0`, which Catalyst
-      // would otherwise push below the projection and so evaluate the
-      // tokenize kernel TWICE per row (once in the filter, once in
-      // the projection)
+      // cheap pre-tokenize screen for `size(tk) > 0` (a filter on tk
+      // itself would be pushed below the projection and evaluate the
+      // tokenize kernel TWICE per row). SQL trim strips only U+0020,
+      // while the tokenizer's \s+ also eats tabs/newlines — so this
+      // screen is NOT exact: a whitespace-only doc can slip through
+      // and tokenize to an empty array. The sequence bound is clamped
+      // to stay legal for that case (sequence(0,-1,48) throws) and
+      // the resulting zero-token chunk is dropped below.
       .filter(trim($"text") =!= "")
       .select($"doc_id", word_tokens($"text").as("tk"))
       .select($"doc_id", $"tk",
-        explode(sequence(lit(0), size($"tk") - 1, lit(STRIDE))).as("start"))
+        explode(sequence(lit(0), greatest(size($"tk"), lit(1)) - 1,
+          lit(STRIDE))).as("start"))
       .select($"doc_id", ($"start" / STRIDE).cast("long").as("chunk_id"),
         slice($"tk", $"start" + 1, lit(CHUNK)).as("ct"))
       .select($"doc_id", $"chunk_id", size($"ct").cast("long").as("n_tok"),
         hash64(concat_ws(" ", $"ct")).as("chunk_hash"))
+      // drops only the clamp artifact of empty-token docs (cheap:
+      // size(slice) on the already-computed array, no re-tokenize)
+      .filter($"n_tok" > 0)
       .orderBy($"doc_id", $"chunk_id")
   }
 

@@ -64,12 +64,18 @@ object ConfigLoader {
     * back to http) and parse it as a URI — host and port come from
     * the structured parse, so credentials (`http://u:p@host:3128`),
     * paths, and bracketed IPv6 literals all resolve to the right
-    * host instead of a silently broken one. An entry the URI parser
-    * can't extract a host from fails loudly: a mis-typed proxy
-    * config must not degrade into a direct-connection ProxySelector
-    * at runtime. Proxy AUTH is intentionally unsupported (as in
-    * `java.net.http` itself, which ignores userInfo) — an entry
-    * carrying credentials still yields host+port. */
+    * host instead of a silently broken one. URI rejects some
+    * hostnames that requests (and real resolvers) accept — notably
+    * underscores, as in docker-style `corp_proxy:3128` — so a
+    * bare `host[:port]` authority (no path, no userinfo) that URI
+    * can't parse falls back to a plain rsplit-on-':' — the
+    * pre-round-6 behavior for exactly the configs that used to
+    * work. Anything else the URI parser can't extract a host from
+    * fails loudly: a mis-typed proxy config must not degrade into a
+    * direct-connection ProxySelector at runtime. Proxy AUTH is
+    * intentionally unsupported (as in `java.net.http` itself, which
+    * ignores userInfo) — an entry carrying credentials still yields
+    * host+port. */
   private def parseProxies(v: org.json4s.JValue): (Option[String], Int) = {
     import org.json4s._
     val url = v match {
@@ -91,12 +97,33 @@ object ConfigLoader {
             Option(u.getHost).map(h =>
               (h, if (u.getPort >= 0) u.getPort else 3128))
           } catch { case _: IllegalArgumentException => None }
-        parsed match {
+        parsed.orElse(hostPortFallback(withScheme)) match {
           case Some((h, p)) => (Some(h), p)
           case None => throw new IllegalArgumentException(
             s"unparseable proxies entry '$raw': expected " +
-              "[scheme://][user:pass@]host[:port]")
+              "[scheme://][user:pass@]host[:port] (note: hostnames " +
+              "with underscores are accepted via the host:port " +
+              "fallback only when the entry has no path or userinfo)")
         }
+    }
+  }
+
+  /** Bare-authority rescue for hostnames java.net.URI rejects (RFC
+    * 3986 forbids '_' in reg-names; requests and real resolvers
+    * accept them). Only fires for `scheme://host[:port]` shapes —
+    * no '/', '?', '#' or '@' after the scheme — so a genuinely
+    * malformed entry still throws above. */
+  private def hostPortFallback(
+      withScheme: String): Option[(String, Int)] = {
+    val auth = withScheme.substring(withScheme.indexOf("://") + 3)
+    if (auth.isEmpty || auth.exists("/?#@".contains(_))) None
+    else auth.lastIndexOf(':') match {
+      case -1 => Some((auth, 3128))
+      case i =>
+        val (h, ps) = (auth.substring(0, i), auth.substring(i + 1))
+        if (h.nonEmpty && ps.nonEmpty && ps.forall(_.isDigit))
+          Some((h, ps.toInt))
+        else None
     }
   }
 

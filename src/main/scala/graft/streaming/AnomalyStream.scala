@@ -69,8 +69,11 @@ object AnomalyStream {
             val c = openNow(em)
             val k = closed.length
             if (k >= minObs) {
-              val s1 = closed.map(BigInt(_)).sum.toLong
-              val s2 = closed.map(v => BigInt(v) * BigInt(v)).sum.toLong
+              // plain Long sums — exactly the batch SQL's BIGINT
+              // window-sum semantics (e05), so stream and batch stay
+              // bit-identical even in the overflow regime
+              val s1 = closed.sum
+              val s2 = closed.map(v => v * v).sum
               val varNum = s2.toDouble - s1.toDouble * s1.toDouble / k
               val variance = varNum / (k - 1)
               if (variance > 0) {

@@ -163,6 +163,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("proxy parsing accepts underscore hostnames via the host:port fallback") {
+    // RFC 3986 reg-names exclude '_' so java.net.URI yields host=null,
+    // but docker-style internal proxies ("corp_proxy:3128") are real and
+    // Python requests accepts them — the bare-authority fallback must too
+    for ((url, host, port) <- Seq(
+        ("corp_proxy:3128", "corp_proxy", 3128),
+        ("http://corp_proxy:3128", "corp_proxy", 3128),
+        ("my_internal_proxy", "my_internal_proxy", 3128),
+        ("https://squid_01.internal:8080", "squid_01.internal", 8080))) {
+      val cfg = graft.pipeline.ConfigLoader.fromJson(
+        s"""{"proxies": {"https": "$url"}}""")
+      assert(cfg.proxyHost.contains(host) && cfg.proxyPort == port,
+        s"$url -> ${cfg.proxyHost}:${cfg.proxyPort}")
+    }
+    // entries with a path or userinfo do NOT get the fallback: still loud
+    for (bad <- Seq("http://corp_proxy:3128/path", "u:p@corp_proxy:9",
+        "corp_proxy:notaport")) {
+      intercept[IllegalArgumentException] {
+        graft.pipeline.ConfigLoader.fromJson(
+          s"""{"proxies": {"https": "$bad"}}""")
+      }
+    }
+  }
+
   test("winnowing selects a subset of the gram hashes, nonempty when grams exist") {
     check(Prop.forAll(tokGen) { toks =>
       val fps = winnow(toks)

@@ -38,6 +38,29 @@ class Relational7Spec extends SparkSpec {
     assert(docsWithChunks == nTok.count(_._2 > 0))
   }
 
+  test("t17 survives whitespace-only documents (tab/newline text, zero tokens)") {
+    // SQL trim strips only U+0020, so "\t"/"\n" docs pass the cheap
+    // pre-filter and tokenize to an empty array — the clamped sequence
+    // bound must keep the plan legal and the doc absent from output
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t17-ws")
+    dir.toFile.deleteOnExit()
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "web", 22L),
+      (2L, "\t", "en", "web", 1L),
+      (3L, "\n \t ", "en", "web", 4L),
+      (4L, "", "en", "web", 0L),
+      (5L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Relational7.t17(s, dir.toString).collect()
+    val docs = out.map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 5L),
+      s"whitespace-only docs must emit no chunks: got $docs")
+    assert(out.forall(_.getLong(2) > 0), "no zero-token chunks")
+  }
+
   test("t18 scores rare-token documents above common-token documents") {
     val s = spark
     import s.implicits._
