@@ -35,6 +35,19 @@ import java.util.Locale
   * All number formatting is Locale.ROOT: under comma-decimal default
   * locales (de_DE) `f"$v%.4f"` would emit `0,1234` and break the JSON
   * (ADVICE r3).
+  *
+  * Regression-vs-noise attribution (VERDICT r6 "What's missing" #1:
+  * the r4 and r6 driver runs were both contaminated by host
+  * contention, and totals alone can't prove it): BENCH_QUERIES.json
+  * now carries a per-query `spread` map (max−min across the REPS) and
+  * the stdout line carries `cal`/`cal_spread` — the median and spread
+  * of a fixed CPU-bound calibration probe (`range(50M) → sum of
+  * xxhash64`) run at suite start AND end. The probe's work is
+  * byte-identical every round, so its median moving between rounds
+  * measures the HOST, not the code: a per-query regression that
+  * co-occurs with a calibration shift is contention; one with a flat
+  * calibration is real. Within a run, a query whose spread rivals its
+  * median was unstable and its delta should not gate.
   */
 object Bench {
   private val REPS = 3
@@ -42,6 +55,21 @@ object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
+  }
+
+  /** Fixed CPU-bound probe: identical work every round, so its timing
+    * drift measures host contention rather than code changes. */
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // max, not sum: summing 50M signed 64-bit hashes overflows under
+    // ANSI; the per-row hash work (the thing being timed) is identical
+    // 400M rows ≈ 0.3-0.6 s wall: long enough that task-scheduling
+    // jitter is a small fraction, short enough that 7 probe runs add
+    // only a few seconds to the suite
+    spark.range(400L * 1000 * 1000)
+      .select(max(xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.4f", v)
@@ -81,6 +109,12 @@ object Bench {
         System.err.println(s"[bench] pipeline materialization failed: $e"); false }
     val tMat = (System.nanoTime() - tMat0) / 1e9
 
+    // calibration probe, before the suite (first rep is its own JIT
+    // warm-up and is discarded) and again after — both windows feed
+    // one median+spread so contention ANYWHERE in the run surfaces
+    calibrate(spark)
+    val calPre = (1 to REPS).map(_ => calibrate(spark))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
@@ -92,27 +126,37 @@ object Bench {
         }
       }
       // any failed rep marks the query failed: -1, never a timing
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+      (name,
+        if (times.exists(_ < 0)) -1.0 else median(times),
+        if (times.exists(_ < 0)) -1.0 else times.max - times.min)
     }
+
+    val cal = calPre ++ (1 to REPS).map(_ => calibrate(spark))
+    val calMed = median(cal)
+    val calSpread = cal.max - cal.min
     // materialization cost is its own top-level key, NOT a queries
     // entry: total_sec = sum of non-failed queries values, exactly
     // reproducible by a consumer summing the map (ADVICE r4)
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, _, sp) => "\"" + k + "\":" + fmt(sp) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0) + (if (matOk) 0 else 1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val perQueryJson =
       s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,""" +
         s""""materialize_dedup_pipeline_sec":${fmt(if (matOk) tMat else -1.0)},""" +
-        s""""queries":$qs}"""
+        s""""calibration_sec":${fmt(calMed)},"calibration_spread_sec":${fmt(calSpread)},""" +
+        s""""queries":$qs,"spread":$spreads}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
       (perQueryJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e") }
     System.err.println(s"[bench] per-query: $perQueryJson")
     // the ONE stdout line — short enough that no tail capture truncates it
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"queries_file":"BENCH_QUERIES.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }
