@@ -12,19 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - d02/d03 with the `maxBucket` skew cap (the 100 TB stop-shingle
   *    guard) vs uncapped — the cap can only LOSE pairs (ScaleSpec
   *    proves containment); this quantifies how many.
+  *  - d11/d12 with the same cap vs uncapped (the round-6 operators
+  *    share d02's bucket machinery, so the cap applies identically;
+  *    VERDICT r6 "What's missing" #2 asked for these rows).
   *  - s03's rotation-bucket candidate stage vs the all-pairs ground
   *    truth [[Similarity.s03Exact]], at the output threshold (0.4)
   *    and at the planted-near-dup thresholds (0.8, 0.9), plus the
   *    candidate fraction (|candidates| / n(n-1)/2 — the work the LSH
   *    saves).
+  *  - q51's blocked best-match vs the unblocked full-cross-product
+  *    argmin ([[Relational7.q51Exact]]): match rate on answered
+  *    candidates, plus the answered fraction.
   *
   * Regenerate the SCALING.md table with:
   * {{{ sbt 'runMain graft.operators.RecallReport /root/testdata/sf0.1' }}}
   */
 object RecallReport {
 
-  private def pairSet(df: DataFrame): Set[(Long, Long)] =
-    df.select("a_id", "b_id").collect()
+  private def pairSet(df: DataFrame, c1: String = "a_id",
+      c2: String = "b_id"): Set[(Long, Long)] =
+    df.select(c1, c2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   private def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
@@ -37,12 +44,40 @@ object RecallReport {
   def compute(s: SparkSession, dir: String): Map[String, Double] = {
     val d02u = pairSet(Dedup.d02(s, dir))
     val d03u = pairSet(Dedup.d03(s, dir))
+    val d11u = pairSet(Relational7.d11(s, dir), "cand_id", "ref_id")
+    val d12u = pairSet(Relational7.d12(s, dir))
     val caps = Seq(16, 64)
     val dedup = caps.flatMap { m =>
       Seq(
         s"d02_recall_cap$m" -> r4(recall(pairSet(Dedup.d02(s, dir, Some(m))), d02u)),
-        s"d03_recall_cap$m" -> r4(recall(pairSet(Dedup.d03(s, dir, Some(m))), d03u)))
+        s"d03_recall_cap$m" -> r4(recall(pairSet(Dedup.d03(s, dir, Some(m))), d03u)),
+        s"d11_recall_cap$m" -> r4(recall(
+          pairSet(Relational7.d11(s, dir, Some(m)), "cand_id", "ref_id"), d11u)),
+        s"d12_recall_cap$m" -> r4(recall(
+          pairSet(Relational7.d12(s, dir, Some(m))), d12u)))
     }
+    // q51: the blocked best-match vs the unblocked argmin over the
+    // full cand × ref cross product (same prefix, same tie-break).
+    // match_rate = of the candidates q51 answers, how many get the
+    // globally best reference; answered_fraction = how many incoming
+    // docs the blocking proposes any match for at all (the rest have
+    // no shingle collision with the reference corpus — by
+    // construction not near-dups, so "unanswered" is the correct
+    // output for them, but the number belongs in the report).
+    val q51Got = Relational7.q51(s, dir)
+      .select("cand_id", "best_ref_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q51True = Relational7.q51Exact(s, dir)
+      .select("cand_id", "best_ref_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q51 = Seq(
+      "q51_answered_fraction" -> r4(
+        if (q51True.isEmpty) 1.0 else q51Got.size.toDouble / q51True.size),
+      "q51_match_rate" -> r4(
+        if (q51Got.isEmpty) 1.0
+        else q51Got.count { case (c, r) => q51True.get(c).contains(r) }
+          .toDouble / q51Got.size),
+      "q51_answered" -> q51Got.size.toDouble)
     // s03: exact pairs at the output threshold carry their cosine, so
     // higher thresholds are subsets of one all-pairs evaluation.
     // Truth-set SIZES are reported alongside recall: a recall of 1.0
@@ -59,7 +94,7 @@ object RecallReport {
       Seq(f"s03_recall_cos$t%.2f" -> r4(recall(cand, truth)),
         f"s03_truth_cos$t%.2f" -> truth.size.toDouble)
     } :+ ("s03_candidate_fraction" -> r4(cand.size / (n * (n - 1) / 2)))
-    (dedup ++ sim).toMap
+    (dedup ++ sim ++ q51).toMap
   }
 
   /** Prints the SCALING.md markdown rows for one scale factor. */

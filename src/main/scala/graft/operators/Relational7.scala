@@ -234,9 +234,11 @@ object Relational7 {
     * tags). Within-reference and within-candidate pairs never leave
     * the bucket — at 100 TB that's the difference between "new batch
     * × its collisions" and re-running full-corpus dedup. */
-  def d11(s: SparkSession, dir: String): DataFrame = {
+  def d11(s: SparkSession, dir: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     import s.implicits._
-    Dedup.shingleBuckets(s, dir)
+    val buckets = Dedup.shingleBuckets(s, dir)
+    maxBucket.fold(buckets)(m => buckets.filter(size($"members") <= m))
       .select(graft.functions.NativeKernels.pair_expand($"members")
         .as(Seq("pa", "pb")))
       .filter($"pa.doc_id" % 2 =!= $"pb.doc_id" % 2)
@@ -392,6 +394,30 @@ object Relational7 {
       .orderBy($"cand_id")
   }
 
+  /** Unblocked ground truth for q51 (RecallReport only, not a
+    * registered query): the true argmin-edit-distance reference for
+    * EVERY candidate, computed over the full cand × ref cross product
+    * with the same (dist, ref_id) tie-break. Quadratic by
+    * construction — this is the thing blocking exists to avoid; it
+    * runs offline to quantify what the blocked q51 gives up. */
+  private[operators] def q51Exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefixes = t(s, dir, "documents")
+      .select($"doc_id",
+        substring(graft.functions.TextOps.normText($"text"), 1, Q51_PREFIX).as("p"))
+    val cands = prefixes.filter($"doc_id" % 2 === 1)
+      .select($"doc_id".as("cand_id"), $"p".as("pc"))
+    val refs = prefixes.filter($"doc_id" % 2 === 0)
+      .select($"doc_id".as("ref_id"), $"p".as("pr"))
+    val w = Window.partitionBy($"cand_id").orderBy($"dist", $"ref_id")
+    cands.crossJoin(refs)
+      .select($"cand_id", $"ref_id",
+        levenshtein($"pc", $"pr").cast("long").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"cand_id", $"ref_id".as("best_ref_id"), $"dist")
+  }
+
   private val q51Oracle = {
     import graft.functions.TextOps.sqlNorm
     s"""WITH d11 AS ($d11Oracle),
@@ -459,9 +485,11 @@ object Relational7 {
     * wants to catch (Lee et al. 2022 track both metrics). Same
     * single-scan bucket machinery as d02; only the pair-aggregate
     * formula differs. */
-  def d12(s: SparkSession, dir: String): DataFrame = {
+  def d12(s: SparkSession, dir: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     import s.implicits._
-    Dedup.shingleBuckets(s, dir)
+    val buckets = Dedup.shingleBuckets(s, dir)
+    maxBucket.fold(buckets)(m => buckets.filter(size($"members") <= m))
       .select(graft.functions.NativeKernels.pair_expand($"members")
         .as(Seq("pa", "pb")))
       .groupBy($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"))
@@ -492,12 +520,12 @@ object Relational7 {
     "t18_unigram_nll" -> (t18 _),
     "t19_bpe_pairs" -> (t19 _),
     "d10_dedup_weights" -> (d10 _),
-    "d11_cross_corpus_neardup" -> (d11 _),
+    "d11_cross_corpus_neardup" -> ((s, d) => d11(s, d)),
     "t20_weighted_sample" -> (t20 _),
     "e05_zscore_anomaly" -> (e05 _),
     "q51_fuzzy_best_match" -> (q51 _),
     "t22_oov_rate" -> (t22 _),
-    "d12_containment" -> (d12 _),
+    "d12_containment" -> ((s, d) => d12(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -45,6 +45,10 @@ class ScaleSpec extends SparkSpec {
     val published = Map(
       "d02_recall_cap16" -> 1.0, "d02_recall_cap64" -> 1.0,
       "d03_recall_cap16" -> 1.0, "d03_recall_cap64" -> 1.0,
+      "d11_recall_cap16" -> 1.0, "d11_recall_cap64" -> 1.0,
+      "d12_recall_cap16" -> 1.0, "d12_recall_cap64" -> 1.0,
+      "q51_answered_fraction" -> 0.048, "q51_match_rate" -> 1.0,
+      "q51_answered" -> 12.0,
       "s03_recall_cos0.40" -> 0.6780, "s03_truth_cos0.40" -> 59.0,
       "s03_recall_cos0.45" -> 0.7857, "s03_truth_cos0.45" -> 14.0,
       "s03_recall_cos0.50" -> 1.0, "s03_truth_cos0.50" -> 1.0,
