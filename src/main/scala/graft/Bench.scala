@@ -100,11 +100,19 @@ object Bench {
     try operators.Dedup.d02(spark, sfDir).count() catch {
       case e: Throwable => System.err.println(s"[bench] kernel warm-up failed: $e")
     }
-    // one-time dedup-pipeline materialization (pairs + cluster labels),
-    // timed and reported as its own entry below
+    // one-time pipeline materialization — ALL of it: near-dup pairs +
+    // labels (d06m/d07m), semantic labels (d08m), cross-corpus pairs
+    // (q51m). Timed and reported as its own entry below; before r7
+    // only the first was warmed here, so d08m's first rep silently
+    // paid the emb materialization (its per-query spread exposed it)
     val tMat0 = System.nanoTime()
     val matOk =
-      try { operators.Relational4.materializedLabels(spark, sfDir).count(); true }
+      try {
+        operators.Relational4.materializedLabels(spark, sfDir).count()
+        operators.Relational4.materializedEmbLabels(spark, sfDir).count()
+        operators.Relational7.materializedCrossPairs(spark, sfDir).count()
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline materialization failed: $e"); false }
     val tMat = (System.nanoTime() - tMat0) / 1e9

@@ -407,6 +407,8 @@ object Relational4 {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val embLabelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val slotCache =
+    scala.collection.concurrent.TrieMap.empty[(String, SparkSession, String), DataFrame]
   private val hooked =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -418,10 +420,21 @@ object Relational4 {
           pairCache.keys.filter(_._1 eq s).foreach(pairCache.remove)
           labelCache.keys.filter(_._1 eq s).foreach(labelCache.remove)
           embLabelCache.keys.filter(_._1 eq s).foreach(embLabelCache.remove)
+          slotCache.keys.filter(_._2 eq s).foreach(slotCache.remove)
           hooked.remove(s)
         }
       })
     }
+  /** Generic named slot in the per-(session, dir) materialized-state
+    * cache — same lifecycle (eager localCheckpoint by the builder,
+    * eviction on session end) for operators outside this file that
+    * need pipeline state (e.g. [[Relational7.materializedCrossPairs]]). */
+  private[operators] def materialized(slot: String, s: SparkSession,
+      dir: String)(build: => DataFrame): DataFrame = {
+    evictOnStop(s)
+    slotCache.getOrElseUpdate((slot, s, dir), build)
+  }
+
   def materializedPairs(s: SparkSession, dir: String): DataFrame = {
     evictOnStop(s)
     pairCache.getOrElseUpdate((s, dir),

@@ -377,13 +377,21 @@ object Relational7 {
     * recall), levenshtein verifies (exact, per candidate only), argmin
     * resolves. Candidate generation never leaves d11's bucketed plan,
     * so the quadratic verifier touches only proposed pairs. */
-  def q51(s: SparkSession, dir: String): DataFrame = {
+  def q51(s: SparkSession, dir: String): DataFrame =
+    q51From(s, dir, d11(s, dir))
+
+  /** q51's verify+resolve stages over an already-detected candidate
+    * pair table — the shared body of the standalone registration
+    * (re-runs d11's bucket build per call: correctness-harness shape)
+    * and the materialized form below (pipeline-cost shape). */
+  private def q51From(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import s.implicits._
     val prefixes = t(s, dir, "documents")
       .select($"doc_id",
         substring(graft.functions.TextOps.normText($"text"), 1, Q51_PREFIX).as("p"))
     val w = Window.partitionBy($"cand_id").orderBy($"dist", $"ref_id")
-    d11(s, dir)
+    pairs
       .join(prefixes.select($"doc_id".as("cand_id"), $"p".as("pc")), Seq("cand_id"))
       .join(prefixes.select($"doc_id".as("ref_id"), $"p".as("pr")), Seq("ref_id"))
       .select($"cand_id", $"ref_id", $"jaccard",
@@ -393,6 +401,23 @@ object Relational7 {
       .select($"cand_id", $"ref_id".as("best_ref_id"), $"jaccard", $"dist")
       .orderBy($"cand_id")
   }
+
+  /** Materialized cross-corpus candidate pairs — d11 detected once
+    * per (session, dir), checkpointed, shared by q51m (and any other
+    * consumer of cross-corpus near-dup state). The pipeline analog of
+    * [[Relational4.materializedPairs]]: a real deployment detects
+    * incoming-vs-reference collisions once per ingest batch and feeds
+    * every downstream resolution/reporting stage from that table. */
+  def materializedCrossPairs(s: SparkSession, dir: String): DataFrame =
+    Relational4.materialized("d11_cross_pairs", s, dir)(
+      d11(s, dir).localCheckpoint())
+
+  /** q51 output from the materialized pair state: only the
+    * levenshtein verify + argmin resolve run per call (VERDICT r6:
+    * the standalone q51 was the slowest query in the suite purely
+    * from re-running the shingle-bucket build inline). */
+  def q51FromPairs(s: SparkSession, dir: String): DataFrame =
+    q51From(s, dir, materializedCrossPairs(s, dir))
 
   /** Unblocked ground truth for q51 (RecallReport only, not a
     * registered query): the true argmin-edit-distance reference for
@@ -524,6 +549,7 @@ object Relational7 {
     "t20_weighted_sample" -> (t20 _),
     "e05_zscore_anomaly" -> (e05 _),
     "q51_fuzzy_best_match" -> (q51 _),
+    "q51m_best_match_materialized" -> (q51FromPairs _),
     "t22_oov_rate" -> (t22 _),
     "d12_containment" -> ((s, d) => d12(s, d)),
   )
@@ -537,6 +563,7 @@ object Relational7 {
     "t20_weighted_sample" -> t20Oracle,
     "e05_zscore_anomaly" -> e05Sql,
     "q51_fuzzy_best_match" -> q51Oracle,
+    "q51m_best_match_materialized" -> q51Oracle,
     "t22_oov_rate" -> t22Oracle,
     "d12_containment" -> d12Oracle,
   )
