@@ -45,7 +45,14 @@ object EventWindows {
 
   /** Session windows per user, 30-minute gap: session_window merges
     * events closer than the gap; a new session starts at ts >= prev +
-    * gap (reproduced in the oracle via lag + running break-count). */
+    * gap (reproduced in the oracle via lag + running break-count).
+    *
+    * Role (r7): the STREAMING-PARITY cross-check, not the canonical
+    * batch path — a Structured Streaming sessionization shares
+    * `session_window`'s state semantics, so keeping this form
+    * registered pins batch/stream agreement. For batch jobs use
+    * [[w04]] (sort-based, no state store); ScaleSpec asserts the two
+    * produce identical rows against one oracle. */
   def w03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ev(s, dir)

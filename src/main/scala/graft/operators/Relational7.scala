@@ -61,6 +61,14 @@ object Relational7 {
     * by construction on both engines. */
   def t17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    t17Chunks(s, dir).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** t17's chunk table without the gate's ORDER BY — the shared
+    * upstream of t17 and [[Relational8.d13]] (duplicate-chunk
+    * detection consumes the same chunk hashes). */
+  private[operators] def t17Chunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     t(s, dir, "documents")
       // cheap pre-tokenize screen for `size(tk) > 0` (a filter on tk
       // itself would be pushed below the projection and evaluate the
@@ -82,17 +90,21 @@ object Relational7 {
       // drops only the clamp artifact of empty-token docs (cheap:
       // size(slice) on the already-computed array, no re-tokenize)
       .filter($"n_tok" > 0)
-      .orderBy($"doc_id", $"chunk_id")
   }
 
-  private val t17Oracle =
-    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+  /** The t17 chunk table as a DuckDB CTE body (shared with d13). */
+  private[operators] val t17ChunkCte =
+    s"""docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), $STRIDE)) AS start
-       |       FROM docs WHERE len(tk) > 0)
-       |SELECT doc_id, CAST(start // $STRIDE AS BIGINT) AS chunk_id,
+       |       FROM docs WHERE len(tk) > 0),
+       |chunks AS (SELECT doc_id, CAST(start // $STRIDE AS BIGINT) AS chunk_id,
        |  CAST(least($CHUNK, len(tk) - start) AS BIGINT) AS n_tok,
        |  ${sqlHash64(s"array_to_string(tk[start+1:least(start+$CHUNK, len(tk))], ' ')")} AS chunk_hash
-       |FROM st
+       |FROM st)""".stripMargin
+
+  private val t17Oracle =
+    s"""WITH $t17ChunkCte
+       |SELECT doc_id, chunk_id, n_tok, chunk_hash FROM chunks
        |ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Unigram LM quality score: per-document mean negative

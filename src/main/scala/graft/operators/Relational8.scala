@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps.{sqlTokens}
+import graft.functions.NativeKernels.{word_tokens, word_shingles}
+
+/** Eighth tranche — product-analytics shapes over the event stream and
+  * the corpus-statistics steps a data-mixture decision needs, each
+  * oracle-checked:
+  *
+  *  - e06: ordered conversion funnel (view → click → purchase with
+  *    strictly increasing per-user stage timestamps — the sequential-
+  *    pattern shape every product pipeline runs);
+  *  - e07: retention cohorts (users grouped by first-activity day,
+  *    activity counted per day offset);
+  *  - t23: temperature-scaled source mixture weights (multilingual-
+  *    style alpha-sampling at α = 0.5: upsample small sources by
+  *    √p, the data-mixture knob for training runs);
+  *  - t24: cross-corpus shingle novelty (per incoming doc, the
+  *    fraction of its shingles unseen in the frozen reference corpus
+  *    — d11's per-document score face; high novelty = genuinely new
+  *    content, low = paraphrase-grade duplication);
+  *  - t25: lexical diversity per source (type-token ratio + hapax
+  *    rate — the vocabulary-health quality signal);
+  *  - d13: duplicate-chunk detection over t17's sliding-window chunks
+  *    (exact substring dedup at chunk granularity — the Lee et al.
+  *    2022 ExactSubstr shape at fixed alignment);
+  *  - q52: global decile statistics over per-doc token counts (ntile
+  *    — the length-distribution report a packing config reads);
+  *  - s08: one quantized-mean k-means update + full reassignment
+  *    (the SemDeDup-style cluster-membership table downstream
+  *    cluster-balanced sampling joins against).
+  */
+object Relational8 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Ordered funnel: first view, then first click strictly after it,
+    * then first purchase strictly after that click — per user, then
+    * aggregated to per-stage user counts and mean stage-to-stage
+    * latency.
+    *
+    * Scale: three filtered aggregates and two joins, ALL keyed on
+    * user_id — one shuffle partitioning reused end-to-end (AQE sees
+    * identical keys; no re-shuffle between stages), then three
+    * scalar aggregates. No window over the full event stream, no
+    * per-event state: the min-timestamp formulation is associative,
+    * so map-side partial aggregation does most of the work before
+    * the exchange. */
+  def e06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("tv"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"tv")
+      .groupBy($"user_id").agg(min($"ts").as("tc"), min($"tv").as("tv"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"tc")
+      .groupBy($"user_id").agg(min($"ts").as("tp"), min($"tc").as("tc"))
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), $"n_users",
+        lit(0.0).as("avg_lag_sec"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+        round(avg($"tc".cast("long") - $"tv".cast("long")), 2).as("avg_lag_sec"))
+      .select(lit("2_click").as("stage"), $"n_users", $"avg_lag_sec")
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+        round(avg($"tp".cast("long") - $"tc".cast("long")), 2).as("avg_lag_sec"))
+      .select(lit("3_purchase").as("stage"), $"n_users", $"avg_lag_sec")
+    s1.union(s2).union(s3).orderBy($"stage")
+  }
+
+  // timestamp→long cast truncates to whole seconds exactly like
+  // DuckDB date_diff('second', …) counts second boundaries, so the
+  // per-user lags are exact integers and their mean is deterministic
+  private val e06Oracle =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc, min(v.tv) AS tv
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp, min(c.tc) AS tc
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |  0.0 AS avg_lag_sec FROM v
+      |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT),
+      |  round(avg(date_diff('second', tv, tc)), 2) FROM c
+      |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT),
+      |  round(avg(date_diff('second', tc, tp)), 2) FROM p
+      |ORDER BY stage""".stripMargin
+
+  private val E07_DAYS = 7
+
+  /** Retention cohorts: users bucketed by first-activity day; for
+    * each cohort and day offset 0..[[E07_DAYS]], how many cohort
+    * members were active. Two aggregates + one user-keyed join —
+    * the same single-shuffle-key shape as e06; the distinct-user
+    * count shuffles (cohort_day, day_offset, user) once, which at
+    * 100 TB is the standard two-phase count-distinct (partial
+    * dedup map-side first). */
+  def e07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val coh = e.groupBy($"user_id")
+      .agg(date_trunc("day", min($"ts")).as("cohort_day"))
+    e.join(coh, "user_id")
+      .select($"cohort_day", $"user_id",
+        datediff(to_date($"ts"), to_date($"cohort_day")).cast("long").as("day_offset"))
+      .filter($"day_offset" <= E07_DAYS)
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").cast("long").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  private val e07Oracle =
+    s"""WITH coh AS (SELECT user_id,
+       |  CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+       |  FROM events GROUP BY user_id)
+       |SELECT cohort_day,
+       |  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+       |FROM events e JOIN coh USING (user_id)
+       |WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(e.ts AS DATE)) <= $E07_DAYS
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Temperature-scaled source mixture at α = 0.5: each source's
+    * sampling share q_i ∝ √p_i (p_i = its share of corpus tokens),
+    * `boost` = q_i/p_i — the factor by which small sources are
+    * upsampled (multilingual training's standard mixture knob;
+    * α = 0.5 specifically so the weight is `sqrt`, which IEEE
+    * requires correctly rounded — `pow(p, 0.3)` could differ by an
+    * ulp between libm implementations). Weights are quantized to
+    * integers (floor(√p·1e9 + 0.5)) before the normalizing sum so
+    * the cross-source total is EXACT integer arithmetic — a double
+    * sum would be summation-order-dependent across engines.
+    *
+    * Scale: one documents scan → 20-row aggregate; everything after
+    * is arithmetic on a frame the size of the source list. */
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"source", size(word_tokens($"text")).cast("long").as("k"))
+      .groupBy($"source").agg(sum($"k").as("n_tok"))
+    val tot = dt.agg(sum($"n_tok").as("total"))
+    val w = dt.crossJoin(tot)
+      .select($"source", $"n_tok",
+        ($"n_tok".cast("double") / $"total").as("p"),
+        floor(sqrt($"n_tok".cast("double") / $"total") * lit(1.0e9) + lit(0.5)).as("wq"))
+    val ws = w.agg(sum($"wq").as("wqs"))
+    w.crossJoin(ws)
+      .select($"source", $"n_tok",
+        round($"p", 6).as("p"),
+        round($"wq".cast("double") / $"wqs", 6).as("q"),
+        round(($"wq".cast("double") / $"wqs") / $"p", 4).as("boost"))
+      .orderBy($"source")
+  }
+
+  private val t23Oracle =
+    s"""WITH docs AS (SELECT source, ${sqlTokens("text")} AS tk FROM documents),
+       |dt AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tok FROM docs GROUP BY source),
+       |tot AS (SELECT sum(n_tok) AS total FROM dt),
+       |w AS (SELECT source, n_tok, CAST(n_tok AS DOUBLE) / total AS p,
+       |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT) AS wq
+       |  FROM dt CROSS JOIN tot),
+       |ws AS (SELECT sum(wq) AS wqs FROM w)
+       |SELECT source, n_tok, round(p, 6) AS p,
+       |  round(CAST(wq AS DOUBLE) / wqs, 6) AS q,
+       |  round((CAST(wq AS DOUBLE) / wqs) / p, 4) AS boost
+       |FROM w CROSS JOIN ws ORDER BY source""".stripMargin
+
+  /** Cross-corpus shingle novelty: for each incoming document (odd
+    * doc_ids, the d11 convention), the fraction of its distinct
+    * shingles absent from the frozen reference corpus (even ids).
+    * The per-document score face of d11's pair detection: a
+    * contamination/freshness signal per doc rather than a match
+    * list.
+    *
+    * Scale: one scan builds all shingle rows; the reference side
+    * reduces to a distinct shingle set (dictionary-sized, far
+    * smaller than the corpus); the join is shingle-keyed — the same
+    * single-key shuffle as the d02 bucket build, with map-side
+    * partial aggregation on both the distinct and the count side. */
+  def t24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .select($"doc_id", explode(word_shingles($"text", Dedup.N)).as("s"))
+    val ref = sh.filter($"doc_id" % 2 === 0).select($"s").distinct()
+      .withColumn("hit", lit(1))
+    sh.filter($"doc_id" % 2 === 1)
+      .join(ref, Seq("s"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        round($"n_novel".cast("double") / $"n_shingles", 4).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  private val t24Oracle =
+    s"""WITH ${Dedup.sqlShingleRows},
+       |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+       |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+       |FROM sh LEFT JOIN ref r ON r.s = sh.s
+       |WHERE sh.doc_id % 2 = 1
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** Lexical diversity per source: token mass, vocabulary size
+    * (types), hapax legomena count, type-token ratio, hapax share —
+    * the vocabulary-health panel corpus curation reads per source
+    * (a source whose TTR collapses is boilerplate; one whose hapax
+    * share explodes is noise/OCR garbage).
+    *
+    * Scale: one scan → (source, token) partial-aggregated counts →
+    * source-level rollup; both aggregates combine map-side. All
+    * ratios are exact-integer divisions evaluated identically on
+    * both engines. */
+  def t25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"source", explode(word_tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("m"))
+    dt.groupBy($"source")
+      .agg(sum($"m").cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when($"m" === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select($"source", $"n_tok", $"n_types", $"n_hapax",
+        round($"n_types".cast("double") / $"n_tok", 4).as("ttr"),
+        round($"n_hapax".cast("double") / $"n_types", 4).as("hapax_ratio"))
+      .orderBy($"source")
+  }
+
+  private val t25Oracle =
+    s"""WITH docs AS (SELECT source, ${sqlTokens("text")} AS tk FROM documents),
+       |tok AS (SELECT source, unnest(tk) AS tok FROM docs),
+       |dt AS (SELECT source, tok, count(*) AS m FROM tok GROUP BY 1, 2)
+       |SELECT source, CAST(sum(m) AS BIGINT) AS n_tok,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  round(CAST(count(*) AS DOUBLE) / sum(m), 4) AS ttr,
+       |  round(CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_ratio
+       |FROM dt GROUP BY source ORDER BY source""".stripMargin
+
+  /** Duplicate-chunk detection: t17's 64-token chunk hashes that
+    * occur in MORE THAN ONE document — exact substring duplication
+    * at chunk alignment (the cheap fixed-stride face of Lee et al.
+    * 2022's ExactSubstr; a shared 111-token run is guaranteed to
+    * contain a shared aligned chunk, stride 48 + chunk 64).
+    *
+    * Scale: chunking is embarrassingly parallel (t17), the
+    * duplicate scan is one groupBy on a 64-bit hash — partial
+    * counts map-side, and the output is only the duplicated tail of
+    * the hash distribution. This is the table a chunk-level dedup
+    * pass anti-joins against. */
+  def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational7.t17Chunks(s, dir)
+      .groupBy($"chunk_hash")
+      .agg(countDistinct($"doc_id").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"))
+      .filter($"n_docs" > 1)
+      .orderBy($"chunk_hash")
+  }
+
+  private val d13Oracle =
+    s"""WITH ${Relational7.t17ChunkCte}
+       |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM chunks GROUP BY chunk_hash
+       |HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
+  /** Global token-count deciles: documents ranked by length into 10
+    * equal buckets, with per-bucket count/min/max/total — the length
+    * histogram a sequence-packing configuration (t12/t13) is tuned
+    * against. `ntile` needs a TOTAL order: (n_tok, doc_id) pins the
+    * bucket boundary deterministically on both engines.
+    *
+    * Scale note: a global ntile is a single-partition sort by
+    * construction (the same gate-mandated shape as t12); the sharded
+    * alternative is quantile cut-points from approx_percentile and a
+    * map-side bucket assignment — t13's pattern, which q27 already
+    * demonstrates for percentiles. The decile REPORT is 10 rows; the
+    * cost is the sort, acceptable for a per-corpus diagnostic. */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "documents")
+      .select($"doc_id", size(word_tokens($"text")).cast("long").as("n_tok"))
+    n.withColumn("decile",
+        ntile(10).over(Window.orderBy($"n_tok", $"doc_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"),
+        sum($"n_tok").cast("long").as("sum_tok"))
+      .orderBy($"decile")
+  }
+
+  private val q52Oracle =
+    s"""WITH n AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |d AS (SELECT n_tok, CAST(ntile(10) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS decile FROM n)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+       |  CAST(sum(n_tok) AS BIGINT) AS sum_tok
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  private val S08_K = 8    // clusters (the s07 seed convention)
+  private val S08_DIM = 64 // embedding dimensionality
+
+  /** Squared L2 between two array columns, fold-left in index order
+    * (the s04/s07 accumulation convention — bit-equal to DuckDB's
+    * list_sum over a comprehension). */
+  private def sqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c,
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** One full k-means update + reassignment, emitting the
+    * cluster-membership table (s07 emits only per-cluster stats):
+    * assign every vector to its nearest seed centroid, recompute
+    * centroids as per-cluster per-dimension means, re-assign. The
+    * membership table is what cluster-balanced sampling and
+    * SemDeDup-style semantic dedup join against.
+    *
+    * Determinism across engines: per-dimension means are computed
+    * over QUANTIZED components (floor(x·10⁴ + 0.5) as int64) so the
+    * cross-row sum is exact integer arithmetic — a double sum's
+    * value would depend on row order. float→double, ×10⁴, floor,
+    * int sum, and the final two divisions are all IEEE-identical on
+    * both engines; distances then fold in index order.
+    *
+    * Scale: the corpus NEVER shuffles — centroids (K·DIM) broadcast
+    * both directions; the update aggregates (cluster, dim) cells
+    * (K·DIM rows) with map-side partials. Same plan shape as
+    * lloydIterate, which iterates it. */
+  def s08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val seeds = e.filter($"vec_id" < S08_K)
+      .select($"vec_id".as("cluster"), $"embedding".as("cvec"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+    val assign0 = e.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"embedding", $"cluster",
+        sqDist($"embedding", $"cvec").as("dist"))
+      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cluster")
+    val dims = assign0
+      .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos")
+      .agg(sum(floor($"x".cast("double") * lit(10000.0) + lit(0.5))).as("qs"),
+        count(lit(1)).as("n"))
+    val cent = dims.groupBy($"cluster")
+      .agg(transform(
+        sort_array(collect_list(struct($"pos",
+          ($"qs".cast("double") / $"n" / lit(10000.0)).as("c")))),
+        x => x.getField("c")).as("cvec"))
+    e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cluster", sqDist($"embedding", $"cvec").as("dist"))
+      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
+      .select($"vec_id", $"cluster", round($"dist", 4).as("dist"))
+      .orderBy($"vec_id")
+  }
+
+  private val s08Oracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cluster, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < $S08_K),
+       |d0 AS (SELECT e.vec_id, s.cluster,
+       |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |    for i in range(1, ${S08_DIM + 1})]) AS dist
+       |  FROM e CROSS JOIN seeds s),
+       |a0 AS (SELECT vec_id, cluster,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM d0),
+       |mem AS (SELECT vec_id, cluster FROM a0 WHERE rn = 1),
+       |dims AS (SELECT m.cluster, g.i,
+       |  sum(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qs,
+       |  count(*) AS n
+       |  FROM mem m JOIN e ON e.vec_id = m.vec_id
+       |  CROSS JOIN generate_series(1, $S08_DIM) AS g(i)
+       |  GROUP BY m.cluster, g.i),
+       |cent AS (SELECT cluster, list(CAST(qs AS DOUBLE) / n / 10000.0 ORDER BY i) AS cvec
+       |  FROM dims GROUP BY cluster),
+       |d1 AS (SELECT e.vec_id, c.cluster,
+       |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+       |          * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+       |    for i in range(1, ${S08_DIM + 1})]) AS dist
+       |  FROM e CROSS JOIN cent c),
+       |a1 AS (SELECT vec_id, cluster, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM d1)
+       |SELECT vec_id, cluster, round(dist, 4) AS dist
+       |FROM a1 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_funnel" -> (e06 _),
+    "e07_retention" -> (e07 _),
+    "t23_temperature_mix" -> (t23 _),
+    "t24_shingle_novelty" -> (t24 _),
+    "t25_lexical_diversity" -> (t25 _),
+    "d13_dup_chunks" -> (d13 _),
+    "q52_token_deciles" -> (q52 _),
+    "s08_kmeans_assign" -> (s08 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e06_funnel" -> e06Oracle,
+    "e07_retention" -> e07Oracle,
+    "t23_temperature_mix" -> t23Oracle,
+    "t24_shingle_novelty" -> t24Oracle,
+    "t25_lexical_diversity" -> t25Oracle,
+    "d13_dup_chunks" -> d13Oracle,
+    "q52_token_deciles" -> q52Oracle,
+    "s08_kmeans_assign" -> s08Oracle,
+  )
+}

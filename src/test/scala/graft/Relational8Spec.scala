@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational8
+
+/** Semantic properties of the eighth tranche (the DuckDB hash oracle
+  * covers value equality; these assert the claims the operators make
+  * about themselves). */
+class Relational8Spec extends SparkSpec {
+
+  test("e06 funnel stages are monotone and latencies positive") {
+    val rows = Relational8.e06(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    val n1 = rows("1_view")._1
+    val n2 = rows("2_click")._1
+    val n3 = rows("3_purchase")._1
+    assert(n1 >= n2 && n2 >= n3, s"funnel must narrow: $n1 >= $n2 >= $n3")
+    assert(n3 > 0, "sf data should have full-funnel users")
+    // stage-to-stage latency is strictly-after by construction
+    Seq("2_click", "3_purchase").foreach { st =>
+      assert(rows(st)._2.asInstanceOf[Double] > 0, s"$st latency must be > 0")
+    }
+  }
+
+  test("e07 retention: offset-0 row equals cohort size, counts never exceed it") {
+    val s = spark
+    import s.implicits._
+    val ret = Relational8.e07(s, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts = Tables.load(s, sf, "events")
+      .groupBy($"user_id").agg(date_trunc("day", min($"ts")).as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(cohorts.nonEmpty)
+    cohorts.foreach { case (day, size) =>
+      assert(ret((day, 0L)) == size,
+        s"cohort $day: every member is active on its own day 0")
+    }
+    ret.foreach { case ((day, off), n) =>
+      assert(n <= cohorts(day), s"cohort $day offset $off: $n exceeds cohort")
+    }
+  }
+
+  test("t23 mixture: q sums to ~1 and boost falls as source share rises") {
+    val rows = Relational8.t23(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))) // p, q, boost
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "q must normalize")
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4, "p must normalize")
+    // alpha = 0.5 upsamples small sources: boost ~ p^-0.5 is
+    // monotone decreasing in p
+    val byP = rows.sortBy(_._1)
+    byP.sliding(2).foreach { case Array((p1, _, b1), (p2, _, b2)) =>
+      if (p1 < p2) assert(b1 >= b2, s"boost must fall with share: $p1/$b1 vs $p2/$b2")
+    }
+  }
+
+  test("t24 novelty is a valid per-doc fraction over incoming docs only") {
+    val rows = Relational8.t24(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "only incoming (odd) docs are scored")
+      val (n, novel, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0 && novel <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("t25 lexical diversity: hapax <= types <= tokens, ratios in (0,1]") {
+    val rows = Relational8.t25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, types, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= types && types <= tok)
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("d13 reported chunks are genuinely cross-document") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational8.d13(s, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "sf0.01 has planted duplicate chunks")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "n_docs > 1 by the HAVING clause")
+      assert(r.getLong(2) >= r.getLong(1), "occurrences >= documents")
+    }
+  }
+
+  test("q52 deciles partition the corpus with contiguous length ranges") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational8.q52(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val total = Tables.load(s, sf, "documents").count()
+    assert(rows.map(_._2).sum == total, "deciles cover every document")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "ntile balance")
+    rows.sliding(2).foreach { case Array((_, _, _, hi), (_, _, lo, _)) =>
+      assert(hi <= lo, "decile length ranges must be ordered")
+    }
+  }
+
+  test("s08 update+reassign does not increase total inertia (Lloyd step)") {
+    val s = spark
+    import s.implicits._
+    // inertia under the seed assignment (s08's phase 0), recomputed
+    // here against the same seeds
+    val e = Tables.load(s, sf, "embeddings").select($"vec_id", $"embedding")
+    val seeds = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cluster"), $"embedding".as("cvec"))
+    val sq = aggregate(zip_with($"embedding", $"cvec",
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+    val before = e.crossJoin(broadcast(seeds))
+      .select($"vec_id", sq.as("dist"))
+      .groupBy($"vec_id").agg(min($"dist").as("d"))
+      .agg(sum($"d")).head().getDouble(0)
+    val after = Relational8.s08(s, sf).agg(sum($"dist")).head().getDouble(0)
+    // quantized means can miss the true mean by <=5e-5 per dim, so
+    // allow a hair above the exact-arithmetic bound
+    assert(after <= before * 1.001,
+      s"Lloyd step must not increase inertia: $before -> $after")
+  }
+}
