@@ -335,21 +335,26 @@ object Relational8 {
     * int sum, and the final two divisions are all IEEE-identical on
     * both engines; distances then fold in index order.
     *
-    * Scale: the corpus NEVER shuffles — centroids (K·DIM) broadcast
-    * both directions; the update aggregates (cluster, dim) cells
-    * (K·DIM rows) with map-side partials. Same plan shape as
-    * lloydIterate, which iterates it. */
+    * Scale: centroids (K·DIM) broadcast both directions, so the
+    * corpus is never on the build side of anything; the argmin is
+    * `min(struct(dist, cluster))` — an AGGREGATE, not a window, so
+    * the K distances per vector collapse map-side and only n rows
+    * (not n·K) cross the one vec_id exchange. The update aggregates
+    * (cluster, dim) cells (K·DIM rows) with map-side partials. The
+    * struct min orders (dist, cluster) lexicographically — exactly
+    * the row_number tie-break the oracle uses. */
   def s08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
     val seeds = e.filter($"vec_id" < S08_K)
       .select($"vec_id".as("cluster"), $"embedding".as("cvec"))
-    val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
     val assign0 = e.crossJoin(broadcast(seeds))
       .select($"vec_id", $"embedding", $"cluster",
         sqDist($"embedding", $"cvec").as("dist"))
-      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cluster")
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cluster")).as("m"),
+        first($"embedding").as("embedding"))
+      .select($"vec_id", $"embedding", $"m.cluster".as("cluster"))
     val dims = assign0
       .select($"cluster", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"cluster", $"pos")
@@ -362,8 +367,10 @@ object Relational8 {
         x => x.getField("c")).as("cvec"))
     e.crossJoin(broadcast(cent))
       .select($"vec_id", $"cluster", sqDist($"embedding", $"cvec").as("dist"))
-      .withColumn("rn", row_number().over(byVec)).filter($"rn" === 1)
-      .select($"vec_id", $"cluster", round($"dist", 4).as("dist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cluster")).as("m"))
+      .select($"vec_id", $"m.cluster".as("cluster"),
+        round($"m.dist", 4).as("dist"))
       .orderBy($"vec_id")
   }
 

@@ -184,4 +184,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.toLowerCase.contains("pairexpand"),
       "the native pair generator must drive candidate generation")
   }
+
+  test("s08: argmin partial-aggregates, centroids broadcast, no window over n·K rows") {
+    val plan = planOf(graft.operators.Relational8.s08(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      "argmin must be min(struct(...)), an aggregate, not a window")
+    assert(finalPlan.contains("partial_min"),
+      "the K distances per vector must collapse map-side")
+    assert(finalPlan.contains("BroadcastExchange") ||
+      finalPlan.contains("BroadcastNestedLoopJoin"),
+      "K-row centroid frames must broadcast to the corpus")
+    val shuffles = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(l => l.contains("cluster") || l.contains("vec_id")),
+      s"only aggregate exchanges allowed:\n${shuffles.mkString("\n")}")
+  }
+
+  test("t24: novelty joins shingle-keyed, partial-aggregates before the shuffle") {
+    val plan = planOf(graft.operators.Relational8.t24(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"),
+      "novelty must not plan an all-pairs comparison")
+    assert(finalPlan.contains("partial_"),
+      "reference distinct + per-doc counts must combine map-side")
+  }
+
+  test("e06: funnel reuses one user_id partitioning across all stages") {
+    val plan = planOf(graft.operators.Relational8.e06(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), "no cartesian stages")
+    // every hash exchange in the funnel body is on user_id — the join
+    // and the aggregate use the same key, so AQE/EnsureRequirements
+    // never inserts a second partitioning of the events
+    val shuffles = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(_.contains("user_id")),
+      s"funnel shuffles must be user_id-keyed:\n${shuffles.mkString("\n")}")
+  }
 }
