@@ -17,7 +17,10 @@ object ScalingCurve {
     "s01_topk_cosine", "s03_embedding_neardup",    // brute force / bucketed
     "t06_tfidf", "t18_unigram_nll",                // token aggregates
     "t17_chunking", "e05_zscore_anomaly",          // fan-out / windows
-    "w01_tumbling_window", "x02_bloom_prune")
+    "w01_tumbling_window", "x02_bloom_prune",
+    "e06_funnel", "e07_retention",                 // single-key staged aggs
+    "t24_shingle_novelty", "d13_dup_chunks",       // dictionary join / hash agg
+    "s08_kmeans_assign", "q52_token_deciles")      // broadcast argmin / global ntile
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
