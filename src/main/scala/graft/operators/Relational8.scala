@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.TextOps.{sqlTokens}
+import graft.functions.TextOps.{hash64, sqlHash64, sqlTokens}
 import graft.functions.NativeKernels.{word_tokens, word_shingles}
 
 /** Eighth tranche — product-analytics shapes over the event stream and
@@ -406,6 +406,103 @@ object Relational8 {
        |SELECT vec_id, cluster, round(dist, 4) AS dist
        |FROM a1 WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  private val KMV_K = 64
+
+  /** KMV distinct-user estimate per event type — the oracle-checked
+    * sketch: because the hash is fixed and the estimator is the k-th
+    * smallest order statistic, the estimate is a DETERMINISTIC
+    * function of the input set, so DuckDB reproduces it bit-for-bit
+    * (x01/x03/x04's HLL/GK/SpaceSaving cannot be oracle'd this way —
+    * their state depends on engine internals). Exact distinct rides
+    * along so the output doubles as the error report.
+    *
+    * Scale: the typed [[graft.functions.KMinValues.KMV]] aggregator
+    * carries ≤ k longs per (partition, type) into the shuffle — the
+    * GroupedTopK/SpaceSaving bounded-state discipline; the estimator
+    * never materializes the distinct set. */
+  def x05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val hashed = ev.select($"event_type",
+        hash64(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .as[(String, Long)]
+    val kmv = hashed.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.KMinValues.KMV(KMV_K).toColumn.name("ks"))
+      .toDF("event_type", "ks")
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").cast("long").as("exact_distinct"))
+    kmv.select($"event_type", size($"ks").cast("long").as("n_h"),
+        element_at($"ks", -1).as("kth"))
+      .join(exact, "event_type")
+      .select($"event_type", $"n_h",
+        round(when($"n_h" < KMV_K, $"n_h".cast("double"))
+          .otherwise(lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) / $"kth"),
+          2).as("est_distinct"),
+        $"exact_distinct")
+      .withColumn("rel_err",
+        round(abs($"est_distinct" - $"exact_distinct") / $"exact_distinct", 4))
+      .orderBy($"event_type")
+  }
+
+  private val x05Oracle =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ${sqlHash64("concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |kk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h, max(h) AS kth
+       |  FROM r WHERE rn <= $KMV_K GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY event_type),
+       |est AS (SELECT kk.event_type, n_h,
+       |  round(CASE WHEN n_h < $KMV_K THEN CAST(n_h AS DOUBLE)
+       |    ELSE CAST(${KMV_K - 1} AS DOUBLE) * 1152921504606846976 / kth END, 2) AS est_distinct,
+       |  exact_distinct
+       |  FROM kk JOIN ex ON ex.event_type = kk.event_type)
+       |SELECT event_type, n_h, est_distinct, exact_distinct,
+       |  round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+       |FROM est ORDER BY event_type""".stripMargin
+
+  /** Effective token mass per source after soft dedup: each
+    * document's tokens weighted by its d10 soft-dedup weight
+    * (1/near-dup-cluster size), rolled up per source — the number a
+    * data-mixture decision actually consumes (t23's input after
+    * dedup), and the per-source answer to "how much of this source
+    * survives deduplication". `retention` = effective/raw.
+    *
+    * Scale: d10's label-table-sized join (the labels are
+    * materialized pipeline state) + one source rollup; the weighted
+    * sum is double arithmetic, so it rounds at 2 decimals — the
+    * t06/e04 summation-order convention. */
+  def t26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Relational7.d10(s, dir).select($"doc_id", $"weight")
+    t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(word_tokens($"text")).cast("long").as("n"))
+      .join(w, "doc_id")
+      .groupBy($"source")
+      .agg(sum($"n").cast("long").as("n_tok"),
+        round(sum($"weight" * $"n"), 2).as("eff_tok"))
+      .select($"source", $"n_tok", $"eff_tok",
+        round($"eff_tok" / $"n_tok", 4).as("retention"))
+      .orderBy($"source")
+  }
+
+  private val t26Oracle =
+    s"""${Relational4.ccOraclePrefix},
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |cl AS (SELECT comp.id, sizes.cluster_size FROM comp JOIN sizes USING (cluster_id)),
+       |wt AS (SELECT d.doc_id, d.source,
+       |  CAST(len(${sqlTokens("d.text")}) AS BIGINT) AS n,
+       |  round(CAST(1 AS DOUBLE) / coalesce(cl.cluster_size, 1), 6) AS weight
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |agg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tok,
+       |  round(sum(weight * n), 2) AS eff_tok FROM wt GROUP BY source)
+       |SELECT source, n_tok, eff_tok, round(eff_tok / n_tok, 4) AS retention
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e06_funnel" -> (e06 _),
     "e07_retention" -> (e07 _),
@@ -415,6 +512,8 @@ object Relational8 {
     "d13_dup_chunks" -> (d13 _),
     "q52_token_deciles" -> (q52 _),
     "s08_kmeans_assign" -> (s08 _),
+    "x05_kmv_distinct" -> (x05 _),
+    "t26_effective_tokens" -> (t26 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +525,7 @@ object Relational8 {
     "d13_dup_chunks" -> d13Oracle,
     "q52_token_deciles" -> q52Oracle,
     "s08_kmeans_assign" -> s08Oracle,
+    "x05_kmv_distinct" -> x05Oracle,
+    "t26_effective_tokens" -> t26Oracle,
   )
 }

@@ -187,6 +187,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch is mergeable: any partitioning yields the whole-input buffer") {
+    val kmv = graft.functions.KMinValues.KMV(8)
+    val hGen = Gen.listOf(Gen.chooseNum(0L, 1L << 60))
+    check(Prop.forAll(hGen, hGen, hGen) { (p1, p2, p3) =>
+      val whole = (p1 ++ p2 ++ p3).foldLeft(kmv.zero)(kmv.reduce)
+      val merged = kmv.merge(kmv.merge(
+        p1.foldLeft(kmv.zero)(kmv.reduce),
+        p2.foldLeft(kmv.zero)(kmv.reduce)),
+        p3.foldLeft(kmv.zero)(kmv.reduce))
+      merged == whole &&
+        whole == (p1 ++ p2 ++ p3).distinct.sorted.take(8)
+    })
+  }
+
   test("winnowing selects a subset of the gram hashes, nonempty when grams exist") {
     check(Prop.forAll(tokGen) { toks =>
       val fps = winnow(toks)

@@ -102,6 +102,33 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("x05 KMV estimate lands near exact and is exact below k") {
+    val rows = Relational8.x05(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nH, est, exact) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      if (nH < 64) assert(est == nH.toDouble,
+        s"below k the sketch IS the distinct set: $est vs $nH")
+      // KMV with k=64 has relative std error ~1/sqrt(k-2) ~ 0.127;
+      // 4 sigma covers any fixed dataset we ship
+      assert(math.abs(est - exact) <= math.max(4 * 0.127 * exact, 1.0),
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
+  test("t26 effective tokens never exceed raw tokens, retention in (0,1]") {
+    val rows = Relational8.t26(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, eff, ret) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(eff > 0 && eff <= n + 0.01, s"weights are <= 1: $eff vs $n")
+      assert(ret > 0 && ret <= 1.0001)
+    }
+    // corpus-wide: effective mass strictly below raw iff near-dups exist
+    val drop = rows.map(r => r.getLong(1) - r.getDouble(2)).sum
+    assert(drop >= 0)
+  }
+
   test("s08 update+reassign does not increase total inertia (Lloyd step)") {
     val s = spark
     import s.implicits._
