@@ -36,10 +36,27 @@ object CorpusPipeline {
 
   private val PACK_BUDGET = 512L
 
+  /** Cross-corpus decontamination verdict: incoming documents (odd
+    * ids, the d11 convention) whose text near-duplicates the frozen
+    * reference corpus at the d11 Jaccard threshold — t08 catches
+    * exact n-gram overlap with the benchmark set, this catches the
+    * paraphrase-grade duplication an eval-leak audit actually hunts.
+    * Reads [[Relational7.materializedCrossPairs]], so the detection
+    * cost is paid once per (session, dir) like every other pipeline
+    * verdict; the verdict itself is an id set. */
+  def crossContaminated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational7.materializedCrossPairs(s, dir)
+      .select($"cand_id".as("doc_id")).distinct()
+  }
+
   /** Run the full curation into `outDir`; returns the stats frame
-    * (stage, rows_kept) in pipeline order. */
+    * (stage, rows_kept) in pipeline order. With `crossCorpus = true`
+    * a near-dup decontamination stage (verdict:
+    * [[crossContaminated]]) runs after the exact-overlap drop. */
   def curate(s: SparkSession, dir: String, outDir: String,
-      shards: Long = 8L, maxRecordsPerFile: Long = 1000L): DataFrame = {
+      shards: Long = 8L, maxRecordsPerFile: Long = 1000L,
+      crossCorpus: Boolean = false): DataFrame = {
     import s.implicits._
 
     val docs = Tables.load(s, dir, "documents")
@@ -52,7 +69,10 @@ object CorpusPipeline {
       .filter($"id" =!= $"comp").select($"id".as("doc_id"))
 
     // --- one corpus assembly pass over the verdicts ---
-    val s1 = docs.join(contaminated, Seq("doc_id"), "left_anti")
+    val s1a = docs.join(contaminated, Seq("doc_id"), "left_anti")
+    val s1 = if (crossCorpus)
+      s1a.join(crossContaminated(s, dir), Seq("doc_id"), "left_anti")
+    else s1a
     val s2 = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
     val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
@@ -80,11 +100,13 @@ object CorpusPipeline {
 
     val stats = Seq(
       ("00_ingest", docs.count()),
-      ("01_decontaminated", s1.count()),
-      ("02_quality", s2.count()),
-      ("03_exact_dedup", s3.count()),
-      ("04_near_dedup", s4.count()),
-      ("05_packed_written", s.read.parquet(outDir).count()))
+      ("01_decontaminated", s1a.count())) ++
+      (if (crossCorpus) Seq(("01b_cross_decontam", s1.count())) else Nil) ++
+      Seq(
+        ("02_quality", s2.count()),
+        ("03_exact_dedup", s3.count()),
+        ("04_near_dedup", s4.count()),
+        ("05_packed_written", s.read.parquet(outDir).count()))
     stats.toDF("stage", "rows_kept")
   }
 

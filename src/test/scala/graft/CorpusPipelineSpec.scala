@@ -62,6 +62,29 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally curated.unpersist()
   }
 
+  test("curate with crossCorpus drops exactly the d11 candidate set on top") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated-cc").toString
+    val stats = CorpusPipeline.curate(s, sf, out, shards = 4L,
+      maxRecordsPerFile = 100L, crossCorpus = true).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.contains("01b_cross_decontam"))
+    assert(stats("01b_cross_decontam") <= stats("01_decontaminated"))
+    val curated = s.read.parquet(out)
+    // no surviving doc near-duplicates the frozen reference corpus
+    assert(curated.select($"doc_id")
+      .join(CorpusPipeline.crossContaminated(s, sf), Seq("doc_id"), "left_semi")
+      .isEmpty, "cross-corpus near-dups must not survive")
+    // and the stage dropped ONLY d11 candidates: survivors of the
+    // exact-overlap stage that are not d11 candidates all pass through
+    val expected = Tables.load(s, sf, "documents").select($"doc_id")
+      .join(Curation.t08(s, sf), Seq("doc_id"), "left_anti")
+      .join(CorpusPipeline.crossContaminated(s, sf), Seq("doc_id"), "left_anti")
+      .count()
+    assert(stats("01b_cross_decontam") == expected)
+  }
+
   test("curateWeighted replaces the hard near-dup drop with t20's sample") {
     val s = spark
     import s.implicits._
