@@ -32,7 +32,14 @@ import graft.functions.NativeKernels.{word_tokens, word_shingles}
   *    — the length-distribution report a packing config reads);
   *  - s08: one quantized-mean k-means update + full reassignment
   *    (the SemDeDup-style cluster-membership table downstream
-  *    cluster-balanced sampling joins against).
+  *    cluster-balanced sampling joins against);
+  *  - x05: KMV distinct sketch — deterministic given the fixed hash,
+  *    so the ONLY sketch in the suite that hash-matches a DuckDB
+  *    oracle exactly (estimate + exact + relative error);
+  *  - t26: effective token mass per source under d10 soft-dedup
+  *    weights (the post-dedup input to a t23 mixture decision);
+  *  - t27: Zipf rank-frequency fit per source (power-law
+  *    vocabulary-health check).
   */
 object Relational8 {
 
@@ -406,6 +413,59 @@ object Relational8 {
        |SELECT vec_id, cluster, round(dist, 4) AS dist
        |FROM a1 WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Zipf rank-frequency fit per source: least-squares slope and
+    * intercept of ln(freq) against ln(rank) over the source's token
+    * frequency table — the power-law health check (natural text sits
+    * near slope −1; template/boilerplate corpora flatten, noise
+    * steepens). Ranks come from a deterministic (count desc, token)
+    * order; the fit is the closed-form simple regression over the
+    * (ln rank, ln count) points.
+    *
+    * Determinism: the Σx/Σy/Σxy/Σx² sums are doubles, so round(4)
+    * absorbs summation-order ulps (t06/e04 convention); the log
+    * inputs themselves are integer-valued, evaluated identically per
+    * row on both engines (the t18 ln precedent).
+    *
+    * Scale: one (source, token) aggregate, one per-source rank
+    * window (vocabulary-sized partitions, not corpus-sized), one
+    * source rollup. */
+  def t27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"source", explode(word_tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val ranked = dt.withColumn("r", row_number().over(
+      Window.partitionBy($"source").orderBy($"c".desc, $"tok")).cast("long"))
+    val pts = ranked.select($"source",
+      log($"r".cast("double")).as("x"), log($"c".cast("double")).as("y"))
+    pts.groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select($"source", $"n".as("n_types"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 4).as("intercept"))
+      .orderBy($"source")
+  }
+
+  private val t27Oracle =
+    s"""WITH docs AS (SELECT source, ${sqlTokens("text")} AS tk FROM documents),
+       |tok AS (SELECT source, unnest(tk) AS tok FROM docs),
+       |dt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |ranked AS (SELECT source, c,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS BIGINT) AS r
+       |  FROM dt),
+       |pts AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM pts GROUP BY source)
+       |SELECT source, n AS n_types,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+       |FROM agg ORDER BY source""".stripMargin
+
   private val KMV_K = 64
 
   /** KMV distinct-user estimate per event type — the oracle-checked
@@ -514,6 +574,7 @@ object Relational8 {
     "s08_kmeans_assign" -> (s08 _),
     "x05_kmv_distinct" -> (x05 _),
     "t26_effective_tokens" -> (t26 _),
+    "t27_zipf_fit" -> (t27 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -527,5 +588,6 @@ object Relational8 {
     "s08_kmeans_assign" -> s08Oracle,
     "x05_kmv_distinct" -> x05Oracle,
     "t26_effective_tokens" -> t26Oracle,
+    "t27_zipf_fit" -> t27Oracle,
   )
 }

@@ -129,6 +129,20 @@ class Relational8Spec extends SparkSpec {
     assert(drop >= 0)
   }
 
+  test("t27 zipf fit: slope negative, reconstructs the top-rank frequency scale") {
+    val rows = Relational8.t27(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, slope, icept) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 1)
+      // ranks are ordered by frequency desc, so the regression line
+      // must fall; the intercept is ln(freq) at rank 1, which is
+      // positive whenever the top token occurs more than once
+      assert(slope < 0, s"rank-frequency slope must be negative: $slope")
+      assert(icept > 0, s"ln-scale intercept must be positive: $icept")
+    }
+  }
+
   test("s08 update+reassign does not increase total inertia (Lloyd step)") {
     val s = spark
     import s.implicits._
