@@ -23,10 +23,16 @@ import graft.Tables
 object AsOfJoin {
 
   /** Generic as-of: for each row of `right`, attach the latest `left`
-    * row with the same `key` and `leftTime <= rightTime`. `carry` are
-    * the left columns to bring along. */
+    * row with the same `key` and `leftTime <= rightTime` — or, with
+    * `forward = true`, the EARLIEST left row with `leftTime >=
+    * rightTime` (the follow-up/next-observation direction DuckDB
+    * spells `ASOF ... ON r.t <= l.t`). `carry` are the left columns
+    * to bring along. Both directions are the same one-shuffle
+    * union-window plan; only the frame and null-skipping pick
+    * (last-behind vs first-ahead) flip. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, carry: Seq[String],
+      forward: Boolean = false): DataFrame = {
     require(right.columns.intersect(carry).isEmpty,
       "carry column names must not collide with right-side columns")
     val rightCols = right.columns.toSeq
@@ -41,12 +47,23 @@ object AsOfJoin {
       Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side")) ++
         carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(col): _*)
-    // left rows sort before right rows at identical timestamps (__side)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // at identical timestamps, left rows sort on the INCLUSIVE side of
+    // the right row's frame: before it (asc __side) for backward,
+    // after it (desc __side) for forward
+    val w =
+      if (forward)
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__t"), col("__side").desc)
+          .rowsBetween(0, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+    val pick: Column => Column =
+      if (forward) first(_, ignoreNulls = true).over(w)
+      else last(_, ignoreNulls = true).over(w)
     val carried = carry.foldLeft(l.unionByName(r))((df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w)))
+      df.withColumn(s"asof_$c", pick(col(c))))
     carried.filter(col("__side") === 1)
       .select(rightCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
   }
@@ -88,9 +105,30 @@ object AsOfJoin {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of: attribute each purchase to the user's next view
+    * AT OR AFTER it — the post-conversion-behavior direction (what
+    * did they look at next), and the "next observation" primitive a
+    * forward-fill/event-study pipeline needs. Same composed plan as
+    * a01 with the direction flag. */
+  def a03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    asOf(views, purchases, key = "user_id",
+      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"),
+      forward = true)
+      .select($"event_id", $"user_id", $"asof_v_id".as("v_id"),
+        expr("(unix_micros(asof_v_ts) - unix_micros(ts)) div 1000000").as("gap_s"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01 _),
-    "a02_asof_tolerance" -> (a02 _))
+    "a02_asof_tolerance" -> (a02 _),
+    "a03_asof_forward" -> (a03 _))
 
   val oracles: Map[String, String] = Map(
     "a01_asof_join" ->
@@ -113,5 +151,14 @@ object AsOfJoin {
         |SELECT event_id, user_id,
         | CASE WHEN gap_s <= 3600 THEN v_id END AS v_id,
         | CASE WHEN gap_s <= 3600 THEN gap_s END AS gap_s
-        |FROM m ORDER BY event_id""".stripMargin)
+        |FROM m ORDER BY event_id""".stripMargin,
+    "a03_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, v.v_id,
+        | date_diff('microsecond', p.ts, v.v_ts) // 1000000 AS gap_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.v_ts
+        |ORDER BY p.event_id""".stripMargin)
 }

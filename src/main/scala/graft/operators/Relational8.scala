@@ -466,6 +466,52 @@ object Relational8 {
        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
        |FROM agg ORDER BY source""".stripMargin
 
+  /** Bigram-LM quality score: per-document mean negative
+    * log-likelihood under the corpus's own bigram MLE, P(b|a) =
+    * c(a,b)/ctx(a) with ctx(a) = Σ_b c(a,b) — t18's unigram signal
+    * upgraded one order (word-order salad that unigram NLL can't see
+    * scores high here). Normalizing by the CONTEXT count (not the
+    * raw unigram count) makes Σ_b P(b|a) = 1 exactly, so NLL is
+    * always ≥ 0.
+    *
+    * Shape: bigrams come from an IN-PLAN array zip (slice + zip_with
+    * — no posexplode self-join, no second tokenize); the bigram
+    * vocabulary and the context totals both derive from the one
+    * (doc, a, b) aggregate, the t18 exchange-reuse discipline. Docs
+    * with < 2 tokens have no bigrams and are absent by construction
+    * on both engines — the slice length clamps at 0, so no t17-style
+    * crash path exists. */
+  def t28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = t(s, dir, "documents")
+      .select($"doc_id", word_tokens($"text").as("tk"))
+      .select($"doc_id", explode(zip_with(
+        slice($"tk", lit(1), greatest(size($"tk") - 1, lit(0))),
+        slice($"tk", lit(2), greatest(size($"tk") - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val dt = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("m"))
+    val cb = dt.groupBy($"a", $"b").agg(sum($"m").as("c"))
+    val cc = cb.groupBy($"a").agg(sum($"c").as("ctx"))
+    dt.join(cb, Seq("a", "b")).join(cc, Seq("a"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").cast("long").as("n_bigrams"),
+        round(sum($"m" * (log($"ctx") - log($"c"))) / sum($"m"), 4).as("nll"))
+      .orderBy($"doc_id")
+  }
+
+  private val t28Oracle =
+    s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |bg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+       |  FROM docs WHERE len(tk) >= 2),
+       |dt AS (SELECT doc_id, a, b, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT a, b, sum(m) AS c FROM dt GROUP BY a, b),
+       |cc AS (SELECT a, sum(c) AS ctx FROM cb GROUP BY a)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |  round(sum(m * (ln(ctx) - ln(cb.c))) / sum(m), 4) AS nll
+       |FROM dt JOIN cb USING (a, b) JOIN cc USING (a)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val KMV_K = 64
 
   /** KMV distinct-user estimate per event type — the oracle-checked
@@ -575,6 +621,7 @@ object Relational8 {
     "x05_kmv_distinct" -> (x05 _),
     "t26_effective_tokens" -> (t26 _),
     "t27_zipf_fit" -> (t27 _),
+    "t28_bigram_nll" -> (t28 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,5 +636,6 @@ object Relational8 {
     "x05_kmv_distinct" -> x05Oracle,
     "t26_effective_tokens" -> t26Oracle,
     "t27_zipf_fit" -> t27Oracle,
+    "t28_bigram_nll" -> t28Oracle,
   )
 }

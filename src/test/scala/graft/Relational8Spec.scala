@@ -143,6 +143,41 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("t28 bigram NLL: non-negative, bigram mass equals per-doc n_tok - 1") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational8.t28(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 0, s"ctx-normalized NLL is >= 0: ${r.getDouble(2)}")
+    }
+    val mass = rows.map(_.getLong(1)).sum
+    val expected = Tables.load(s, sf, "documents")
+      .select(greatest(size(graft.functions.NativeKernels.word_tokens($"text"))
+        .cast("long") - 1, lit(0L)).as("m"))
+      .agg(sum($"m")).head().getLong(0)
+    assert(mass == expected, s"bigram mass $mass != $expected")
+  }
+
+  test("a03 forward as-of: attributed view is the earliest at-or-after the purchase") {
+    val s = spark
+    import s.implicits._
+    val got = graft.operators.AsOfJoin.a03(s, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    // brute-force truth on the collected event set
+    val ev = Tables.load(s, sf, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("em"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    ev.filter(_._3 == "purchase").foreach { case (pid, uid, _, pem) =>
+      val next = views.getOrElse(uid, Array.empty[(Long, Long, String, Long)])
+        .filter(_._4 >= pem).sortBy(_._4).headOption
+      val expected = next.map(v => (v._1, (v._4 - pem) / 1000000L))
+      assert(got(pid) == expected, s"purchase $pid: ${got(pid)} vs $expected")
+    }
+  }
+
   test("s08 update+reassign does not increase total inertia (Lloyd step)") {
     val s = spark
     import s.implicits._
