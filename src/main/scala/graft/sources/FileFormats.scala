@@ -76,6 +76,23 @@ object FileFormats {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip (Spark's built-in columnar alternative to
+    * parquet — the interchange format a warehouse-side consumer may
+    * mandate). Same pushdown story as parquet: Catalyst prunes
+    * columns and pushes predicates into the ORC reader (plus
+    * ORC-side bloom filters via `orc.bloom.filter.columns` for point
+    * lookups on high-cardinality keys). */
+  def writeOrc(df: DataFrame, path: String,
+      bloomFilterCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (bloomFilterCols.nonEmpty)
+      w.option("orc.bloom.filter.columns", bloomFilterCols.mkString(","))
+    else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Size-targeted parquet write: bound rows per output file and
     * cluster rows within each partition by `sortCols` so parquet's
     * dictionary/RLE encoders and min-max row-group stats actually

@@ -372,6 +372,27 @@ object EventStreams {
         col("e.err").as("max_err"))
   }
 
+  /** Streaming KMV distinct-user estimate per event type (batch x05's
+    * streaming face): the typed KMV aggregator as a udaf inside a
+    * complete-mode streaming aggregate — O(k) state per type forever,
+    * and because KMV is a deterministic function of the input SET,
+    * the streamed estimate is EXACTLY the batch x05 estimate once all
+    * input is consumed (spec-asserted equality, not an error bound —
+    * the property no HLL stream can offer). */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      graft.functions.KMinValues.KMV(k))
+    events
+      .select(col("event_type"), graft.functions.TextOps.hash64(
+        concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("ks"))
+      .select(col("event_type"), size(col("ks")).cast("long").as("n_h"),
+        round(when(size(col("ks")) < k, size(col("ks")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("ks"), -1)), 2).as("est_distinct"))
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append")
       : StreamingQuery = {
     val q = df.writeStream.outputMode(mode)

@@ -56,6 +56,26 @@ class FileFormatsSpec extends SparkSpec {
     assert(bad.count() == 1)
   }
 
+  test("ORC round-trip preserves the documents table and pushes down scans") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf, "documents")
+    val dir = Files.createTempDirectory("graft-orc").toString
+    FileFormats.writeOrc(docs, dir, bloomFilterCols = Seq("doc_id"))
+    val back = FileFormats.readOrc(s, dir)
+    assert(back.schema == docs.schema, "ORC must preserve the schema")
+    assert(back.count() == docs.count())
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty,
+      "round-trip must be lossless")
+    // pushdown reaches the ORC scan like the parquet path
+    val q = back.filter($"doc_id" === 42L).select($"doc_id", $"source")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(1500))
+    assert(plan.contains("EqualTo(doc_id,42)"),
+      s"point predicate must reach the ORC reader: ${plan.take(1500)}")
+  }
+
   test("writeSizedParquet bounds rows per file and sorts within files") {
     val s = spark
     import s.implicits._

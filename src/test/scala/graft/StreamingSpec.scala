@@ -244,6 +244,27 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct equals batch x05 exactly (deterministic sketch)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.runToMemory(
+      EventStreams.kmvDistinctStream(EventStreams.stream(spark, dir.toString)),
+      "kmv_stream", mode = "complete")
+    try {
+      val streamed = spark.table("kmv_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = operators.Relational8.x05(spark, sf)
+        .select($"event_type", $"n_h", $"est_distinct")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream/batch KMV diverge: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join matches the batch join") {
     val s = spark
     import s.implicits._
