@@ -490,6 +490,11 @@ object Relational8 {
         slice($"tk", lit(2), greatest(size($"tk") - 1, lit(0))),
         (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+      // zip_with's conservative nullability makes the join inject
+      // isnotnull filters; stating them ONCE here keeps the three dt
+      // consumers' subtrees canonically identical so the exchange is
+      // planned once and reused (the t18 single-scan discipline)
+      .filter($"a".isNotNull && $"b".isNotNull)
     val dt = bg.groupBy($"doc_id", $"a", $"b").agg(count(lit(1)).as("m"))
     val cb = dt.groupBy($"a", $"b").agg(sum($"m").as("c"))
     val cc = cb.groupBy($"a").agg(sum($"c").as("ctx"))

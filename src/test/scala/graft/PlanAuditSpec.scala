@@ -210,6 +210,16 @@ class PlanAuditSpec extends SparkSpec {
       "reference distinct + per-doc counts must combine map-side")
   }
 
+  test("t28: bigram NLL tokenizes once, vocab derives from the (doc,a,b) aggregate") {
+    val plan = planOf(graft.operators.Relational8.t28(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans")
+    assert(finalPlan.contains("ReusedExchange"),
+      "bigram vocabulary must reuse the (doc, a, b) aggregate's exchange")
+  }
+
   test("e06: funnel reuses one user_id partitioning across all stages") {
     val plan = planOf(graft.operators.Relational8.e06(spark, sf))
     val finalPlan = plan.split("== Initial Plan ==").head
