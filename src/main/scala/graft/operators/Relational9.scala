@@ -156,14 +156,54 @@ object Relational9 {
       |FROM dev d JOIN mad m ON m.event_type = d.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** Leakage-PROOF split: assign folds per near-dup CLUSTER, not per
+    * document — every member of a cluster lands in the same fold, so
+    * no d02-grade near-dup pair can straddle train/test by
+    * construction (t29 exists to detect what this prevents; the spec
+    * proves the naive split leaks and this one cannot). Singleton
+    * docs hash on their own id — identical to the naive split, so
+    * only duplicate clusters move.
+    *
+    * Scale: one label-table join (materialized pipeline state) + a
+    * per-row hash; the fold function is the t10/t20 salted-md5
+    * convention, bit-reproducible under retry. */
+  def clusterAwareSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Relational4.materializedLabels(s, dir) // (id, comp)
+    t(s, dir, "documents")
+      .join(labels.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        pmod(hash64(concat(lit("split:"),
+          coalesce($"comp", $"doc_id").cast("string"))), lit(FOLDS))
+          .as("fold"))
+      .withColumn("split",
+        when($"fold" >= FOLDS - TEST_FOLDS, "test").otherwise("train"))
+      .select($"doc_id", $"fold".cast("long").as("fold"), $"split")
+      .orderBy($"doc_id")
+  }
+
+  private val t30Oracle = {
+    val fold =
+      s"((${sqlHash64("concat('split:', CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR))")} % $FOLDS + $FOLDS) % $FOLDS)"
+    s"""${Relational4.ccOraclePrefix},
+       |cl AS (SELECT id, cluster_id FROM comp),
+       |f AS (SELECT d.doc_id, $fold AS fold
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+       |SELECT doc_id, CAST(fold AS BIGINT) AS fold,
+       |  CASE WHEN fold >= ${FOLDS - TEST_FOLDS} THEN 'test' ELSE 'train' END AS split
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t29_leakage_audit" -> (t29 _),
+    "t30_cluster_split" -> (clusterAwareSplit _),
     "e08_gap_percentiles" -> (e08 _),
     "q53_mad_outliers" -> (q53 _),
   )
 
   val oracles: Map[String, String] = Map(
     "t29_leakage_audit" -> t29Oracle,
+    "t30_cluster_split" -> t30Oracle,
     "e08_gap_percentiles" -> e08Oracle,
     "q53_mad_outliers" -> q53Oracle,
   )

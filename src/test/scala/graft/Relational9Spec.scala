@@ -30,6 +30,27 @@ class Relational9Spec extends SparkSpec {
     }
   }
 
+  test("t30 cluster-aware split provably eliminates the leaks t29 finds") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.01"
+    // the naive per-doc split leaks (t29 is non-empty)...
+    assert(Relational9.t29(s, dir).count() > 0)
+    // ...the cluster-aware split cannot: every d02 pair shares a fold
+    val folds = Relational9.clusterAwareSplit(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d02(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(folds(a) == folds(b),
+        s"near-dup pair ($a,$b) must share a fold: ${folds(a)} vs ${folds(b)}")
+    }
+    // and the split is still roughly 90/10 over documents
+    val nTest = folds.values.count(_ >= 9)
+    assert(nTest > 0 && nTest < folds.size / 2)
+  }
+
   test("e08 gap stats: mass equals n-1 per type, percentiles ordered") {
     val s = spark
     import s.implicits._
