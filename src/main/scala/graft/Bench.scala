@@ -13,8 +13,16 @@ import java.util.Locale
   * Noise control: queries run in sorted-key order (stable across rounds
   * — HashMap iteration order reshuffles whenever a key is added, which
   * made r1→r2 per-query deltas incomparable), and each query runs REPS
-  * times with the median reported, so one GC pause or JIT warm-up
-  * doesn't show up as a 2× "regression".
+  * consecutive times with the median reported. Interleaved whole-suite
+  * passes (each query's median across passes) were tried in r7 and
+  * MEASURED WORSE: with 129 queries per pass the bounded whole-stage
+  * codegen cache evicts between a query's samples, every pass
+  * recompiles everything, and the suite total inflated 65→80 s at
+  * sf0.1 with per-query medians that include recompilation a
+  * production job (one plan, resident code) never pays. Consecutive
+  * reps keep sample 2-3 warm — the steady-state number — and
+  * cross-suite contention attribution is the calibration probe's job,
+  * not the rep structure's.
   *
   * Failure visibility: a query that throws records `-1` (not its
   * elapsed time — a failing query would otherwise bench as "fast",
