@@ -16,7 +16,10 @@ import graft.operators.Dedup.sqlShingleRows
   *    arrival-process health panel — p50/p95/max of consecutive
   *    gaps);
   *  - q53: median absolute deviation robust statistics (outlier
-  *    flagging that one wild value can't drag, unlike mean/stddev).
+  *    flagging that one wild value can't drag, unlike mean/stddev);
+  *  - t30: cluster-aware train/test split — the constructive answer
+  *    to t29 (folds per near-dup cluster, leakage impossible by
+  *    construction).
   */
 object Relational9 {
 
