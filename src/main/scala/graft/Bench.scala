@@ -49,7 +49,7 @@ import java.util.Locale
   * contention, and totals alone can't prove it): BENCH_QUERIES.json
   * now carries a per-query `spread` map (max−min across the REPS) and
   * the stdout line carries `cal`/`cal_spread` — the median and spread
-  * of a fixed CPU-bound calibration probe (`range(50M) → sum of
+  * of a fixed CPU-bound calibration probe (`range(400M) → max of
   * xxhash64`) run at suite start AND end. The probe's work is
   * byte-identical every round, so its median moving between rounds
   * measures the HOST, not the code: a per-query regression that
@@ -70,7 +70,7 @@ object Bench {
   private def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
-    // max, not sum: summing 50M signed 64-bit hashes overflows under
+    // max, not sum: summing 400M signed 64-bit hashes overflows under
     // ANSI; the per-row hash work (the thing being timed) is identical
     // 400M rows ≈ 0.3-0.6 s wall: long enough that task-scheduling
     // jitter is a small fraction, short enough that 7 probe runs add

@@ -32,7 +32,10 @@ object AsOfJoin {
     * (last-behind vs first-ahead) flip. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, carry: Seq[String],
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(tieBreak.forall(carry.contains),
+      "tieBreak columns must be among the carried left columns")
     require(right.columns.intersect(carry).isEmpty,
       "carry column names must not collide with right-side columns")
     val rightCols = right.columns.toSeq
@@ -49,15 +52,21 @@ object AsOfJoin {
         rightCols.map(col): _*)
     // at identical timestamps, left rows sort on the INCLUSIVE side of
     // the right row's frame: before it (asc __side) for backward,
-    // after it (desc __side) for forward
+    // after it (desc __side) for forward. `tieBreak` then totally
+    // orders left rows that ALSO share __t (null on right rows, so it
+    // never reorders across sides): backward picks the tie-break MAX
+    // (last over asc), forward the MIN (first over asc) — without it
+    // the pick among duplicate-(key, time) left rows is whatever sort
+    // order the shuffle produced, and an oracle compare can flap.
+    val tb = tieBreak.map(col)
     val w =
       if (forward)
         Window.partitionBy(col("__k"))
-          .orderBy(col("__t"), col("__side").desc)
+          .orderBy(col("__t") +: col("__side").desc +: tb: _*)
           .rowsBetween(0, Window.unboundedFollowing)
       else
         Window.partitionBy(col("__k"))
-          .orderBy(col("__t"), col("__side"))
+          .orderBy(col("__t") +: col("__side") +: tb: _*)
           .rowsBetween(Window.unboundedPreceding, 0)
     val pick: Column => Column =
       if (forward) first(_, ignoreNulls = true).over(w)
@@ -77,7 +86,8 @@ object AsOfJoin {
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts")
     asOf(views, purchases, key = "user_id",
-      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"))
+      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"),
+      tieBreak = Seq("v_id"))
       .select($"event_id", $"user_id", $"asof_v_id".as("v_id"),
         expr("(unix_micros(ts) - unix_micros(asof_v_ts)) div 1000000").as("gap_s"))
       .orderBy($"event_id")
@@ -98,7 +108,8 @@ object AsOfJoin {
       .select($"event_id", $"user_id", $"ts")
     val gap = expr("(unix_micros(ts) - unix_micros(asof_v_ts)) div 1000000")
     asOf(views, purchases, key = "user_id",
-      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"))
+      leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"),
+      tieBreak = Seq("v_id"))
       .select($"event_id", $"user_id",
         when(gap <= 3600, $"asof_v_id").as("v_id"),
         when(gap <= 3600, gap).as("gap_s"))
@@ -119,7 +130,7 @@ object AsOfJoin {
       .select($"event_id", $"user_id", $"ts")
     asOf(views, purchases, key = "user_id",
       leftTime = "v_ts", rightTime = "ts", carry = Seq("v_id", "v_ts"),
-      forward = true)
+      forward = true, tieBreak = Seq("v_id"))
       .select($"event_id", $"user_id", $"asof_v_id".as("v_id"),
         expr("(unix_micros(asof_v_ts) - unix_micros(ts)) div 1000000").as("gap_s"))
       .orderBy($"event_id")

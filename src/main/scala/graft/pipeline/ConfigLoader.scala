@@ -121,9 +121,11 @@ object ConfigLoader {
       case -1 => Some((auth, 3128))
       case i =>
         val (h, ps) = (auth.substring(0, i), auth.substring(i + 1))
-        if (h.nonEmpty && ps.nonEmpty && ps.forall(_.isDigit))
-          Some((h, ps.toInt))
-        else None
+        // toIntOption (not forall(isDigit) + toInt) so an all-digit
+        // string beyond Int range, or a port outside 1-65535, falls
+        // through to the loud IllegalArgumentException above
+        val port = ps.toIntOption.filter(p => p > 0 && p <= 65535)
+        if (h.nonEmpty) port.map((h, _)) else None
     }
   }
 

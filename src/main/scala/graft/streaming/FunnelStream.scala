@@ -16,6 +16,11 @@ case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
   * (timestamps truncated to seconds before differencing). */
 case class StageHit(user_id: Long, stage: String, lag_sec: Long)
 
+/** Flat funnel state for the transformWithState form (ValueState
+  * encoders prefer flat case classes over Options). */
+case class FunnelTws(hasV: Boolean, tv: Long, hasC: Boolean, tc: Long,
+    hasP: Boolean, tp: Long)
+
 /** Streaming face of the batch e06 conversion funnel
   * ([[graft.operators.Relational8.e06]]): per-user ordered stage
   * detection as events arrive, emitting one [[StageHit]] the moment a
@@ -33,11 +38,6 @@ case class StageHit(user_id: Long, stage: String, lag_sec: Long)
   * stream shuffles once on user_id (the same key the batch plan
   * uses), and emission is append-mode — no result revision, so sinks
   * can be write-once. */
-/** Flat funnel state for the transformWithState form (ValueState
-  * encoders prefer flat case classes over Options). */
-case class FunnelTws(hasV: Boolean, tv: Long, hasC: Boolean, tc: Long,
-    hasP: Boolean, tp: Long)
-
 object FunnelStream {
 
   def stages(events: DataFrame): Dataset[StageHit] = {

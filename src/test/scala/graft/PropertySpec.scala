@@ -178,8 +178,11 @@ class PropertySpec extends AnyFunSuite {
         s"$url -> ${cfg.proxyHost}:${cfg.proxyPort}")
     }
     // entries with a path or userinfo do NOT get the fallback: still loud
+    // ports out of TCP range (0, >65535, or beyond Int) are just as loud —
+    // no bare NumberFormatException from toInt on an all-digit overflow
     for (bad <- Seq("http://corp_proxy:3128/path", "u:p@corp_proxy:9",
-        "corp_proxy:notaport")) {
+        "corp_proxy:notaport", "corp_proxy:99999999999",
+        "corp_proxy:65536", "corp_proxy:0")) {
       intercept[IllegalArgumentException] {
         graft.pipeline.ConfigLoader.fromJson(
           s"""{"proxies": {"https": "$bad"}}""")
