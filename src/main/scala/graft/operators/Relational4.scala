@@ -437,8 +437,11 @@ object Relational4 {
 
   def materializedPairs(s: SparkSession, dir: String): DataFrame = {
     evictOnStop(s)
+    // full d02 schema (a_id, b_id, jaccard): the clustering consumers
+    // re-select (a_id, b_id), while the t29m leakage audit needs the
+    // score — one detection pass feeds both (VERDICT r7 #2)
     pairCache.getOrElseUpdate((s, dir),
-      Dedup.d02(s, dir).select("a_id", "b_id").localCheckpoint())
+      Dedup.d02(s, dir).localCheckpoint())
   }
 
   /** Materialized cluster-label table `(id, comp)` — the d06 fixpoint

@@ -39,12 +39,16 @@ object Relational9 {
     * Scale: the split is a per-row hash (no shuffle); the audit
     * reuses d02's bucketed pair machinery — pair generation never
     * leaves the shingle buckets, and the straddle predicate drops
-    * same-split pairs before the output. */
-  def t29(s: SparkSession, dir: String): DataFrame = {
+    * same-split pairs before the output. `pairsIn` (the
+    * [[Relational4.d09]] pattern) lets a pipeline audit the split
+    * against already-materialized pair state instead of re-running
+    * detection — [[t29m]] wires it to the d02 pair cache. */
+  def t29(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val fold = (id: org.apache.spark.sql.Column) =>
       pmod(hash64(concat(lit("split:"), id.cast("string"))), lit(FOLDS))
-    Dedup.d02(s, dir)
+    pairsIn.getOrElse(Dedup.d02(s, dir))
       .select($"a_id", $"b_id", $"jaccard",
         (fold($"a_id") >= FOLDS - TEST_FOLDS).as("a_test"),
         (fold($"b_id") >= FOLDS - TEST_FOLDS).as("b_test"))
@@ -55,6 +59,13 @@ object Relational9 {
         $"jaccard")
       .orderBy($"test_id", $"train_id")
   }
+
+  /** t29 from the materialized d02 pair cache — only the fold hash
+    * and straddle filter run per call; detection cost was paid once
+    * by [[Relational4.materializedPairs]]. The pipeline-cost truth
+    * for the leakage audit (the q51m/d06m convention). */
+  def t29m(s: SparkSession, dir: String): DataFrame =
+    t29(s, dir, Some(Relational4.materializedPairs(s, dir)))
 
   private val t29Oracle = {
     def fold(c: String) =
@@ -198,7 +209,8 @@ object Relational9 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t29_leakage_audit" -> (t29 _),
+    "t29_leakage_audit" -> ((s: SparkSession, d: String) => t29(s, d)),
+    "t29m_leakage_materialized" -> (t29m _),
     "t30_cluster_split" -> (clusterAwareSplit _),
     "e08_gap_percentiles" -> (e08 _),
     "q53_mad_outliers" -> (q53 _),
@@ -206,6 +218,7 @@ object Relational9 {
 
   val oracles: Map[String, String] = Map(
     "t29_leakage_audit" -> t29Oracle,
+    "t29m_leakage_materialized" -> t29Oracle,
     "t30_cluster_split" -> t30Oracle,
     "e08_gap_percentiles" -> e08Oracle,
     "q53_mad_outliers" -> q53Oracle,

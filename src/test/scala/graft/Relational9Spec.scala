@@ -81,4 +81,13 @@ class Relational9Spec extends SparkSpec {
         s"robust outliers must be a minority: $r")
     }
   }
+
+  test("t29m over materialized pairs equals inline t29 row-for-row") {
+    val s = spark
+    val inline = Relational9.t29(s, sf).collect().toSeq
+    val mat = Relational9.t29m(s, sf).collect().toSeq
+    assert(inline == mat,
+      s"materialized audit diverged: ${inline.size} vs ${mat.size} rows")
+    assert(inline.nonEmpty, "audit should find at least one leak at sf0.001")
+  }
 }
