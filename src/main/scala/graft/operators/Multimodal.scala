@@ -3,60 +3,93 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.MediaCodec
 
 /** Multimodal-column support (SURVEY.md §7.2): media as opaque BINARY
   * columns + typed metadata struct, with decode / feature-extract /
   * frame-sample as partition-wise batch transforms.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB — but everything Spark-side is
-  * real and tested: the binary column, the metadata StructType, the
-  * `mapPartitions` batching shape (the Scala analog of `mapInPandas`:
-  * one buffered iterator per partition, amortizing per-batch codec
-  * init), partitioning, and the downstream feature schema.
+  * Round 8 replaced the byte-length stub with a real container codec
+  * ([[graft.functions.MediaCodec]]): fixture blobs are
+  * spec-conformant PNG / WAV-RIFF / MP4-box containers (correct chunk
+  * CRCs and box sizes) whose headers ENCODE the per-doc dimensions,
+  * and `decodeBatch` PARSES them back out of the bytes — PNG IHDR,
+  * WAV fmt, MP4 tkhd/mvhd walks, plus JPEG SOF0 for externally
+  * produced files (cross-checked against `javax.imageio` in
+  * MediaCodecSpec). Decode is container-level (dimensions, sample
+  * rate, duration, payload hash), which is the feature-extraction
+  * step a curation pipeline runs per blob; pixel decode belongs far
+  * downstream on the curated subset.
   *
   * At 100 TB: media bytes stay columnar in parquet (never strings),
-  * decode runs once per partition-batch with codec reuse, features are
+  * decode runs once per partition-batch with codec reuse
+  * (`mapPartitions`, the Scala analog of `mapInPandas`), features are
   * small fixed-width columns so downstream shuffles never carry blobs
-  * (`select` drops the binary column before any wide transform).
+  * (`select` drops the binary column before any wide transform), and
+  * metadata-only queries (m02) read pruned meta columns without ever
+  * touching blob bytes.
   */
 object Multimodal {
 
-  /** Decoded-media feature row (the "decode" output schema). */
+  /** Decoded-media feature row (the "decode" output schema). For
+    * audio, (width, height) carry (sample_rate, channels) — the WAV
+    * header facts playing the role image dimensions play for images. */
   case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, frame0_hash: String)
 
-  /** Media table: documents' text bytes standing in for blobs. */
+  private def mimeOf(source: org.apache.spark.sql.Column) =
+    when(source.isin("src0", "src1", "src2"), "image/png")
+      .when(source.isin("src3", "src4"), "audio/wav")
+      .otherwise("video/mp4")
+
+  /** Media table: real containers wrapping documents' text bytes as
+    * payload. Header fields are deterministic functions of the
+    * payload length n — png/mp4 dims (16 + n % 625, 16 + n % 465),
+    * wav (8000 + n % 3 * 4000 Hz, 1 + n % 2 channels), mp4 frame
+    * count 1 + n / 256 — so the DuckDB oracle can state what a
+    * correct header parse must find. `meta.n_bytes` is the PAYLOAD
+    * length (media data, not container overhead). */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(
-      $"doc_id",
-      $"text".cast("binary").as("content"),
-      struct(
-        octet_length($"text").cast("long").as("n_bytes"),
-        when($"source".isin("src0", "src1", "src2"), "image/png")
-          .when($"source".isin("src3", "src4"), "audio/wav")
-          .otherwise("video/mp4").as("mime")).as("meta"))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", mimeOf($"source").as("mime"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, mime) =>
+          val payload = Option(text).getOrElse("").getBytes("UTF-8")
+          val n = payload.length.toLong
+          val content = mime match {
+            case "image/png" => MediaCodec.writePng(
+              (16 + n % 625).toInt, (16 + n % 465).toInt, payload)
+            case "audio/wav" => MediaCodec.writeWav(
+              (8000 + (n % 3) * 4000).toInt, (1 + n % 2).toInt, payload)
+            case _ => MediaCodec.writeMp4(
+              (16 + n % 625).toInt, (16 + n % 465).toInt,
+              (1 + n / 256).toInt, payload)
+          }
+          (id, content, n, mime)
+        }
+      }
+      .toDF("doc_id", "content", "n_bytes", "mime")
+      .select($"doc_id", $"content",
+        struct($"n_bytes", $"mime").as("meta"))
   }
 
-  /** STUB decode kernel — where libjpeg/ffmpeg would run. Deterministic
-    * fake: dimensions derived from byte length, frame hash from the
-    * first 256 bytes. Signature and batching are the real contract. */
+  /** Real decode kernel: sniff the container by magic bytes, parse
+    * its header ([[MediaCodec.decode]]), hash the first 256 payload
+    * bytes. Per-partition codec init (the MessageDigest) happens once
+    * here — this is why decode is mapPartitions, not a per-row UDF. */
   private def decodeBatch(rows: Iterator[(Long, Array[Byte], Long, String)])
       : Iterator[MediaFeatures] = {
-    // per-partition "codec init" happens once, here (real codecs are
-    // expensive to construct — this is why decode is mapPartitions, not
-    // a per-row UDF)
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { case (id, bytes, nBytes, mime) =>
-      val w = 16 + (nBytes % 625).toInt      // ??? real: decode header
-      val h = 16 + (nBytes % 465).toInt      // ??? real: decode header
-      val frames = if (mime.startsWith("video")) 1 + (nBytes / 256).toInt else 1
-      val frame0 = bytes.take(256)
+      val d = MediaCodec.decode(bytes)
+      val frame0 = java.util.Arrays.copyOfRange(
+        bytes, d.payloadOff, d.payloadOff + math.min(256, d.payloadLen))
       md.reset()
       val hash = md.digest(frame0).map(b => f"$b%02x").mkString
-      MediaFeatures(id, mime, nBytes, w, h, frames, hash)
+      MediaFeatures(id, mime, nBytes, d.width, d.height, d.frames, hash)
     }
   }
 
@@ -70,29 +103,34 @@ object Multimodal {
     media.mapPartitions(decodeBatch).toDF()
   }
 
-  /** Frame sampling: every video becomes up to 3 (doc_id, frame_idx,
-    * frame_hash) rows — 256-byte "frames" hashed by the stub codec. */
+  /** Frame sampling: every video becomes up to 3 (doc_id, frame_idx)
+    * rows. Metadata-only — the plan reads documents' pruned columns
+    * and never builds or touches blob bytes (the 100 TB story: frame
+    * INDEX selection is a catalog operation; only a downstream
+    * extract stage for the selected frames opens containers). */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir)
-      .filter($"meta.mime" === "video/mp4")
-      .select($"doc_id", $"meta.n_bytes".as("n_bytes"),
+    Tables.load(s, dir, "documents")
+      .filter(mimeOf($"source") === "video/mp4")
+      .select($"doc_id", octet_length($"text").cast("long").as("n_bytes"))
+      .select($"doc_id",
         explode(sequence(lit(0),
-          least(floor($"meta.n_bytes" / 256).cast("int"), lit(2)))).as("frame_idx"))
+          least(floor($"n_bytes" / 256).cast("int"), lit(2)))).as("frame_idx"))
       .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"))
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** Oracle-checkable slice of the pipeline: metadata + stub features
-    * expressed as pure column ops (same arithmetic as decodeBatch). */
+  /** The decode pipeline as an oracle query: every feature here is
+    * read back out of container headers by [[decodeBatch]], and the
+    * DuckDB side states the arithmetic the headers were written with
+    * — so the oracle check proves the encode→parse round trip. */
   def m01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).select(
-      $"doc_id",
-      $"meta.mime".as("mime"),
-      $"meta.n_bytes".as("n_bytes"),
-      (lit(16) + ($"meta.n_bytes" % 625)).cast("long").as("width"),
-      (lit(16) + ($"meta.n_bytes" % 465)).cast("long").as("height"))
+    decodeFeatures(s, dir).select(
+      $"doc_id", $"mime", $"n_bytes",
+      $"width".cast("long").as("width"),
+      $"height".cast("long").as("height"),
+      $"n_frames".cast("long").as("n_frames"))
       .orderBy($"doc_id")
   }
 
@@ -120,14 +158,23 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the header-parse round trip: containers were written with these
+    // dims; decodeBatch must read them back out of the bytes
     "m01_media_meta" ->
       """SELECT doc_id,
         | CASE WHEN source IN ('src0','src1','src2') THEN 'image/png'
         |      WHEN source IN ('src3','src4') THEN 'audio/wav'
         |      ELSE 'video/mp4' END AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(16 + octet_length(encode(text)) % 625 AS BIGINT) AS width,
-        | CAST(16 + octet_length(encode(text)) % 465 AS BIGINT) AS height
+        | CAST(CASE WHEN source IN ('src3','src4')
+        |      THEN 8000 + (octet_length(encode(text)) % 3) * 4000
+        |      ELSE 16 + octet_length(encode(text)) % 625 END AS BIGINT) AS width,
+        | CAST(CASE WHEN source IN ('src3','src4')
+        |      THEN 1 + octet_length(encode(text)) % 2
+        |      ELSE 16 + octet_length(encode(text)) % 465 END AS BIGINT) AS height,
+        | CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |      THEN 1
+        |      ELSE 1 + octet_length(encode(text)) // 256 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id, CAST(u AS BIGINT) AS frame_idx
@@ -136,11 +183,16 @@ object Multimodal {
         |  FROM documents
         |  WHERE source NOT IN ('src0','src1','src2','src3','src4'))
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // container bytes are a deterministic function of (text, mime),
+    // so grouping by md5(container) in Spark partitions rows exactly
+    // like grouping by (md5(text), mime-class) does in DuckDB
     "m03_blob_dedup" ->
-      // DuckDB's md5 takes VARCHAR (hashing its UTF-8 bytes), which is
-      // byte-identical to Spark's md5 over the UTF-8-cast binary column
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM (SELECT doc_id, md5(text) AS digest FROM documents)
-        |GROUP BY digest ORDER BY keep_id""".stripMargin,
+        |FROM (SELECT doc_id, md5(text) AS digest,
+        |   CASE WHEN source IN ('src0','src1','src2') THEN 'p'
+        |        WHEN source IN ('src3','src4') THEN 'a'
+        |        ELSE 'v' END AS mm
+        |  FROM documents)
+        |GROUP BY digest, mm ORDER BY keep_id""".stripMargin,
   )
 }

@@ -317,6 +317,59 @@ object Relational8 {
        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** ntile's bucket for 1-based global rank `rr` over `n` rows split
+    * 10 ways: the first `r0 = n % 10` buckets hold `q+1` rows
+    * (`q = n / 10`), the rest hold `q`. */
+  private def decileOf(rr: Column, q: Column, r0: Column): Column =
+    when(q === 0, rr).otherwise(
+      when(rr <= (q + 1) * r0, floor((rr - 1) / (q + 1)) + 1)
+        .otherwise(r0 + floor((rr - 1 - (q + 1) * r0) / q) + 1))
+
+  /** q52's decile report WITHOUT the global row sort (VERDICT r7 #5,
+    * the SCALING.md sharded path, now a registered query): per-decile
+    * count/min/max/sum depend only on the MULTISET of token counts
+    * (tied docs carry equal n_tok, so how ntile splits a tie across
+    * buckets never moves the stats) — so aggregate rows to a
+    * (n_tok, cnt) frequency table first, and run the rank arithmetic
+    * there. Same oracle as q52, row-for-row.
+    *
+    * Scale: the only row-level operation is a map-side-combinable
+    * groupBy(n_tok); everything after — cumulative ranks, ntile
+    * bucket-boundary arithmetic, the ≤ 10-way span explode — runs on
+    * a frame with one row per DISTINCT length (bounded by the
+    * longest document, not the corpus). The single-partition window
+    * over that tiny frame is the t12 stance; the 100 TB row set is
+    * never sorted. */
+  def q52s(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = t(s, dir, "documents")
+      .select(size(word_tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy($"n_tok")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = freq
+      .withColumn("hi", sum($"cnt").over(wcum))
+      .withColumn("lo", $"hi" - $"cnt" + 1)
+    cum.crossJoin(broadcast(freq.agg(sum($"cnt").as("n_total"))))
+      .withColumn("q", floor($"n_total" / 10).cast("long"))
+      .withColumn("r0", ($"n_total" % 10).cast("long"))
+      .select($"n_tok", $"lo", $"hi", $"q", $"r0",
+        explode(sequence(
+          decileOf($"lo", $"q", $"r0").cast("long"),
+          decileOf($"hi", $"q", $"r0").cast("long"))).as("decile"))
+      .withColumn("start_d",
+        ($"decile" - 1) * $"q" + least($"decile" - 1, $"r0") + 1)
+      .withColumn("end_d", $"decile" * $"q" + least($"decile", $"r0"))
+      .withColumn("overlap",
+        least($"hi", $"end_d") - greatest($"lo", $"start_d") + 1)
+      .filter($"overlap" > 0)
+      .groupBy($"decile")
+      .agg(sum($"overlap").cast("long").as("n_docs"),
+        min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"),
+        sum($"n_tok" * $"overlap").cast("long").as("sum_tok"))
+      .orderBy($"decile")
+  }
+
   private val S08_K = 8    // clusters (the s07 seed convention)
   private val S08_DIM = 64 // embedding dimensionality
 
@@ -531,49 +584,70 @@ object Relational8 {
     * carries ≤ k longs per (partition, type) into the shuffle — the
     * GroupedTopK/SpaceSaving bounded-state discipline; the estimator
     * never materializes the distinct set. */
-  def x05(s: SparkSession, dir: String): DataFrame = {
+  def x05(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(s, t(s, dir, "events"), "event_type", "user_id")
+
+  /** KMV face of x01's distinct-count (VERDICT r7 #4): the same
+    * question x01's HLL answers — distinct orders per return flag —
+    * through the deterministic-estimator sketch, so the ESTIMATE
+    * itself is oracle-checked bit-for-bit, not just its error flag.
+    * A pipeline keeps both: HLL for constant tiny state, KMV when
+    * the estimate must be auditable/mergeable across engines. */
+  def x01k(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(s, t(s, dir, "lineitem"), "l_returnflag", "l_orderkey")
+
+  /** Shared KMV distinct-count estimator: hash the value column with
+    * the fixed engine-portable hash, keep the k smallest per group
+    * (typed [[graft.functions.KMinValues.KMV]] aggregator — ≤ k
+    * longs per (partition, group) cross the shuffle), estimate
+    * (k−1)·2^60 / kth-min, ride the exact count along as the error
+    * report. */
+  private def kmvDistinct(s: SparkSession, df: DataFrame,
+      group: String, value: String): DataFrame = {
     import s.implicits._
-    val ev = t(s, dir, "events")
-    val hashed = ev.select($"event_type",
-        hash64(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+    val hashed = df.select(col(group),
+        hash64(concat(lit("kmv:"), col(value).cast("string"))).as("h"))
       .as[(String, Long)]
     val kmv = hashed.groupByKey(_._1)
       .mapValues(_._2)
       .agg(graft.functions.KMinValues.KMV(KMV_K).toColumn.name("ks"))
-      .toDF("event_type", "ks")
-    val exact = ev.groupBy($"event_type")
-      .agg(countDistinct($"user_id").cast("long").as("exact_distinct"))
-    kmv.select($"event_type", size($"ks").cast("long").as("n_h"),
+      .toDF(group, "ks")
+    val exact = df.groupBy(col(group))
+      .agg(countDistinct(col(value)).cast("long").as("exact_distinct"))
+    kmv.select(col(group), size($"ks").cast("long").as("n_h"),
         element_at($"ks", -1).as("kth"))
-      .join(exact, "event_type")
-      .select($"event_type", $"n_h",
+      .join(exact, group)
+      .select(col(group), $"n_h",
         round(when($"n_h" < KMV_K, $"n_h".cast("double"))
           .otherwise(lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) / $"kth"),
           2).as("est_distinct"),
         $"exact_distinct")
       .withColumn("rel_err",
         round(abs($"est_distinct" - $"exact_distinct") / $"exact_distinct", 4))
-      .orderBy($"event_type")
+      .orderBy(col(group))
   }
 
-  private val x05Oracle =
-    s"""WITH h AS (SELECT DISTINCT event_type,
-       |    ${sqlHash64("concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
-       |  FROM events),
-       |r AS (SELECT event_type, h,
-       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-       |kk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h, max(h) AS kth
-       |  FROM r WHERE rn <= $KMV_K GROUP BY event_type),
-       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-       |  FROM events GROUP BY event_type),
-       |est AS (SELECT kk.event_type, n_h,
+  private def kmvOracle(table: String, group: String, value: String) =
+    s"""WITH h AS (SELECT DISTINCT $group,
+       |    ${sqlHash64(s"concat('kmv:', CAST($value AS VARCHAR))")} AS h
+       |  FROM $table),
+       |r AS (SELECT $group, h,
+       |  row_number() OVER (PARTITION BY $group ORDER BY h) AS rn FROM h),
+       |kk AS (SELECT $group, CAST(count(*) AS BIGINT) AS n_h, max(h) AS kth
+       |  FROM r WHERE rn <= $KMV_K GROUP BY $group),
+       |ex AS (SELECT $group, CAST(count(DISTINCT $value) AS BIGINT) AS exact_distinct
+       |  FROM $table GROUP BY $group),
+       |est AS (SELECT kk.$group, n_h,
        |  round(CASE WHEN n_h < $KMV_K THEN CAST(n_h AS DOUBLE)
        |    ELSE CAST(${KMV_K - 1} AS DOUBLE) * 1152921504606846976 / kth END, 2) AS est_distinct,
        |  exact_distinct
-       |  FROM kk JOIN ex ON ex.event_type = kk.event_type)
-       |SELECT event_type, n_h, est_distinct, exact_distinct,
+       |  FROM kk JOIN ex ON ex.$group = kk.$group)
+       |SELECT $group, n_h, est_distinct, exact_distinct,
        |  round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
-       |FROM est ORDER BY event_type""".stripMargin
+       |FROM est ORDER BY $group""".stripMargin
+
+  private val x05Oracle = kmvOracle("events", "event_type", "user_id")
+  private val x01kOracle = kmvOracle("lineitem", "l_returnflag", "l_orderkey")
 
   /** Effective token mass per source after soft dedup: each
     * document's tokens weighted by its d10 soft-dedup weight
@@ -622,8 +696,10 @@ object Relational8 {
     "t25_lexical_diversity" -> (t25 _),
     "d13_dup_chunks" -> (d13 _),
     "q52_token_deciles" -> (q52 _),
+    "q52s_token_deciles_sharded" -> (q52s _),
     "s08_kmeans_assign" -> (s08 _),
     "x05_kmv_distinct" -> (x05 _),
+    "x01k_kmv_distinct" -> (x01k _),
     "t26_effective_tokens" -> (t26 _),
     "t27_zipf_fit" -> (t27 _),
     "t28_bigram_nll" -> (t28 _),
@@ -637,8 +713,10 @@ object Relational8 {
     "t25_lexical_diversity" -> t25Oracle,
     "d13_dup_chunks" -> d13Oracle,
     "q52_token_deciles" -> q52Oracle,
+    "q52s_token_deciles_sharded" -> q52Oracle,
     "s08_kmeans_assign" -> s08Oracle,
     "x05_kmv_distinct" -> x05Oracle,
+    "x01k_kmv_distinct" -> x01kOracle,
     "t26_effective_tokens" -> t26Oracle,
     "t27_zipf_fit" -> t27Oracle,
     "t28_bigram_nll" -> t28Oracle,

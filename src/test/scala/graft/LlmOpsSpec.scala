@@ -116,8 +116,11 @@ class LlmOpsSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without a query: ${o -- q}")
-    assert((q -- o) == Set("x01_approx_distinct", "x03_approx_quantile",
-      "x04_heavy_hitters"),
+    // x04 (SpaceSaving) is the one remaining rows-only sketch: its
+    // state is genuinely arrival-order-dependent, so no cross-engine
+    // oracle exists; ScaleSpec bounds it instead. x01/x03/x05 are
+    // oracle-checked via deterministic estimators or error-bound flags.
+    assert((q -- o) == Set("x04_heavy_hitters"),
       s"undocumented rows-only queries: ${q -- o}")
   }
 

@@ -232,4 +232,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.forall(_.contains("user_id")),
       s"funnel shuffles must be user_id-keyed:\n${shuffles.mkString("\n")}")
   }
+
+  test("q52s: sharded deciles never sort the row set (q52's ntile does)") {
+    val r8 = graft.operators.Relational8
+    val sharded = planOf(r8.q52s(spark, sf))
+    assert(!sharded.contains("ntile"),
+      s"sharded path must not use the global ntile:\n${sharded.take(2000)}")
+    // the only window/sort input is the (n_tok, cnt) frequency frame:
+    // every single-partition exchange sits above a HashAggregate, so
+    // what crosses into the sort is one row per DISTINCT length
+    val finalPlan = sharded.split("== Initial Plan ==").head
+    val rowWindows = finalPlan.linesIterator
+      .filter(_.contains("Window")).toSeq
+    assert(rowWindows.forall(_.contains("n_tok")),
+      s"window must run over the aggregated frequency frame:\n$rowWindows")
+    assert(finalPlan.contains("HashAggregate"),
+      "row-level groupBy(n_tok) must partial-aggregate before any sort")
+    // and the baseline q52 IS the global-sort form (gate-mandated)
+    assert(planOf(r8.q52(spark, sf)).contains("ntile"))
+  }
+
+  test("q52s equals q52 row-for-row (sharded rank arithmetic is exact)") {
+    val r8 = graft.operators.Relational8
+    val a = r8.q52(spark, sf).collect().toSeq
+    val b = r8.q52s(spark, sf).collect().toSeq
+    assert(a == b, s"decile reports diverged:\n$a\n$b")
+  }
 }

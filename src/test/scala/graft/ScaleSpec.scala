@@ -1,27 +1,32 @@
 package graft
 
-import graft.operators.{Relational3, Skew}
+import graft.operators.{Dedup, Relational3, Skew}
 import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkSpec {
 
-  test("x01 approx distinct is within 5% of exact") {
+  test("x01 approx distinct is within 5% of exact (and the query says so)") {
+    val s = spark
+    import s.implicits._
+    // the raw estimate, recomputed here since x01's hashed output
+    // carries only the in-bound flag
+    Tables.load(s, sf, "lineitem").groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx"),
+        countDistinct($"l_orderkey").as("exact")).collect().foreach { r =>
+        val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+        assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+      }
     val rows = Relational3.x01(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact")
-    }
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("approx_ok") == 1L))
   }
 
-  test("x03 approx quantiles land within 5% of exact") {
-    Relational3.x03(spark, sf).collect().foreach { r =>
-      for (p <- Seq("p50", "p90")) {
-        val a = r.getAs[Double](s"${p}_approx")
-        val e = r.getAs[Double](s"${p}_exact")
-        assert(math.abs(a - e) / e <= 0.05, s"$p: approx $a vs exact $e")
-      }
+  test("x03 approx quantiles land inside their rank-error bounds") {
+    val rows = Relational3.x03(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_ok") == 1L && r.getAs[Long]("p90_ok") == 1L,
+        s"GK estimate broke its 5e-4 rank bound: $r")
+      assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p90_exact"))
     }
   }
 
@@ -129,6 +134,90 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("adversarial stop-shingle skew: capped bucket build stays exact on planted pairs") {
+    val s = spark
+    import s.implicits._
+    // 20k docs, EVERY one sharing a 12-token stop prefix -> 10
+    // shingles with df = 20,000. Uncapped, each hot bucket would
+    // pair-expand to 2e8 candidates (x10 buckets = 2e9) — the
+    // 100 TB failure mode. 400 planted twin pairs share a unique
+    // 40-token body, so their candidates ride df=2 buckets that
+    // survive any cap.
+    val V = 20000
+    val P = 400
+    val body = (0 until 40).map(k =>
+      concat(lit(s" w${k}x"), $"body_id".cast("string")))
+    val docsDf = s.range(V).select($"id".as("doc_id"))
+      .withColumn("body_id",
+        when($"doc_id" >= V - P, $"doc_id" - (V - P)).otherwise($"doc_id"))
+      .withColumn("text", concat(
+        lit("the quick brown fox jumps over the lazy dog again and again") +:
+          body :+
+          when($"doc_id" >= V - P, lit(" tail variant token"))
+            .otherwise(lit(" tail normal token")): _*))
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("skew").as("source"),
+        octet_length($"text").cast("long").as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("skew-corpus")
+    docsDf.write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val got = Dedup.d02(s, tmp.toString, maxBucket = Some(64)).collect()
+    val planted = (0 until P).map(i => (i.toLong, (V - P + i).toLong)).toSet
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall 1.0 under the cap, zero false candidates, and the
+    // SURVIVING-shingle jaccard understates the true 51/55 = 0.9273
+    // by exactly the dropped hot-shingle mass: 41/65 = 0.6308 —
+    // the measured skew-cap cost SCALING.md publishes
+    assert(gotPairs == planted,
+      s"capped d02 must find exactly the planted pairs: " +
+        s"${gotPairs.size} found, ${(planted -- gotPairs).size} missed, " +
+        s"${(gotPairs -- planted).size} spurious")
+    got.foreach(r => assert(r.getDouble(2) == 0.6308,
+      s"capped jaccard must be the predicted 41/65: $r"))
+  }
+
+  test("AQE splits the skewed partitions of a vocab-style shuffled join") {
+    val s = spark
+    import s.implicits._
+    // the t18/t24 shape: (doc, token) fact joined to a unique-keyed
+    // vocab where one token is a stop-word — 70% of the fact rows
+    // carry one key. Thresholds scaled to test size; the claim being
+    // pinned is that Spark's skew-split actually engages on this
+    // shape, so SCALING.md's "AQE skew split applies" is measured,
+    // not asserted.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      val fact = s.range(400000).select(
+        when($"id" % 10 < 7, 0L).otherwise($"id" % 4001).as("token_id"),
+        ($"id" % 97).as("cnt"))
+      val vocab = s.range(4001).select($"id".as("token_id"),
+        ($"id" * 7).as("df"))
+      // global (grouping-free) aggregate after the join: partial agg
+      // has no distribution requirement, so AQE is free to split the
+      // skewed join partitions (a groupBy on the join key would pin
+      // the partitioning and veto the split — the documented
+      // trade-off when the shuffle is reused downstream)
+      val joined = fact.join(vocab, "token_id")
+        .agg(sum($"cnt" + $"df").as("mass"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split did not engage:\n${plan.take(3000)}")
+    } finally restore.foreach { case (k, v) =>
+      if (v.isEmpty) spark.conf.unset(k) else spark.conf.set(k, v)
     }
   }
 }

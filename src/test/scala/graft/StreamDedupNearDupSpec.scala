@@ -15,6 +15,20 @@ object StreamTestIO {
     java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
     dest.toFile.setLastModified(mtime)
   }
+
+  /** Run `body` with the RocksDB state-store provider — the store the
+    * transformWithState faces target at scale — restoring the prior
+    * provider after. */
+  def withRocksDB[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 /** Streaming MinHash near-dup vs batch d03: stream the documents table
@@ -52,6 +66,23 @@ class StreamDedupNearDupSpec extends SparkSpec {
           s"only-batch=${batch.diff(streamed).take(3)} " +
           s"sizes ${streamed.size}/${batch.size}")
       assert(streamed.nonEmpty)
+
+      // the transformWithState face (ListState bucket members on the
+      // RocksDB store) emits the same distinct pair set
+      StreamTestIO.withRocksDB(spark) {
+        val q2 = EventStreams.runToMemory(
+          DedupStream.nearDupPairsTws(
+            DedupStream.documentStream(spark, dir.toString,
+              Map("maxFilesPerTrigger" -> "1"))).toDF(),
+          "neardup_stream_tws", mode = "append")
+        try {
+          val tws = spark.table("neardup_stream_tws")
+            .dropDuplicates("a_id", "b_id")
+            .collect().map(_.toSeq).toSet
+          assert(tws == batch,
+            s"transformWithState near-dup diverged: sizes ${tws.size}/${batch.size}")
+        } finally q2.stop()
+      }
     } finally q.stop()
   }
 
@@ -189,6 +220,23 @@ class StreamAnomalySpec extends SparkSpec {
       assert(streamed.count { case (_, ts, _, _) =>
         Set(37L, 73L).contains(ts.getTime / 60000L) } == 6,
         s"expected the 2 spikes x 3 series flagged: $streamed")
+
+      // the transformWithState face (MapState open minutes +
+      // ValueState deque on RocksDB) flags the same minutes
+      StreamTestIO.withRocksDB(spark) {
+        val q2 = EventStreams.runToMemory(
+          graft.streaming.AnomalyStream.flagsTws(
+            EventStreams.stream(spark, dir.toString,
+              Map("maxFilesPerTrigger" -> "1"))).toDF(),
+          "anomaly_stream_tws", mode = "append")
+        try {
+          val tws = spark.table("anomaly_stream_tws")
+            .collect().map(r => (r.getString(0), r.getTimestamp(1),
+              r.getLong(2), r.getDouble(3))).toSet
+          assert(tws == batch,
+            s"transformWithState anomaly diverged: sizes ${tws.size}/${batch.size}")
+        } finally q2.stop()
+      }
     } finally q.stop()
   }
 }
