@@ -49,7 +49,7 @@ import java.util.Locale
   * contention, and totals alone can't prove it): BENCH_QUERIES.json
   * now carries a per-query `spread` map (max−min across the REPS) and
   * the stdout line carries `cal`/`cal_spread` — the median and spread
-  * of a fixed CPU-bound calibration probe (`range(400M) → max of
+  * of a fixed CPU-bound calibration probe (`range(1.6B) → max of
   * xxhash64`) run at suite start AND end. The probe's work is
   * byte-identical every round, so its median moving between rounds
   * measures the HOST, not the code: a per-query regression that
@@ -70,12 +70,15 @@ object Bench {
   private def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
-    // max, not sum: summing 400M signed 64-bit hashes overflows under
-    // ANSI; the per-row hash work (the thing being timed) is identical
-    // 400M rows ≈ 0.3-0.6 s wall: long enough that task-scheduling
-    // jitter is a small fraction, short enough that 7 probe runs add
-    // only a few seconds to the suite
-    spark.range(400L * 1000 * 1000)
+    // max, not sum: summing 1.6B signed 64-bit hashes overflows under
+    // ANSI; the per-row hash work (the thing being timed) is identical.
+    // Sized at 1.6B rows (~0.3 s on quiet 32-cpu — r8 measured): the
+    // r7 400M probe ran ~0.14 s, where fixed job-launch overhead and a
+    // single GC pause are the SAME magnitude as the work, so even a
+    // quiet host showed spread ≈ median (r8 measured 0.05-0.09 s at
+    // 400M vs 0.033 s at 1.6B). Quiet-host baseline: med ≈ 0.31 s,
+    // spread ≲ 0.05 s; spread/med > ~0.5 reads as contention.
+    spark.range(1600L * 1000 * 1000)
       .select(max(xxhash64(col("id")))).head()
     (System.nanoTime() - t0) / 1e9
   }
@@ -147,9 +150,15 @@ object Bench {
         if (times.exists(_ < 0)) -1.0 else times.max - times.min)
     }
 
-    val cal = calPre ++ (1 to REPS).map(_ => calibrate(spark))
+    val calPost = (1 to REPS).map(_ => calibrate(spark))
+    val cal = calPre ++ calPost
     val calMed = median(cal)
     val calSpread = cal.max - cal.min
+    // pre/post window medians separately: a post-window median shifted
+    // up vs pre says the RUN drifted (heap debt, host load arriving
+    // mid-suite), which max−min alone can't localize in time
+    val calPreMed = median(calPre)
+    val calPostMed = median(calPost)
     // materialization cost is its own top-level key, NOT a queries
     // entry: total_sec = sum of non-failed queries values, exactly
     // reproducible by a consumer summing the map (ADVICE r4)
@@ -165,6 +174,7 @@ object Bench {
       s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,""" +
         s""""materialize_dedup_pipeline_sec":${fmt(if (matOk) tMat else -1.0)},""" +
         s""""calibration_sec":${fmt(calMed)},"calibration_spread_sec":${fmt(calSpread)},""" +
+        s""""calibration_pre_sec":${fmt(calPreMed)},"calibration_post_sec":${fmt(calPostMed)},""" +
         s""""queries":$qs,"spread":$spreads}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),

@@ -372,6 +372,14 @@ object Relational4 {
           e => e("hi") =!= e("lo"))).as("e"))
         .select($"e.hi".as("hi"), $"e.lo".as("lo"))
         .distinct().localCheckpoint()
+      // next is materialized (localCheckpoint is eager), so the
+      // superseded round's blocks are dead — drop them NOW instead of
+      // waiting for the driver GC + ContextCleaner to notice the old
+      // DataFrame is unreachable. Block memory per round is small
+      // (the shrinking edge set), but unbounded rounds of retained
+      // generations inside a long bench suite is exactly the
+      // GC-pressure shape the r7 verdict asked to rule out.
+      edges.unpersist(blocking = false)
       edges = next
     }
     // fixpoint = star forest: every non-root has exactly one edge, to
