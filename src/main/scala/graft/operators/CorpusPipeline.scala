@@ -53,10 +53,16 @@ object CorpusPipeline {
   /** Run the full curation into `outDir`; returns the stats frame
     * (stage, rows_kept) in pipeline order. With `crossCorpus = true`
     * a near-dup decontamination stage (verdict:
-    * [[crossContaminated]]) runs after the exact-overlap drop. */
+    * [[crossContaminated]]) runs after the exact-overlap drop. With
+    * `gopher = true` the t31 rule battery gates after the t09 quality
+    * score (the published filter order: cheap heuristics, then rules,
+    * then model); `classifierMinPpm` additionally gates on the t32
+    * fixed-point classifier score — both verdicts are id sets like
+    * every other stage. */
   def curate(s: SparkSession, dir: String, outDir: String,
       shards: Long = 8L, maxRecordsPerFile: Long = 1000L,
-      crossCorpus: Boolean = false): DataFrame = {
+      crossCorpus: Boolean = false, gopher: Boolean = false,
+      classifierMinPpm: Option[Long] = None): DataFrame = {
     import s.implicits._
 
     val docs = Tables.load(s, dir, "documents")
@@ -73,7 +79,15 @@ object CorpusPipeline {
     val s1 = if (crossCorpus)
       s1a.join(crossContaminated(s, dir), Seq("doc_id"), "left_anti")
     else s1a
-    val s2 = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
+    val s2a = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
+    val s2b = if (gopher)
+      s2a.join(Relational10.t31(s, dir).filter($"pass" === 1L)
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+    else s2a
+    val s2 = classifierMinPpm.fold(s2b)(minPpm =>
+      s2b.join(Relational10.t32(s, dir)
+        .filter($"score_ppm" >= minPpm).select($"doc_id"),
+        Seq("doc_id"), "left_semi"))
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
     val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
 
@@ -102,8 +116,11 @@ object CorpusPipeline {
       ("00_ingest", docs.count()),
       ("01_decontaminated", s1a.count())) ++
       (if (crossCorpus) Seq(("01b_cross_decontam", s1.count())) else Nil) ++
+      Seq(("02_quality", s2a.count())) ++
+      (if (gopher) Seq(("02b_gopher_rules", s2b.count())) else Nil) ++
+      (if (classifierMinPpm.isDefined)
+        Seq(("02c_classifier", s2.count())) else Nil) ++
       Seq(
-        ("02_quality", s2.count()),
         ("03_exact_dedup", s3.count()),
         ("04_near_dedup", s4.count()),
         ("05_packed_written", s.read.parquet(outDir).count()))

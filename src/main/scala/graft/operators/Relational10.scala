@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps.{sqlHash64, sqlTokens}
+import graft.functions.NativeKernels.word_tokens
+
+/** Tenth tranche — the published quality-filter stages of large-scale
+  * web-corpus curation, each oracle-checked:
+  *
+  *  - t31: Gopher-style rule filter (Rae et al. 2021 §A1.1 shape):
+  *    per-doc word count, mean word length, stopword hits, and
+  *    alphabetic-word fraction, each against a fixed threshold, plus
+  *    the conjunctive pass verdict — the rule battery every
+  *    rule-based web filter (Gopher, RefinedWeb, FineWeb) runs before
+  *    any model-based scoring;
+  *  - t32: hash-featured linear quality classifier — the fasttext-
+  *    shaped inference path (bag-of-words → per-token weight lookup →
+  *    mean → threshold) with weights that are a pure hash of the
+  *    token, so the exact scores are engine-portable and the oracle
+  *    checks them bit-for-bit (a learned model swaps the weight
+  *    table, not the plan);
+  *  - t33: CCNet perplexity buckets (Wenzek et al. 2020): per-doc
+  *    unigram NLL (t18's arithmetic), bucketed head/middle/tail by
+  *    per-source NLL terciles — the standard "keep the head, drop
+  *    the tail" curation signal.
+  *
+  * The reference ships no text analytics (it is an IOC ETL bridge,
+  * `/root/reference/src/Datalake2Anomali.py:1-449`); these extend the
+  * §7.2 LLM-pipeline surface alongside t01-t30.
+  */
+object Relational10 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- t31: Gopher-style rule battery -------------------------------
+
+  /** Stopword list (intersects the synthetic vocabulary so the rule
+    * is non-vacuous at every SF; the real Gopher list is longer but
+    * the plan shape is identical — a broadcast `isin`). */
+  private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
+  private val MIN_WORDS = 3
+  private val MAX_WORDS = 100000
+  private val MIN_MEAN_LEN = 2.0
+  private val MAX_MEAN_LEN = 10.0
+  private val MIN_STOP_HITS = 2
+  private val MIN_ALPHA_FRAC = 0.8
+
+  /** The t31 pass verdict as a standalone Column over a text column —
+    * pure per-row arithmetic, so the STREAMING curation face applies
+    * the identical expression to arriving documents (the
+    * [[graft.streaming.CorpusStream]] shared-expression convention:
+    * batch/stream parity by construction, asserted in
+    * Relational10Spec). */
+  def gopherPass(text: Column): Column = {
+    val toks = word_tokens(text)
+    val nW = size(toks).cast("long")
+    val meanLen = when(nW > 0,
+      aggregate(transform(toks, tk => length(tk).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") / nW)
+    val stopHits = size(filter(toks, tk => tk.isin(STOPWORDS: _*))).cast("long")
+    val alphaFrac = when(nW > 0,
+      size(filter(toks, tk => tk.rlike("[a-z]"))).cast("double") / nW)
+    (nW >= MIN_WORDS && nW <= MAX_WORDS &&
+      round(meanLen, 4) >= MIN_MEAN_LEN && round(meanLen, 4) <= MAX_MEAN_LEN &&
+      stopHits >= MIN_STOP_HITS &&
+      round(alphaFrac, 4) >= MIN_ALPHA_FRAC).cast("long")
+  }
+
+  /** Gopher-style quality rules, one row per document. All four rule
+    * metrics come out of ONE token-array scan (no explode, no
+    * shuffle): `filter`/`aggregate` higher-order functions over the
+    * native tokenizer's array, so the plan is scan → project → the
+    * deterministic output sort, and the only exchange is the final
+    * order-by. Empty docs (zero tokens) get null ratio metrics and
+    * `pass` = 0 via SQL three-valued logic — `n_words >= 3` is FALSE,
+    * and FALSE AND NULL = FALSE (both engines).
+    *
+    * At 100 TB: per-row arithmetic with no shuffle scales linearly;
+    * the rule thresholds are literals (constant-folded), and the
+    * pass verdict feeds the t09-style keep-join downstream
+    * ([[CorpusPipeline.curate]]'s `gopher` gate); [[gopherPass]] is
+    * the same verdict as a streaming-safe Column. */
+  def t31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = word_tokens($"text")
+    val nW = size(toks).cast("long")
+    // integer char total, divided once at the end: order-independent
+    val charSum = aggregate(transform(toks, tk => length(tk).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val stopHits = size(filter(toks, tk => tk.isin(STOPWORDS: _*))).cast("long")
+    val alphaN = size(filter(toks, tk => tk.rlike("[a-z]"))).cast("long")
+    t(s, dir, "documents")
+      .select($"doc_id", nW.as("n_words"), charSum.as("cs"),
+        stopHits.as("stop_hits"), alphaN.as("an"))
+      .select($"doc_id", $"n_words",
+        round(when($"n_words" > 0, $"cs".cast("double") / $"n_words"), 4)
+          .as("mean_word_len"),
+        $"stop_hits",
+        round(when($"n_words" > 0, $"an".cast("double") / $"n_words"), 4)
+          .as("alpha_frac"))
+      .withColumn("pass",
+        ($"n_words" >= MIN_WORDS && $"n_words" <= MAX_WORDS &&
+          $"mean_word_len" >= MIN_MEAN_LEN && $"mean_word_len" <= MAX_MEAN_LEN &&
+          $"stop_hits" >= MIN_STOP_HITS &&
+          $"alpha_frac" >= MIN_ALPHA_FRAC).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  private val t31Oracle = {
+    val stopList = STOPWORDS.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk) END, 4)
+       |    AS mean_word_len,
+       |  CAST(len(list_filter(tk, x -> list_contains($stopList, x))) AS BIGINT)
+       |    AS stop_hits,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(tk)
+       |    END, 4) AS alpha_frac
+       |  FROM d)
+       |SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+       |  CAST(coalesce(n_words >= $MIN_WORDS AND n_words <= $MAX_WORDS
+       |    AND mean_word_len >= $MIN_MEAN_LEN AND mean_word_len <= $MAX_MEAN_LEN
+       |    AND stop_hits >= $MIN_STOP_HITS
+       |    AND alpha_frac >= $MIN_ALPHA_FRAC, FALSE) AS BIGINT) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t32: hash-featured linear classifier -------------------------
+
+  /** Per-token pseudo-weight in [-0.500, 0.499]: a pure hash of the
+    * token, so both engines derive the identical weight table from
+    * nothing but the token bytes. A trained model replaces this with
+    * a broadcast lookup; the plan (and the oracle discipline) is
+    * unchanged. */
+  private def tokWeightMilli(tk: Column): Column =
+    pmod(graft.functions.TextOps.hash64(concat(lit("w:"), tk)), lit(1000L)) - lit(500L)
+
+  /** Linear bag-of-words quality classifier, fasttext-inference
+    * shape: score(doc) = mean over tokens of w(token), label =
+    * score > 0. ALL arithmetic is integer: milli-unit weights summed
+    * as longs, and the mean reported in fixed-point parts-per-million
+    * — a rounded float quotient of two small integers can land
+    * EXACTLY on a decimal rounding tie (measured: ws=-781, n=44 →
+    * -0.01775, which HALF_UP and DuckDB's decimal round split), so
+    * the quotient is computed as a non-negative integer floor
+    * division instead (offset by the weight range so truncation ≡
+    * floor identically in both engines), then shifted back.
+    *
+    * Single scan, no shuffle: weights and the sum are higher-order
+    * functions over the token array; the only exchange is the output
+    * sort. At 100 TB this is the cheapest model-based filter there
+    * is — and the same plan serves a real learned weight table via
+    * broadcast join on token. */
+  def t32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = word_tokens($"text")
+    val nW = size(toks).cast("long")
+    val wSum = aggregate(transform(toks, tokWeightMilli(_)), lit(0L),
+      (acc, x) => acc + x)
+    t(s, dir, "documents")
+      .select($"doc_id", nW.as("n_tok"), wSum.as("ws"))
+      .select($"doc_id", $"n_tok",
+        // mean weight in ppm: (ws + 500·n)·1000 ≥ 0, so floor of the
+        // double quotient (exact: |numerator| < 2^53) is plain
+        // truncation — no rounding mode in play at all
+        when($"n_tok" > 0,
+          floor((($"ws" + lit(500L) * $"n_tok") * lit(1000L)).cast("double") / $"n_tok")
+            .cast("long") - 500000L).as("score_ppm"),
+        ($"ws" > 0).cast("long").as("label"))
+      .orderBy($"doc_id")
+  }
+
+  private val t32Oracle =
+    s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+       |  list_sum(list_transform(tk,
+       |    x -> ${sqlHash64("concat('w:', x)")} % 1000 - 500)) AS ws
+       |  FROM d)
+       |SELECT doc_id, n_tok,
+       |  CASE WHEN n_tok > 0 THEN
+       |    ((ws + 500 * n_tok) * 1000) // n_tok - 500000 END AS score_ppm,
+       |  CAST(coalesce(ws, 0) > 0 AS BIGINT) AS label
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- t33: CCNet perplexity buckets --------------------------------
+
+  /** CCNet head/middle/tail: per-doc unigram NLL (exactly t18's
+    * arithmetic — corpus vocabulary counts, avg −log p per token),
+    * then tercile assignment WITHIN each source by rounded NLL with
+    * doc_id tie-break. The window orders by the ROUNDED nll both
+    * sides, so sub-rounding float drift can never flip a tercile
+    * boundary between engines.
+    *
+    * Scale: the vocab join is the t18 plan (token-keyed partial
+    * aggregation; the vocabulary frame is corpus-bounded, not
+    * row-bounded); the tercile window sorts per SOURCE — at 100 TB
+    * with few sources, replace the exact ntile with the q52s
+    * cut-point machinery (approx_percentile thirds per source +
+    * map-side bucket assignment), which CCNet itself does by
+    * computing percentile cut-points on a sample. */
+  def t33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = t(s, dir, "documents")
+      .select($"doc_id", $"source", explode(word_tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"source", $"tok").agg(count(lit(1)).as("m"))
+    val vocab = dt.groupBy($"tok").agg(sum($"m").as("c"))
+    val total = vocab.agg(sum($"c").as("tt"))
+    val nll = dt.join(vocab, Seq("tok"))
+      .crossJoin(total)
+      .groupBy($"doc_id", $"source")
+      .agg(round(sum($"m" * (log($"tt") - log($"c"))) / sum($"m"), 4).as("avg_nll"))
+    val w = Window.partitionBy($"source").orderBy($"avg_nll", $"doc_id")
+    nll.withColumn("b", ntile(3).over(w).cast("long"))
+      .select($"doc_id", $"source", $"avg_nll",
+        when($"b" === 1, "head").when($"b" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val t33Oracle =
+    s"""WITH docs AS (SELECT doc_id, source, ${sqlTokens("text")} AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(tk) AS tok FROM docs),
+       |dt AS (SELECT doc_id, source, tok, count(*) AS m FROM tok GROUP BY 1, 2, 3),
+       |vocab AS (SELECT tok, sum(m) AS c FROM dt GROUP BY tok),
+       |total AS (SELECT sum(c) AS tt FROM vocab),
+       |nll AS (SELECT doc_id, source,
+       |    round(sum(m * (ln(tt) - ln(c))) / sum(m), 4) AS avg_nll
+       |  FROM dt JOIN vocab USING (tok) CROSS JOIN total GROUP BY 1, 2),
+       |b AS (SELECT doc_id, source, avg_nll,
+       |    ntile(3) OVER (PARTITION BY source ORDER BY avg_nll, doc_id) AS b
+       |  FROM nll)
+       |SELECT doc_id, source, avg_nll,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---- d14: incremental cluster maintenance -------------------------
+
+  private val INC_FOLDS = 10L // "new batch" = salted fold 0 (~10%)
+
+  private def isNewDoc(c: Column): Column =
+    pmod(graft.functions.TextOps.hash64(
+      concat(lit("inc:"), c.cast("string"))), lit(INC_FOLDS)) === 0L
+
+  /** Incremental near-dup cluster maintenance: treat a deterministic
+    * ~10% of the corpus as a NEWLY INGESTED batch, cluster the old
+    * 90% first, then merge the new batch in WITHOUT re-clustering the
+    * old corpus — contract every new-batch pair through the old
+    * cluster labels (old endpoint → its cluster rep), run connected
+    * components on that contracted graph only (nodes = touched old
+    * reps + new docs), and stitch the final labels. Min-id labeling
+    * is ASSOCIATIVE — the min of a merged component is the min over
+    * its old cluster mins and raw new ids — so the incremental result
+    * is bit-identical to a full recompute, and the oracle IS d06's
+    * full-recompute SQL, verbatim: any error in the merge logic
+    * breaks the hash.
+    *
+    * Scale: this is the 100 TB ingest shape — the increment costs
+    * pair generation for the NEW batch plus CC on a graph bounded by
+    * (new docs + touched clusters), never the 100 TB corpus. The
+    * registered form reads the materialized pair table (the
+    * t29m/q51m pipeline-state precedent) so its bench cost is the
+    * MERGE cost; `pairsIn = None` recomputes detection inline (the
+    * d06/d09 harness convention). A real pipeline also keeps the
+    * shingle→doc index materialized so new-batch pair probes touch
+    * only the new docs' shingle buckets ([[Relational7.d11]]'s
+    * straddle shape). */
+  def d14(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val pairs = pairsIn.getOrElse(Dedup.d02(s, dir)).select($"a_id", $"b_id")
+    val oldPairs = pairs.filter(!isNewDoc($"a_id") && !isNewDoc($"b_id"))
+    val newPairs = pairs.filter(isNewDoc($"a_id") || isNewDoc($"b_id"))
+    // old-corpus cluster state (a real pipeline reads this, round N-1)
+    val oldLabels = Relational4.d09(s, dir, pairsIn = Some(oldPairs))
+      .select($"doc_id".as("x"), $"cluster_id".as("lx"))
+      .localCheckpoint()
+    // contract new-batch pairs through the old labels
+    val la = oldLabels.select($"x".as("a_id"), $"lx".as("la"))
+    val lb = oldLabels.select($"x".as("b_id"), $"lx".as("lb"))
+    val contracted = newPairs
+      .join(la, Seq("a_id"), "left")
+      .join(lb, Seq("b_id"), "left")
+      .select(coalesce($"la", $"a_id").as("a_id"),
+        coalesce($"lb", $"b_id").as("b_id"))
+      .filter($"a_id" =!= $"b_id")
+    // CC on the contracted graph only (touched reps + new docs)
+    val comp = Relational4.d09(s, dir, pairsIn = Some(contracted))
+      .select($"doc_id".as("node"), $"cluster_id".as("comp"))
+      .localCheckpoint()
+    // stitch: old docs map through (their rep's) component; nodes not
+    // in the old label table (new docs, old docs whose only pairs are
+    // new) take their component label directly
+    val oldFinal = oldLabels
+      .join(comp.withColumnRenamed("node", "lx"), Seq("lx"), "left")
+      .select($"x".as("doc_id"), coalesce($"comp", $"lx").as("cluster_id"))
+    val directFinal = comp
+      .join(oldLabels.select($"x".as("node")), Seq("node"), "left_anti")
+      .select($"node".as("doc_id"), $"comp".as("cluster_id"))
+    val labels = oldFinal.union(directFinal)
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  // ---- registration -------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_gopher_rules" -> (t31 _),
+    "t32_quality_classifier" -> (t32 _),
+    "t33_nll_buckets" -> (t33 _),
+    "d14_incremental_clusters" -> ((s: SparkSession, d: String) =>
+      d14(s, d, Some(Relational4.materializedPairs(s, d)))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t31_gopher_rules" -> t31Oracle,
+    "t32_quality_classifier" -> t32Oracle,
+    "t33_nll_buckets" -> t33Oracle,
+    // the oracle is d06's FULL-RECOMPUTE clustering SQL, verbatim:
+    // incremental maintenance must be indistinguishable from it
+    "d14_incremental_clusters" -> Relational4.oracles("d06_dup_clusters"),
+  )
+}

@@ -432,6 +432,58 @@ object Similarity {
     inertia.result().toDF("round", "total_inertia")
   }
 
+  private val RP_OUT = 16
+
+  /** Deterministic ±1 Johnson-Lindenstrauss projection matrix:
+    * sign(p, d) from the md5-parity of "rp:p:d" — the Achlioptas
+    * ±1 construction, engine-portable the same way [[planes]] is
+    * (both engines can re-derive every entry from nothing but the
+    * index pair). */
+  private[operators] lazy val rpSigns: Seq[Seq[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h64(str: String): Long = {
+      val hex = mdig.digest(str.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until RP_OUT).map(p => (0 until DIM).map(d =>
+      if (h64(s"rp:$p:$d") % 2 == 0) 1.0 else -1.0))
+  }
+
+  /** Johnson-Lindenstrauss random projection: 64-dim float embeddings
+    * → 16-dim, proj[p] = Σ_d sign(p,d)·emb[d] / √16. The signs are
+    * plan literals, so the whole operator is scan → project → output
+    * sort: no join, no shuffle, one pass, codegen'd fold-left dot
+    * products (the s02 bucket arithmetic, reused 16×).
+    *
+    * At 100 TB this is the shuffle-bytes lever for every embedding
+    * operator downstream: 4× fewer floats per vector into s03's
+    * bucket exchange, d08's pair join, s07's centroid broadcast —
+    * run s09 once, materialize, and point the embedding family at
+    * the projected column. The JL guarantee (distances preserved to
+    * 1±ε with ε ~ √(8·ln n / k)) is MEASURED, not assumed: the spec
+    * pins the projected/original distance-ratio distribution on
+    * deterministic pairs. */
+  def s09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outCols = (0 until RP_OUT).map { p =>
+      val sv = array(rpSigns(p).map(lit): _*)
+      round(vec_dot(sv, $"embedding") / math.sqrt(RP_OUT.toDouble), 4)
+    }
+    emb(s, dir)
+      .select($"vec_id", array(outCols: _*).as("proj"))
+      .orderBy($"vec_id")
+  }
+
+  private val s09Oracle = {
+    val rows = (0 until RP_OUT).map { p =>
+      val lits = rpSigns(p).map(v => f"$v%.1f").mkString("[", ", ", "]")
+      s"round(list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) / ${math.sqrt(RP_OUT.toDouble)}, 4)"
+    }.mkString("list_value(", ",\n    ", ")")
+    s"""SELECT vec_id, $rows AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -440,6 +492,7 @@ object Similarity {
     "s05_scalar_quant" -> (s05 _),
     "s06_two_stage_rerank" -> (s06 _),
     "s07_kmeans_step" -> (s07 _),
+    "s09_random_projection" -> (s09 _),
     "d08_semantic_clusters" -> (d08 _),
   )
 
@@ -476,6 +529,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s07_kmeans_step" -> s07Oracle,
+    "s09_random_projection" -> s09Oracle,
     "s01_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm

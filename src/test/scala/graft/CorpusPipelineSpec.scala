@@ -85,6 +85,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stats("01b_cross_decontam") == expected)
   }
 
+  test("curate with gopher + classifier gates enforces both verdicts on the output") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated-g").toString
+    val minPpm = -50000L
+    val stats = CorpusPipeline.curate(s, sf, out, shards = 4L,
+      maxRecordsPerFile = 100L, gopher = true,
+      classifierMinPpm = Some(minPpm)).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(stats.map(_._1).toSeq ==
+      Seq("00_ingest", "01_decontaminated", "02_quality",
+        "02b_gopher_rules", "02c_classifier", "03_exact_dedup",
+        "04_near_dedup", "05_packed_written"))
+    val counts = stats.map(_._2).toSeq
+    assert(counts.take(7) == counts.take(7).sorted.reverse,
+      s"stage counts must be non-increasing: $counts")
+    assert(counts.last > 0, "both gates on must still keep something")
+    // both new gates really cut something at this SF (non-vacuous)
+    val m = stats.toMap
+    assert(m("02b_gopher_rules") < m("02_quality"),
+      "rule battery dropped nothing — vacuous gate")
+    assert(m("02c_classifier") < m("02b_gopher_rules"),
+      "classifier threshold dropped nothing — vacuous gate")
+
+    val curated = s.read.parquet(out).cache()
+    try {
+      val ids = curated.select($"doc_id")
+      // every survivor passes the rule battery AND the score floor
+      val r10 = graft.operators.Relational10
+      assert(ids.join(r10.t31(s, sf).filter($"pass" === 0L),
+        Seq("doc_id"), "left_semi").isEmpty,
+        "a rule-failing doc survived the gopher gate")
+      assert(ids.join(r10.t32(s, sf).filter($"score_ppm" < minPpm),
+        Seq("doc_id"), "left_semi").isEmpty,
+        "a below-threshold doc survived the classifier gate")
+    } finally curated.unpersist()
+  }
+
   test("curateWeighted replaces the hard near-dup drop with t20's sample") {
     val s = spark
     import s.implicits._

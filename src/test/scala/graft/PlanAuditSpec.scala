@@ -258,4 +258,33 @@ class PlanAuditSpec extends SparkSpec {
     val b = r8.q52s(spark, sf).collect().toSeq
     assert(a == b, s"decile reports diverged:\n$a\n$b")
   }
+
+  test("t31/t32/s09 are single-scan map-only plans (no join, no aggregation shuffle)") {
+    val plans = Seq(
+      "t31" -> planOf(graft.operators.Relational10.t31(spark, sf)),
+      "t32" -> planOf(graft.operators.Relational10.t32(spark, sf)),
+      "s09" -> planOf(graft.operators.Similarity.s09(spark, sf)))
+    plans.foreach { case (name, p) =>
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("Join"),
+        s"$name must not join:\n${finalPlan.take(1500)}")
+      // per-row higher-order functions, no groupBy: the only exchange
+      // is the deterministic output sort's range partitioning
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle by hash:\n${finalPlan.take(1500)}")
+      assert(!finalPlan.contains("HashAggregate"),
+        s"$name must not aggregate rows:\n${finalPlan.take(1500)}")
+    }
+  }
+
+  test("t33 aggregates tokens before the vocab join and windows per source") {
+    val p = planOf(graft.operators.Relational10.t33(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the tercile window must partition by source, never a global sort
+    val windows = finalPlan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("source")),
+      s"tercile window must partition by source:\n$windows")
+    assert(finalPlan.contains("HashAggregate"),
+      "token explode must partial-aggregate before the vocab join")
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{Relational10, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Quality-filter tranche (t31/t32/t33) + s09 JL projection. The
+  * DuckDB oracles are the exact-value gate; these specs pin the
+  * SEMANTIC claims the oracles can't state: rule discrimination,
+  * tercile balance/ordering, and the measured JL distortion bound. */
+class Relational10Spec extends SparkSpec {
+
+  test("t31 gopher rules discriminate (some docs pass, some fail, metrics populated)") {
+    val rows = Relational10.t31(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val passes = rows.count(_.getAs[Long]("pass") == 1L)
+    assert(passes > 0 && passes < rows.length,
+      s"rule battery is vacuous: $passes/${rows.length} pass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") > 0)
+      val ml = r.getAs[Double]("mean_word_len")
+      assert(ml > 0 && ml < 20, s"implausible mean word length $ml")
+      val af = r.getAs[Double]("alpha_frac")
+      assert(af >= 0.0 && af <= 1.0)
+    }
+  }
+
+  test("t31 pass verdict equals the conjunction of its own reported metrics") {
+    Relational10.t31(spark, sf).collect().foreach { r =>
+      val expect = r.getAs[Long]("n_words") >= 3 &&
+        r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 2.0 &&
+        r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Long]("stop_hits") >= 2 &&
+        r.getAs[Double]("alpha_frac") >= 0.8
+      assert(r.getAs[Long]("pass") == (if (expect) 1L else 0L),
+        s"pass flag disagrees with metrics at doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("t32 classifier scores are bounded fixed-point means and labels split the corpus") {
+    val rows = Relational10.t32(spark, sf).collect()
+    val pos = rows.count(_.getAs[Long]("label") == 1L)
+    assert(pos > 0 && pos < rows.length,
+      s"hash-weight classifier is vacuous: $pos/${rows.length} positive")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("score_ppm")
+      // weights are in [-500, 499] milli -> mean in [-500000, 499000] ppm
+      assert(ppm >= -500000L && ppm <= 499000L, s"score out of range: $ppm")
+      val label = r.getAs[Long]("label")
+      // label thresholds the exact integer sum; the floored ppm can
+      // sit at 0 for a tiny positive sum but never contradicts it
+      if (ppm > 0) assert(label == 1L, s"ppm $ppm but label 0")
+      if (ppm < 0) assert(label == 0L, s"ppm $ppm but label 1")
+    }
+  }
+
+  test("t33 terciles are balanced within 1 per source and ordered by nll") {
+    val rows = Relational10.t33(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket"),
+        r.getAs[Double]("avg_nll")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byB = rs.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._3) }
+      val sizes = byB.view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set("head", "middle", "tail"), s"$src missing a bucket")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$src terciles unbalanced: $sizes")
+      // head holds the LOWEST nll (best docs), tail the highest
+      assert(byB("head").max <= byB("middle").min + 1e-9, s"$src head/middle overlap")
+      assert(byB("middle").max <= byB("tail").min + 1e-9, s"$src middle/tail overlap")
+    }
+  }
+
+  test("gopherPass column gates a document STREAM identically to batch t31") {
+    val s = spark
+    import s.implicits._
+    val batchPass = Relational10.t31(spark, sf).filter($"pass" === 1L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher-stream")
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      val base = System.currentTimeMillis() - 60000
+      StreamTestIO.writeChunk(docs.filter($"doc_id" % 2 === 0),
+        dir.resolve("even.parquet"), base)
+      StreamTestIO.writeChunk(docs.filter($"doc_id" % 2 === 1),
+        dir.resolve("odd.parquet"), base + 1000)
+      val admitted = graft.streaming.DedupStream
+        .documentStream(spark, dir.toString, Map("maxFilesPerTrigger" -> "1"))
+        .filter(Relational10.gopherPass($"text") === 1L)
+        .select($"doc_id")
+      val q = graft.streaming.EventStreams.runToMemory(
+        admitted.toDF(), "gopher_stream", mode = "append")
+      try {
+        val streamed = spark.table("gopher_stream").collect()
+          .map(_.getLong(0)).toSet
+        assert(streamed == batchPass,
+          s"stream/batch gopher gate diverged: sizes ${streamed.size}/${batchPass.size}")
+      } finally q.stop()
+    } finally ()
+  }
+
+  test("d14 incremental merge is bit-identical to d06 full recompute") {
+    val s = spark
+    import s.implicits._
+    // the test is only meaningful if the fold split actually puts
+    // near-dup pairs in the "new batch" path (straddling or new-new)
+    def isNew(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.TextOps.hash64(concat(lit("inc:"), c.cast("string"))), lit(10L)) === 0L
+    val pairs = graft.operators.Dedup.d02(spark, sf)
+    val newTouched = pairs.filter(isNew($"a_id") || isNew($"b_id")).count()
+    assert(newTouched > 0, "fold split routed no pairs through the merge path")
+    val full = graft.operators.Relational4.d06(spark, sf).collect().toSeq
+    val inc = Relational10.d14(spark, sf).collect().toSeq
+    assert(inc == full,
+      s"incremental clustering diverged from full recompute: " +
+        s"sizes ${inc.size}/${full.size}, " +
+        s"first diff ${inc.zip(full).find(p => p._1 != p._2)}")
+  }
+
+  test("s09 projects to 16 dims and preserves pairwise distance within the JL envelope") {
+    val s = spark
+    import s.implicits._
+    val proj = Similarity.s09(spark, sf)
+    assert(proj.select(size($"proj")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(16))
+    // deterministic pairs (2k, 2k+1): squared-distance ratio
+    // proj/orig should concentrate around 1 (E[ratio]=1, relative
+    // std ~ sqrt(2/k) ~ 0.35 at k=16)
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .toMap
+    val pm = proj.select($"vec_id", $"proj").as[(Long, Array[Double])]
+      .collect().toMap
+    def sq(a: Array[Double]): Double = a.map(x => x * x).sum
+    val ratios = emb.keys.toSeq.sorted.grouped(2).collect {
+      case Seq(a, b) if emb.contains(a) && emb.contains(b) =>
+        val dOrig = sq(emb(a).zip(emb(b)).map { case (x, y) => x.toDouble - y.toDouble })
+        val dProj = sq(pm(a).zip(pm(b)).map { case (x, y) => x - y })
+        dProj / dOrig
+    }.toSeq
+    assert(ratios.nonEmpty)
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.6 && med < 1.4, s"JL median distance ratio off: $med")
+    val inEnvelope = ratios.count(r => r > 0.4 && r < 1.9)
+    assert(inEnvelope.toDouble / ratios.size >= 0.8,
+      s"JL envelope too loose: $inEnvelope/${ratios.size} within [0.4, 1.9]")
+  }
+}
