@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.TextOps.{sqlHash64, sqlTokens}
+import graft.functions.TextOps.{sqlHash64, sqlHash64Seeded, sqlTokens}
 import graft.functions.NativeKernels.word_tokens
 
 /** Tenth tranche — the published quality-filter stages of large-scale
@@ -312,6 +312,186 @@ object Relational10 {
       .orderBy($"doc_id")
   }
 
+  // ---- t34: BPE trainer loop ----------------------------------------
+
+  private val BPE_STEPS = 5
+
+  /** Adjacent symbol pairs of a symbol array (the t28 slice/zip_with
+    * shape — no posexplode self-join, length-0/1 arrays safe). */
+  private def symPairs(sym: Column): Column =
+    zip_with(
+      slice(sym, lit(1), greatest(size(sym) - 1, lit(0))),
+      slice(sym, lit(2), greatest(size(sym) - 1, lit(0))),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** Greedy left-to-right application of merge (a, b) → ab over a
+    * symbol array, positional (no sequential fold): position i takes
+    * the merged symbol iff (sym[i], sym[i+1]) = (a, b), and drops iff
+    * position i−1 matched. With a ≠ b (the registered tie-break skips
+    * self-pairs) two matches can never overlap, so the positional
+    * rule IS the greedy scan. `get` (0-based, null out-of-bounds) keeps
+    * the boundary arithmetic ANSI-safe. */
+  private def applyMerge(sym: Column, a: String, b: String): Column = {
+    def matchedAt(i: Column): Column = coalesce(
+      get(sym, i - 1) === a && get(sym, i) === b, lit(false))
+    transform(
+      filter(
+        transform(sequence(lit(1), greatest(size(sym), lit(1))), i =>
+          struct(
+            when(matchedAt(i), lit(a + b))
+              .otherwise(get(sym, i - 1)).as("v"),
+            matchedAt(i - 1).as("dropped"),
+            (i <= size(sym)).as("real"))),
+        st => st("real") && !st("dropped")),
+      st => st("v"))
+  }
+
+  /** Byte-pair-encoding TRAINER: the first [[BPE_STEPS]] merges over
+    * the corpus, each step picking the most frequent adjacent symbol
+    * pair (count desc, then pair asc — and self-pairs (a = a)
+    * excluded, which keeps greedy merge application overlap-free and
+    * therefore positionally expressible in BOTH engines; the spec
+    * asserts the exclusion never changed a pick at this corpus) and
+    * rewriting the vocabulary. t19 ranks the FIRST step's candidates;
+    * this runs the actual training loop and returns one row per
+    * merge: (step, lhs, rhs, pair_count).
+    *
+    * Scale (real BPE-trainer economics): the corpus collapses to the
+    * word-frequency table before the loop — every step iterates over
+    * DISTINCT words (vocabulary-sized, bounded by the language, not
+    * the corpus), localCheckpoint per step (the lloydIterate/d09
+    * iterative pattern), pair counts weighted by word frequency. The
+    * per-step argmax is a 1-row driver action on a K-row aggregate —
+    * the isStarForest-style loop control, not a data collect. */
+  def t34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var words = t(s, dir, "documents")
+      .select(explode(word_tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("sym"), $"freq")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BPE_STEPS) {
+      val top = words
+        .select($"freq", explode(symPairs($"sym")).as("p"))
+        .filter($"p.a" =!= $"p.b")
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, a, b, cnt))
+      val next = words
+        .select(applyMerge($"sym", a, b).as("sym"), $"freq")
+        .localCheckpoint()
+      words.unpersist(blocking = false)
+      words = next
+    }
+    words.unpersist(blocking = false)
+    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+      .select($"step".cast("long"), $"lhs", $"rhs", $"pair_count")
+      .orderBy($"step")
+  }
+
+  private val t34Oracle = {
+    def stage(i: Int): String = {
+      val prev = s"sym${i - 1}"
+      s"""p$i AS (SELECT u.p.a AS a, u.p.b AS b, sum(freq) AS cnt
+         |  FROM (SELECT freq, unnest([{a: sym[k], b: sym[k+1]} FOR k IN range(1, len(sym))]) AS p
+         |        FROM $prev) u
+         |  WHERE u.p.a <> u.p.b GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |sym$i AS (SELECT
+         |    [CASE WHEN coalesce(sym[k] = m$i.a AND sym[k+1] = m$i.b, FALSE)
+         |       THEN m$i.a || m$i.b ELSE sym[k] END
+         |     FOR k IN range(1, len(sym)+1)
+         |     IF NOT coalesce(sym[k-1] = m$i.a AND sym[k] = m$i.b, FALSE)] AS sym,
+         |    freq
+         |  FROM $prev CROSS JOIN m$i)""".stripMargin
+    }
+    val stages = (1 to BPE_STEPS).map(stage).mkString(",\n")
+    val out = (1 to BPE_STEPS)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT ${sqlTokens("text")} AS tk FROM documents),
+       |w AS (SELECT unnest(tk) AS w FROM d),
+       |wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+       |sym0 AS (SELECT string_split(w, '') AS sym, freq FROM wf),
+       |$stages
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  // ---- x06: Count-Min sketch ----------------------------------------
+
+  private val CMS_D = 3     // depth (independent hash rows)
+  private val CMS_W = 256L  // width (counters per row)
+  private val CMS_NQ = 20L  // query keys: user ids < 20
+
+  private def cmsCells(c: Column): Column = array((0 until CMS_D).map(j =>
+    struct(lit(j).as("j"),
+      pmod(graft.functions.TextOps.hash64Seeded(j, c.cast("string")),
+        lit(CMS_W)).as("cell"))): _*)
+
+  /** Test seam: the cell mapping, for the D·W state-bound assert. */
+  private[graft] def cmsCellsForTest(c: Column): Column = cmsCells(c)
+
+  /** Count-Min sketch point queries, exactly oracle-checked: the CMS
+    * estimate (min over depth rows of the hashed counter cells) is a
+    * DETERMINISTIC function of the input multiset — counters are
+    * sums, so unlike order-dependent sketches (x04) the estimate
+    * itself hash-matches an oracle that rebuilds the same counters in
+    * SQL. This extends the x05 KMV trick to the second classic
+    * mergeable sketch; the overestimate-only guarantee
+    * (est ≥ exact, Cormode & Muthukrishnan 2005) is spec-asserted.
+    *
+    * Scale: the counter table is D·W rows REGARDLESS of corpus size,
+    * built by one map-side-combining aggregate over the event stream
+    * (each event contributes D increments); cells merge across
+    * partitions, machines, and days by addition — the
+    * streaming/cross-engine count infrastructure a 100 TB pipeline
+    * actually ships. Point queries broadcast-join the D·W frame. */
+  def x06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id")
+    val cells = ev
+      .select(explode(cmsCells($"user_id")).as("jc"))
+      .groupBy($"jc.j".as("j"), $"jc.cell".as("cell"))
+      .agg(count(lit(1)).as("total"))
+    val q = ev.filter($"user_id" < CMS_NQ).distinct()
+    val est = q
+      .select($"user_id", explode(cmsCells($"user_id")).as("jc"))
+      .select($"user_id", $"jc.j".as("j"), $"jc.cell".as("cell"))
+      .join(broadcast(cells), Seq("j", "cell"))
+      .groupBy($"user_id").agg(min($"total").as("est_count"))
+    val exact = ev.filter($"user_id" < CMS_NQ)
+      .groupBy($"user_id").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("user_id"))
+      .select($"user_id", $"est_count", $"exact_count")
+      .orderBy($"user_id")
+  }
+
+  private val x06Oracle = {
+    def cellSql(j: Int) =
+      s"${sqlHash64Seeded(j, "CAST(user_id AS VARCHAR)")} % $CMS_W"
+    val cellsUnion = (0 until CMS_D).map(j =>
+      s"SELECT $j AS j, ${cellSql(j)} AS cell, CAST(count(*) AS BIGINT) AS total FROM events GROUP BY 2")
+      .mkString("\n  UNION ALL ")
+    val qCells = (0 until CMS_D).map(j =>
+      s"SELECT user_id, $j AS j, ${cellSql(j)} AS cell FROM q")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cells AS ($cellsUnion),
+       |q AS (SELECT DISTINCT user_id FROM events WHERE user_id < $CMS_NQ),
+       |qc AS ($qCells),
+       |est AS (SELECT user_id, min(total) AS est_count
+       |  FROM qc JOIN cells USING (j, cell) GROUP BY user_id),
+       |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+       |  FROM events WHERE user_id < $CMS_NQ GROUP BY user_id)
+       |SELECT user_id, est_count, exact_count
+       |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin
+  }
+
   // ---- registration -------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,6 +500,8 @@ object Relational10 {
     "t33_nll_buckets" -> (t33 _),
     "d14_incremental_clusters" -> ((s: SparkSession, d: String) =>
       d14(s, d, Some(Relational4.materializedPairs(s, d)))),
+    "x06_countmin" -> (x06 _),
+    "t34_bpe_train" -> (t34 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +511,7 @@ object Relational10 {
     // the oracle is d06's FULL-RECOMPUTE clustering SQL, verbatim:
     // incremental maintenance must be indistinguishable from it
     "d14_incremental_clusters" -> Relational4.oracles("d06_dup_clusters"),
+    "x06_countmin" -> x06Oracle,
+    "t34_bpe_train" -> t34Oracle,
   )
 }

@@ -116,6 +116,57 @@ class Relational10Spec extends SparkSpec {
         s"first diff ${inc.zip(full).find(p => p._1 != p._2)}")
   }
 
+  test("t34 BPE trainer: 5 distinct-pair merges; self-pair exclusion vacuous; step 1 = t19's top pair") {
+    val s = spark
+    import s.implicits._
+    val merges = Relational10.t34(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 5)
+    assert(merges.forall { case (_, a, b, _) => a != b },
+      "registered trainer must only emit distinct-symbol merges")
+    // the a != b restriction (what makes greedy merge application
+    // positionally expressible) never changed a pick on this corpus:
+    // the UNRESTRICTED step-1 argmax is already a distinct pair
+    val step1 = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.NativeKernels.word_tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("sym"), $"freq")
+      .select($"freq", explode(zip_with(
+        slice($"sym", lit(1), greatest(size($"sym") - 1, lit(0))),
+        slice($"sym", lit(2), greatest(size($"sym") - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy($"p.a", $"p.b").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"p.a", $"p.b").limit(1).collect()(0)
+    assert(step1.getString(0) != step1.getString(1),
+      "unrestricted step-1 argmax is a self-pair — exclusion is NOT vacuous here")
+    assert((step1.getString(0), step1.getString(1)) ==
+      (merges(0)._2, merges(0)._3))
+    // t19 ranks step-1 merge candidates; its top candidate must be
+    // the trainer's first merge
+    val t19top = graft.operators.Relational7.t19(spark, sf)
+      .orderBy($"n".desc, $"pair").limit(1).collect()(0)
+    assert(t19top.getString(0) == merges(0)._2 + merges(0)._3,
+      s"t19 top candidate ${t19top} != first trained merge ${merges(0)}")
+  }
+
+  test("x06 count-min never underestimates and its counter table is D*W-bounded") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational10.x06(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"),
+        s"CMS underestimated user ${r.getAs[Long]("user_id")}: " +
+          s"${r.getAs[Long]("est_count")} < ${r.getAs[Long]("exact_count")}")
+    }
+    // the sketch's state is depth*width counters regardless of corpus
+    val ev = Tables.load(spark, sf, "events").select($"user_id")
+    val nCells = ev.select(explode(graft.operators.Relational10
+      .cmsCellsForTest($"user_id")).as("jc"))
+      .select($"jc.j", $"jc.cell").distinct().count()
+    assert(nCells <= 3L * 256L, s"counter table exceeded D*W: $nCells")
+  }
+
   test("s09 projects to 16 dims and preserves pairwise distance within the JL envelope") {
     val s = spark
     import s.implicits._

@@ -279,6 +279,22 @@ class StreamCurationSpec extends SparkSpec {
         s"admitted sets diverge: only-stream=${streamed.diff(batch).take(3)} " +
           s"only-batch=${batch.diff(streamed).take(3)}")
       assert(streamed.nonEmpty && streamed.size < docs.count())
+
+      // the transformWithState face (ValueState[Boolean] per
+      // fingerprint on RocksDB) admits the same set
+      StreamTestIO.withRocksDB(spark) {
+        val q2 = EventStreams.runToMemory(
+          graft.streaming.CorpusStream.curateStreamTws(
+            DedupStream.documentStream(spark, dir.toString,
+              Map("maxFilesPerTrigger" -> "1"))),
+          "curate_stream_tws", mode = "append")
+        try {
+          val tws = spark.table("curate_stream_tws")
+            .select($"doc_id").as[Long].collect().toSet
+          assert(tws == batch,
+            s"transformWithState curation diverged: sizes ${tws.size}/${batch.size}")
+        } finally q2.stop()
+      }
     } finally q.stop()
   }
 
