@@ -363,14 +363,22 @@ object Relational10 {
     * iterative pattern), pair counts weighted by word frequency. The
     * per-step argmax is a 1-row driver action on a K-row aggregate —
     * the isStarForest-style loop control, not a data collect. */
-  def t34(s: SparkSession, dir: String): DataFrame = {
+  /** The shared trainer loop: k merge picks plus the corpus-symbol
+    * total after each step (step 0 = untrained). One extra 1-row
+    * aggregate per step — loop control, not a data collect. */
+  private def bpeRun(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Seq[(Long, Long)]) = {
     import s.implicits._
     var words = t(s, dir, "documents")
       .select(explode(word_tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select(split($"w", "").as("sym"), $"freq")
       .localCheckpoint()
+    def totalSymbols: Long = words
+      .agg(sum($"freq" * size($"sym"))).head().getLong(0)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val totals = Seq.newBuilder[(Long, Long)]
+    totals += ((0L, totalSymbols))
     for (step <- 1 to BPE_STEPS) {
       val top = words
         .select($"freq", explode(symPairs($"sym")).as("p"))
@@ -386,11 +394,59 @@ object Relational10 {
         .localCheckpoint()
       words.unpersist(blocking = false)
       words = next
+      totals += ((step.toLong, totalSymbols))
     }
     words.unpersist(blocking = false)
-    merges.result().toDF("step", "lhs", "rhs", "pair_count")
+    (merges.result(), totals.result())
+  }
+
+  def t34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeRun(s, dir)._1.toDF("step", "lhs", "rhs", "pair_count")
       .select($"step".cast("long"), $"lhs", $"rhs", $"pair_count")
       .orderBy($"step")
+  }
+
+  /** BPE APPLICATION curve: corpus symbol totals (Σ freq·|sym|) after
+    * each trained merge, step 0 = character baseline. Because a ≠ b
+    * merges can never overlap, EVERY counted pair occurrence is
+    * applied, so total(k) = total(k−1) − pair_count(k) exactly — the
+    * spec asserts that identity against t34, and the oracle aggregates
+    * the same unrolled CTE chain. This is the tokenizer-compression
+    * report a training team reads off a trainer run (symbols ≈ tokens
+    * the model will see). */
+  def t35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeRun(s, dir)._2.toDF("step", "total_symbols")
+      .orderBy($"step")
+  }
+
+  private val t35Oracle = {
+    val stages = (1 to BPE_STEPS).map(i => {
+      val prev = s"sym${i - 1}"
+      s"""p$i AS (SELECT u.p.a AS a, u.p.b AS b, sum(freq) AS cnt
+         |  FROM (SELECT freq, unnest([{a: sym[k], b: sym[k+1]} FOR k IN range(1, len(sym))]) AS p
+         |        FROM $prev) u
+         |  WHERE u.p.a <> u.p.b GROUP BY 1, 2),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |sym$i AS (SELECT
+         |    [CASE WHEN coalesce(sym[k] = m$i.a AND sym[k+1] = m$i.b, FALSE)
+         |       THEN m$i.a || m$i.b ELSE sym[k] END
+         |     FOR k IN range(1, len(sym)+1)
+         |     IF NOT coalesce(sym[k-1] = m$i.a AND sym[k] = m$i.b, FALSE)] AS sym,
+         |    freq
+         |  FROM $prev CROSS JOIN m$i)""".stripMargin
+    }).mkString(",\n")
+    val out = (0 to BPE_STEPS)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, CAST(sum(freq * len(sym)) AS BIGINT) AS total_symbols FROM sym$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (SELECT ${sqlTokens("text")} AS tk FROM documents),
+       |w AS (SELECT unnest(tk) AS w FROM d),
+       |wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+       |sym0 AS (SELECT string_split(w, '') AS sym, freq FROM wf),
+       |$stages
+       |$out
+       |ORDER BY step""".stripMargin
   }
 
   private val t34Oracle = {
@@ -502,6 +558,7 @@ object Relational10 {
       d14(s, d, Some(Relational4.materializedPairs(s, d)))),
     "x06_countmin" -> (x06 _),
     "t34_bpe_train" -> (t34 _),
+    "t35_bpe_apply" -> (t35 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,5 +570,6 @@ object Relational10 {
     "d14_incremental_clusters" -> Relational4.oracles("d06_dup_clusters"),
     "x06_countmin" -> x06Oracle,
     "t34_bpe_train" -> t34Oracle,
+    "t35_bpe_apply" -> t35Oracle,
   )
 }

@@ -149,6 +149,19 @@ class Relational10Spec extends SparkSpec {
       s"t19 top candidate ${t19top} != first trained merge ${merges(0)}")
   }
 
+  test("t35 compression curve: each step's symbol reduction equals its merge's pair count") {
+    val merges = Relational10.t34(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val totals = Relational10.t35(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals.keySet == (0L to 5L).toSet)
+    (1L to 5L).foreach { k =>
+      assert(totals(k - 1) - totals(k) == merges(k),
+        s"step $k: reduction ${totals(k - 1) - totals(k)} != pair count ${merges(k)} " +
+          "(an overlap or a missed application — impossible for distinct-symbol merges)")
+    }
+  }
+
   test("x06 count-min never underestimates and its counter table is D*W-bounded") {
     val s = spark
     import s.implicits._
