@@ -331,7 +331,7 @@ object Relational10 {
     * self-pairs) two matches can never overlap, so the positional
     * rule IS the greedy scan. `get` (0-based, null out-of-bounds) keeps
     * the boundary arithmetic ANSI-safe. */
-  private def applyMerge(sym: Column, a: String, b: String): Column = {
+  private[graft] def applyMerge(sym: Column, a: String, b: String): Column = {
     def matchedAt(i: Column): Column = coalesce(
       get(sym, i - 1) === a && get(sym, i) === b, lit(false))
     transform(

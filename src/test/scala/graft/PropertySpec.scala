@@ -204,6 +204,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("media codec: every writer round-trips through decode for arbitrary dims and payloads") {
+    import graft.functions.MediaCodec
+    val payloadGen = Gen.chooseNum(0, 2048)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+    def payloadOf(bytes: Array[Byte], d: MediaCodec.Decoded): Seq[Byte] =
+      bytes.slice(d.payloadOff, d.payloadOff + d.payloadLen).toSeq
+    check(Prop.forAll(Gen.chooseNum(1, 5000), Gen.chooseNum(1, 5000), payloadGen) {
+      (w, h, p) =>
+        val d = MediaCodec.decode(MediaCodec.writePng(w, h, p))
+        d.kind == "png" && d.width == w && d.height == h &&
+          payloadOf(MediaCodec.writePng(w, h, p), d) == p.toSeq
+    })
+    check(Prop.forAll(Gen.chooseNum(1, 192000), Gen.chooseNum(1, 8), payloadGen) {
+      (rate, ch, p) =>
+        val d = MediaCodec.decode(MediaCodec.writeWav(rate, ch, p))
+        d.kind == "wav" && d.width == rate && d.height == ch &&
+          payloadOf(MediaCodec.writeWav(rate, ch, p), d) == p.toSeq
+    })
+    check(Prop.forAll(Gen.chooseNum(1, 5000), Gen.chooseNum(1, 5000),
+      Gen.chooseNum(1, 100000), payloadGen) { (w, h, f, p) =>
+        val d = MediaCodec.decode(MediaCodec.writeMp4(w, h, f, p))
+        d.kind == "mp4" && d.width == w && d.height == h && d.frames == f &&
+          payloadOf(MediaCodec.writeMp4(w, h, f, p), d) == p.toSeq
+    })
+  }
+
   test("winnowing selects a subset of the gram hashes, nonempty when grams exist") {
     check(Prop.forAll(tokGen) { toks =>
       val fps = winnow(toks)

@@ -149,6 +149,37 @@ class Relational10Spec extends SparkSpec {
       s"t19 top candidate ${t19top} != first trained merge ${merges(0)}")
   }
 
+  test("applyMerge equals the sequential greedy scan on randomized symbol arrays") {
+    val s = spark
+    import s.implicits._
+    // reference implementation: the textbook left-to-right greedy scan
+    def ref(sym: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(8) // fixed seed: deterministic test
+    val alphabet = Vector("a", "b", "c")
+    val cases = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(13))(alphabet(rnd.nextInt(3))))
+    }
+    val df = cases.toDF("id", "sym")
+    for ((a, b) <- Seq(("a", "b"), ("b", "a"), ("c", "a"))) {
+      val got = df.select($"id",
+        graft.operators.Relational10.applyMerge($"sym", a, b).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { case (id, sym) =>
+        assert(got(id) == ref(sym, a, b),
+          s"merge ($a,$b) diverged on $sym: ${got(id)} vs ${ref(sym, a, b)}")
+      }
+    }
+  }
+
   test("t35 compression curve: each step's symbol reduction equals its merge's pair count") {
     val merges = Relational10.t34(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
