@@ -312,6 +312,50 @@ object Relational10 {
       .orderBy($"doc_id")
   }
 
+  // ---- d15: quality-aware dedup apply -------------------------------
+
+  /** Quality-aware near-dup apply: keep the BEST-QUALITY member of
+    * each duplicate cluster (tie → min doc_id) instead of d07's
+    * min-id member — the keeper policy a real curation pipeline wants
+    * (the duplicate with the cleanest text survives; which copy was
+    * crawled first is irrelevant). Composes two already-oracle-proven
+    * frames: the materialized d06 cluster labels and t02's rounded
+    * quality score; the keeper choice is one row_number window over
+    * the label table (cluster-sized partitions, tiny), and the corpus
+    * is assembled by the same anti-join shape as d07.
+    *
+    * The tie-break orders by the ROUNDED quality both sides (the t33
+    * convention), so float drift below the round can never flip a
+    * keeper between engines. */
+  def d15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Relational4.materializedLabels(s, dir) // (id, comp)
+    val quality = TextAnalysis.t02(s, dir).select($"doc_id", $"quality")
+    val clustered = labels
+      .join(quality, labels("id") === quality("doc_id"))
+      .select(labels("id").as("doc_id"), $"comp", $"quality")
+    val w = Window.partitionBy($"comp").orderBy($"quality".desc, $"doc_id")
+    val drops = clustered.withColumn("rn", row_number().over(w))
+      .filter($"rn" =!= 1).select($"doc_id")
+    t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val d15Oracle =
+    s"""${Relational4.ccOraclePrefix},
+       |q AS (SELECT doc_id, quality FROM
+       |  (${TextAnalysis.oracles("t02_quality_score")})),
+       |ranked AS (SELECT c.id AS doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.id) AS rn
+       |  FROM comp c JOIN q ON q.doc_id = c.id),
+       |drops AS (SELECT doc_id FROM ranked WHERE rn <> 1)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- t34: BPE trainer loop ----------------------------------------
 
   private val BPE_STEPS = 5
@@ -559,6 +603,7 @@ object Relational10 {
     "x06_countmin" -> (x06 _),
     "t34_bpe_train" -> (t34 _),
     "t35_bpe_apply" -> (t35 _),
+    "d15_quality_dedup_apply" -> (d15 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +616,6 @@ object Relational10 {
     "x06_countmin" -> x06Oracle,
     "t34_bpe_train" -> t34Oracle,
     "t35_bpe_apply" -> t35Oracle,
+    "d15_quality_dedup_apply" -> d15Oracle,
   )
 }

@@ -70,6 +70,38 @@ class Relational10Spec extends SparkSpec {
     }
   }
 
+  test("t31/t32 degrade safely on empty and whitespace-only documents") {
+    val s = spark
+    import s.implicits._
+    // the shipped testdata has no empty docs, so the zero-token guard
+    // paths (null ratio metrics, three-valued pass/label logic) need a
+    // fixture corpus of their own
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-docs")
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "   \t  ", "en", "src0", 6L),
+      (2L, "the a fast table scan the", "en", "src1", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t31 = Relational10.t31(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 1L).foreach { id =>
+      assert(t31(id).getAs[Long]("n_words") == 0L)
+      assert(t31(id).isNullAt(t31(id).fieldIndex("mean_word_len")),
+        s"doc $id: zero-token mean must be null")
+      assert(t31(id).getAs[Long]("pass") == 0L,
+        s"doc $id: empty doc must fail the battery (FALSE AND NULL = FALSE)")
+    }
+    assert(t31(2L).getAs[Long]("pass") == 1L, "the healthy doc must pass")
+    val t32 = Relational10.t32(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 1L).foreach { id =>
+      assert(t32(id).isNullAt(t32(id).fieldIndex("score_ppm")),
+        s"doc $id: zero-token score must be null")
+      assert(t32(id).getAs[Long]("label") == 0L)
+    }
+  }
+
   test("gopherPass column gates a document STREAM identically to batch t31") {
     val s = spark
     import s.implicits._
@@ -96,6 +128,32 @@ class Relational10Spec extends SparkSpec {
           s"stream/batch gopher gate diverged: sizes ${streamed.size}/${batchPass.size}")
       } finally q.stop()
     } finally ()
+  }
+
+  test("d15 keeps one best-quality member per cluster (vs d07's min-id policy)") {
+    val s = spark
+    import s.implicits._
+    val d07kept = graft.operators.Relational4.d07(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val d15kept = graft.operators.Relational10.d15(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // both policies keep exactly one member per cluster
+    assert(d15kept.size == d07kept.size,
+      s"keeper counts diverge: ${d15kept.size} vs ${d07kept.size}")
+    // per cluster, the d15 keeper's quality is >= the min-id keeper's
+    val labels = graft.operators.Relational4.materializedLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextAnalysis.t02(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality"))).toMap
+    val byCluster = labels.groupBy(_._2)
+    byCluster.foreach { case (comp, members) =>
+      val ids = members.keys.toSeq
+      val d15k = ids.filter(d15kept)
+      assert(d15k.size == 1, s"cluster $comp kept ${d15k.size} members")
+      val d07k = ids.filter(d07kept)
+      assert(quality(d15k.head) >= quality(d07k.head) - 1e-9,
+        s"cluster $comp: quality-aware keeper worse than min-id keeper")
+    }
   }
 
   test("d14 incremental merge is bit-identical to d06 full recompute") {
