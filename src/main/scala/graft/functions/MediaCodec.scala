@@ -153,8 +153,12 @@ object MediaCodec {
 
   /** PNG: IHDR must be the first chunk (per spec); width/height are
     * its first two big-endian words. Payload = concatenated IDAT
-    * bodies (here: the single IDAT). */
+    * bodies (here: the single IDAT). Truncated or length-corrupt
+    * chunks throw IllegalArgumentException (the decode() contract —
+    * a reject-routing caller catches exactly that), never an index
+    * error. */
   private def parsePng(b: Array[Byte]): Decoded = {
+    require(b.length >= 24, s"truncated PNG (${b.length} bytes)")
     require(new String(b, 12, 4, "US-ASCII") == "IHDR", "PNG without IHDR")
     val w = readBe32(b, 16)
     val h = readBe32(b, 20)
@@ -164,6 +168,8 @@ object MediaCodec {
     var payloadLen = 0
     while (off + 8 <= b.length && payloadOff < 0) {
       val len = readBe32(b, off)
+      require(len >= 0 && off + 12L + len <= b.length,
+        s"truncated PNG chunk at $off")
       val typ = new String(b, off + 4, 4, "US-ASCII")
       if (typ == "IDAT") { payloadOff = off + 8; payloadLen = len }
       off += 12 + len // len + type + body + crc
@@ -173,30 +179,43 @@ object MediaCodec {
 
   /** JPEG: walk FF-prefixed segments to the first SOF0/1/2 frame
     * header; dimensions are (height, width) big-endian after the
-    * 1-byte precision. Entropy-coded payload starts at SOS. */
+    * 1-byte precision. Entropy-coded payload starts at SOS.
+    * Spec-legal 0xFF fill (padding) bytes before a marker are
+    * consumed; standalone markers (SOI, TEM, RSTn, EOI) carry no
+    * length field; truncated segments throw IllegalArgumentException. */
   private def parseJpeg(b: Array[Byte]): Decoded = {
     var off = 2
     var w = -1
     var h = -1
     var payloadOff = 0
     var done = false
-    while (!done && off + 4 <= b.length) {
-      if ((b(off) & 0xff) != 0xff)
-        throw new IllegalArgumentException(s"bad JPEG marker at $off")
-      val marker = b(off + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        off += 2 // standalone markers, no length
+    while (!done && off < b.length) {
+      require((b(off) & 0xff) == 0xff, s"bad JPEG marker at $off")
+      // consume the marker prefix plus any 0xFF fill bytes before it
+      while (off < b.length && (b(off) & 0xff) == 0xff) off += 1
+      require(off < b.length, "truncated JPEG (fill bytes to EOF)")
+      val marker = b(off) & 0xff
+      off += 1
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        () // standalone: SOI / TEM / RSTn — no length field
+      } else if (marker == 0xd9) {
+        done = true // EOI
       } else {
-        val len = readBe16(b, off + 2)
+        require(off + 2 <= b.length, "truncated JPEG segment length")
+        val len = readBe16(b, off)
+        require(len >= 2 && off + len <= b.length,
+          s"truncated JPEG segment at $off")
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-          h = readBe16(b, off + 5)
-          w = readBe16(b, off + 7)
+          require(len >= 7, "truncated JPEG SOF header")
+          h = readBe16(b, off + 3)
+          w = readBe16(b, off + 5)
         }
         if (marker == 0xda) { // SOS: entropy data follows
-          payloadOff = off + 2 + len
+          payloadOff = off + len
           done = true
         }
-        off += 2 + len
+        off += len
       }
     }
     require(w >= 0 && h >= 0, "JPEG without SOF0/1/2 frame header")
@@ -206,7 +225,8 @@ object MediaCodec {
 
   /** WAV: little-endian RIFF chunks; `fmt ` carries channels and
     * sample rate, `data` is the payload. Dimensions carry
-    * (sampleRate, channels) — the audio analog of (w, h). */
+    * (sampleRate, channels) — the audio analog of (w, h). Declared-
+    * but-truncated chunks throw IllegalArgumentException. */
   private def parseWav(b: Array[Byte]): Decoded = {
     var off = 12
     var rate = -1
@@ -216,7 +236,10 @@ object MediaCodec {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val len = readLe32(b, off + 4)
+      require(len >= 0 && off + 8L + len <= b.length,
+        s"truncated WAV chunk at $off")
       if (id == "fmt ") {
+        require(len >= 8, "truncated WAV fmt chunk")
         channels = readLe16(b, off + 10)
         rate = readLe32(b, off + 12)
       } else if (id == "data") {
@@ -228,9 +251,13 @@ object MediaCodec {
     Decoded("wav", rate, channels, 1, payloadOff, payloadLen)
   }
 
-  /** MP4: walk the top-level box tree; tkhd (inside moov/trak) holds
-    * 16.16 width/height at body offsets 76/80 (version 0), mvhd
-    * holds duration at body offset 16. mdat is the payload. */
+  /** MP4: walk the box tree; tkhd (inside moov/trak) holds 16.16
+    * width/height, mvhd holds the duration — both at version-
+    * dependent offsets (version 1 widens the create/modify/duration
+    * fields to 64 bits; long-video files use it routinely). mdat is
+    * the payload. Boxes with size 0 (to-EOF) or 1 (64-bit largesize)
+    * are rejected loudly rather than misparsed; truncated boxes throw
+    * IllegalArgumentException. */
   private def parseMp4(b: Array[Byte]): Decoded = {
     var w = -1
     var h = -1
@@ -241,19 +268,34 @@ object MediaCodec {
       var off = from
       while (off + 8 <= to) {
         val size = readBe32(b, off)
+        require(size >= 8 && off + size.toLong <= to,
+          s"unsupported or truncated MP4 box size $size at $off")
         val typ = new String(b, off + 4, 4, "US-ASCII")
         val bodyOff = off + 8
         typ match {
           case "moov" | "trak" => walk(bodyOff, off + size)
-          case "mvhd" => frames = readBe32(b, bodyOff + 16)
+          case "mvhd" =>
+            require(size >= 9, "truncated mvhd")
+            val v = b(bodyOff) & 0xff
+            // v0: ver/flags 4 + ctime 4 + mtime 4 + timescale 4 →
+            // 32-bit duration at +16; v1: 8-byte ctime/mtime →
+            // 64-bit duration at +24 (low word at +28)
+            val durOff = if (v == 1) bodyOff + 28 else bodyOff + 16
+            require(durOff + 4 <= off + size, "truncated mvhd")
+            frames = readBe32(b, durOff)
           case "tkhd" =>
-            w = readBe32(b, bodyOff + 76) >>> 16
-            h = readBe32(b, bodyOff + 80) >>> 16
+            require(size >= 9, "truncated tkhd")
+            val v = b(bodyOff) & 0xff
+            // v1 widens ctime/mtime/duration by 4 bytes each
+            val whOff = if (v == 1) bodyOff + 88 else bodyOff + 76
+            require(whOff + 8 <= off + size, "truncated tkhd")
+            w = readBe32(b, whOff) >>> 16
+            h = readBe32(b, whOff + 4) >>> 16
           case "mdat" =>
             payloadOff = bodyOff; payloadLen = size - 8
           case _ => ()
         }
-        off += math.max(size, 8)
+        off += size
       }
     }
     walk(0, b.length)

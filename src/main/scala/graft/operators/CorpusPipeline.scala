@@ -79,15 +79,16 @@ object CorpusPipeline {
     val s1 = if (crossCorpus)
       s1a.join(crossContaminated(s, dir), Seq("doc_id"), "left_anti")
     else s1a
+    // the new gates are PER-ROW predicates on rows already in hand
+    // (shared Column expressions, proven ≡ t31/t32 in Relational10Spec)
+    // — not verdict joins, which would re-scan and re-tokenize the
+    // whole corpus for a frame these stages don't need
     val s2a = s1.join(qualityKeep, Seq("doc_id"), "left_semi")
     val s2b = if (gopher)
-      s2a.join(Relational10.t31(s, dir).filter($"pass" === 1L)
-        .select($"doc_id"), Seq("doc_id"), "left_semi")
+      s2a.filter(Relational10.gopherPass($"text") === 1L)
     else s2a
     val s2 = classifierMinPpm.fold(s2b)(minPpm =>
-      s2b.join(Relational10.t32(s, dir)
-        .filter($"score_ppm" >= minPpm).select($"doc_id"),
-        Seq("doc_id"), "left_semi"))
+      s2b.filter(Relational10.classifierScorePpm($"text") >= minPpm))
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
     val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
 

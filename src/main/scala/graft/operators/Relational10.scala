@@ -142,6 +142,21 @@ object Relational10 {
   private def tokWeightMilli(tk: Column): Column =
     pmod(graft.functions.TextOps.hash64(concat(lit("w:"), tk)), lit(1000L)) - lit(500L)
 
+  /** The t32 fixed-point score as a standalone Column over a text
+    * column (null for zero-token docs) — the per-row form
+    * [[CorpusPipeline.curate]]'s classifier gate applies to rows
+    * already in hand, instead of re-scanning the corpus for a
+    * verdict join (the [[gopherPass]] convention). */
+  def classifierScorePpm(text: Column): Column = {
+    val toks = word_tokens(text)
+    val nW = size(toks).cast("long")
+    val wSum = aggregate(transform(toks, tokWeightMilli(_)), lit(0L),
+      (acc, x) => acc + x)
+    when(nW > 0,
+      floor(((wSum + lit(500L) * nW) * lit(1000L)).cast("double") / nW)
+        .cast("long") - 500000L)
+  }
+
   /** Linear bag-of-words quality classifier, fasttext-inference
     * shape: score(doc) = mean over tokens of w(token), label =
     * score > 0. ALL arithmetic is integer: milli-unit weights summed
@@ -436,11 +451,13 @@ object Relational10 {
       val next = words
         .select(applyMerge($"sym", a, b).as("sym"), $"freq")
         .localCheckpoint()
-      words.unpersist(blocking = false)
+      // real block release — Dataset.unpersist would be a plan-cache
+      // no-op on a local checkpoint (see CheckpointOps)
+      graft.functions.CheckpointOps.freeLocalCheckpoint(words)
       words = next
       totals += ((step.toLong, totalSymbols))
     }
-    words.unpersist(blocking = false)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(words)
     (merges.result(), totals.result())
   }
 

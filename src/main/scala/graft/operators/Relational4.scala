@@ -378,8 +378,10 @@ object Relational4 {
       // DataFrame is unreachable. Block memory per round is small
       // (the shrinking edge set), but unbounded rounds of retained
       // generations inside a long bench suite is exactly the
-      // GC-pressure shape the r7 verdict asked to rule out.
-      edges.unpersist(blocking = false)
+      // GC-pressure shape the r7 verdict asked to rule out. NB this
+      // must go through CheckpointOps: Dataset.unpersist is a
+      // plan-cache operation and leaves checkpoint blocks in place.
+      graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
       edges = next
     }
     // fixpoint = star forest: every non-root has exactly one edge, to

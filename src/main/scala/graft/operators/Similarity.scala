@@ -421,14 +421,21 @@ object Similarity {
         .localCheckpoint()
       inertia += round ->
         assigned.agg(sum($"dist")).head().getDouble(0)
-      cent = assigned
+      val newCent = assigned
         .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cluster", $"pos").agg(avg($"v".cast("double")).as("c"))
         .groupBy($"cluster")
         .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
           x => x.getField("c")).as("cvec"))
         .localCheckpoint()
+      // newCent is materialized — release the superseded round's
+      // blocks for real (see CheckpointOps: Dataset.unpersist is a
+      // plan-cache no-op on local checkpoints)
+      graft.functions.CheckpointOps.freeLocalCheckpoint(assigned)
+      graft.functions.CheckpointOps.freeLocalCheckpoint(cent)
+      cent = newCent
     }
+    graft.functions.CheckpointOps.freeLocalCheckpoint(cent)
     inertia.result().toDF("round", "total_inertia")
   }
 

@@ -121,10 +121,13 @@ object ConfigLoader {
       case -1 => Some((auth, 3128))
       case i =>
         val (h, ps) = (auth.substring(0, i), auth.substring(i + 1))
-        // toIntOption (not forall(isDigit) + toInt) so an all-digit
+        // digits-only FIRST (Integer.parseInt would accept a leading
+        // '+'/'-' — a sign-prefixed port is malformed and must fall
+        // through to the loud error), then toIntOption so an all-digit
         // string beyond Int range, or a port outside 1-65535, falls
-        // through to the loud IllegalArgumentException above
-        val port = ps.toIntOption.filter(p => p > 0 && p <= 65535)
+        // through the same way
+        val port = Option(ps).filter(p => p.nonEmpty && p.forall(_.isDigit))
+          .flatMap(_.toIntOption).filter(p => p > 0 && p <= 65535)
         if (h.nonEmpty) port.map((h, _)) else None
     }
   }

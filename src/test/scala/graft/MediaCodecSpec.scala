@@ -73,6 +73,72 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.decode(Array.empty[Byte])
     }
   }
+
+  test("truncated recognized containers throw IllegalArgumentException, never index errors") {
+    // the decode() contract: a reject-routing caller catches
+    // IllegalArgumentException; an index error would crash the task
+    val full = Seq(
+      MediaCodec.writePng(123, 77, payload),
+      MediaCodec.writeWav(16000, 2, payload),
+      MediaCodec.writeMp4(123, 77, 5, payload))
+    for (blob <- full; cut <- Seq(9, 13, 17, 21, 30, blob.length / 2, blob.length - 3)) {
+      val t = blob.take(cut)
+      // either the documented reject (IllegalArgumentException), or —
+      // when only trailer bytes are cut — a decode whose payload is
+      // still fully in-bounds; anything else (index errors) fails
+      try {
+        val d = MediaCodec.decode(t)
+        assert(d.payloadOff + d.payloadLen <= t.length,
+          s"decode accepted a container whose payload is cut off ($cut/${blob.length})")
+      } catch {
+        case _: IllegalArgumentException => ()
+      }
+    }
+    // a truncated JPEG (SOF segment cut off) is loud too
+    val jpegCut = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x00).map(_.toByte)
+    intercept[IllegalArgumentException] { MediaCodec.decode(jpegCut) }
+  }
+
+  test("JPEG fill bytes and standalone TEM markers are spec-legal and tolerated") {
+    // SOI, two 0xFF fill bytes + TEM, SOF0 (h=7, w=9, 1 component),
+    // SOS (minimal), entropy byte, EOI
+    val bytes = Array[Int](
+      0xff, 0xd8,                   // SOI
+      0xff, 0xff, 0xff, 0x01,       // fill, fill, TEM
+      0xff, 0xc0, 0x00, 0x0b,       // SOF0, len 11
+      0x08, 0x00, 0x07, 0x00, 0x09, // precision 8, h=7, w=9
+      0x01, 0x01, 0x11, 0x00,       // 1 component
+      0xff, 0xda, 0x00, 0x02,       // SOS, len 2 (no body)
+      0x55,                         // entropy data
+      0xff, 0xd9                    // EOI
+    ).map(_.toByte)
+    val d = MediaCodec.decode(bytes)
+    assert((d.kind, d.width, d.height) == (("jpeg", 9, 7)))
+  }
+
+  test("MP4 version-1 tkhd/mvhd parse at the widened 64-bit offsets") {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+    // v1 mvhd: ver 1 + flags, ctime/mtime 8 each, timescale 4,
+    // duration 8 (low word = 42), rest zero-padded
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill(16)(0.toByte) ++ be32(1) ++ be32(0) ++ be32(42) ++
+      Array.fill(80)(0.toByte))
+    // v1 tkhd: ver 1 + flags, ctime/mtime 8 each, trackid 4,
+    // reserved 4, duration 8 → w/h at body offsets 88/92 (16.16)
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill(84)(0.toByte) ++ be32(640 << 16) ++ be32(480 << 16))
+    val blob = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("trak", tkhd) ++ mvhd) ++
+      box("mdat", payload)
+    val d = MediaCodec.decode(blob)
+    assert((d.kind, d.width, d.height, d.frames) == (("mp4", 640, 480, 42)))
+    assert(blob.slice(d.payloadOff, d.payloadOff + d.payloadLen)
+      .sameElements(payload))
+  }
 }
 
 /** Spark-side: the decode pipeline reads header facts out of blob

@@ -182,7 +182,10 @@ class PropertySpec extends AnyFunSuite {
     // no bare NumberFormatException from toInt on an all-digit overflow
     for (bad <- Seq("http://corp_proxy:3128/path", "u:p@corp_proxy:9",
         "corp_proxy:notaport", "corp_proxy:99999999999",
-        "corp_proxy:65536", "corp_proxy:0")) {
+        "corp_proxy:65536", "corp_proxy:0",
+        // sign-prefixed ports are malformed even though
+        // Integer.parseInt would accept the '+'
+        "corp_proxy:+80", "corp_proxy:-80")) {
       intercept[IllegalArgumentException] {
         graft.pipeline.ConfigLoader.fromJson(
           s"""{"proxies": {"https": "$bad"}}""")

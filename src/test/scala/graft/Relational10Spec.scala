@@ -52,6 +52,18 @@ class Relational10Spec extends SparkSpec {
       if (ppm > 0) assert(label == 1L, s"ppm $ppm but label 0")
       if (ppm < 0) assert(label == 0L, s"ppm $ppm but label 1")
     }
+    // the standalone Column form (what curate's classifier gate
+    // applies per-row) computes the identical score
+    val s = spark
+    import s.implicits._
+    val mismatch = Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        graft.operators.Relational10.classifierScorePpm($"text").as("col_ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(mismatch(r.getAs[Long]("doc_id")) == r.getAs[Long]("score_ppm"),
+        s"classifierScorePpm diverged from t32 at doc ${r.getAs[Long]("doc_id")}")
+    }
   }
 
   test("t33 terciles are balanced within 1 per source and ordered by nll") {
@@ -128,6 +140,22 @@ class Relational10Spec extends SparkSpec {
           s"stream/batch gopher gate diverged: sizes ${streamed.size}/${batchPass.size}")
       } finally q.stop()
     } finally ()
+  }
+
+  test("iterative loops free superseded localCheckpoint blocks (bounded persistent-RDD growth)") {
+    val sc = spark.sparkContext
+    // d09's star loop: only the FINAL round's checkpoint may survive
+    // (it backs the returned frame); t34's merge loop frees everything.
+    // Dataset.unpersist was a plan-cache no-op here — without
+    // CheckpointOps each round leaked one persisted RDD.
+    val before = sc.getPersistentRDDs.size
+    graft.operators.Relational4.d09(spark, sf).count()
+    graft.operators.Relational10.t34(spark, sf).count()
+    System.gc() // let ContextCleaner reap frames that went unreachable
+    Thread.sleep(500)
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"superseded checkpoint rounds retained: $before -> $after persistent RDDs")
   }
 
   test("d15 keeps one best-quality member per cluster (vs d07's min-id policy)") {
