@@ -554,6 +554,19 @@ object Relational10 {
   /** Test seam: the cell mapping, for the D·W state-bound assert. */
   private[graft] def cmsCellsForTest(c: Column): Column = cmsCells(c)
 
+  /** The D·W counter table of a user_id frame — ONE definition serving
+    * batch [[x06]] and the streaming face
+    * ([[graft.streaming.EventStreams.countMinStream]]), so their
+    * parity is by construction: counters are sums, and sums are the
+    * same in any arrival order. */
+  private[graft] def cmsCounters(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select(explode(cmsCells($"user_id")).as("jc"))
+      .groupBy($"jc.j".as("j"), $"jc.cell".as("cell"))
+      .agg(count(lit(1)).as("total"))
+  }
+
   /** Count-Min sketch point queries, exactly oracle-checked: the CMS
     * estimate (min over depth rows of the hashed counter cells) is a
     * DETERMINISTIC function of the input multiset — counters are
@@ -572,10 +585,7 @@ object Relational10 {
   def x06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events").select($"user_id")
-    val cells = ev
-      .select(explode(cmsCells($"user_id")).as("jc"))
-      .groupBy($"jc.j".as("j"), $"jc.cell".as("cell"))
-      .agg(count(lit(1)).as("total"))
+    val cells = cmsCounters(ev)
     val q = ev.filter($"user_id" < CMS_NQ).distinct()
     val est = q
       .select($"user_id", explode(cmsCells($"user_id")).as("jc"))

@@ -379,6 +379,22 @@ object EventStreams {
     * the streamed estimate is EXACTLY the batch x05 estimate once all
     * input is consumed (spec-asserted equality, not an error bound —
     * the property no HLL stream can offer). */
+  /** Streaming Count-Min counter maintenance (batch x06's streaming
+    * face): every arriving event increments its D hashed cells — a
+    * plain streaming groupBy-count whose state is bounded at D·W rows
+    * FOREVER regardless of stream length or distinct-key count (the
+    * CMS point; a per-key streaming count's state grows with every
+    * key ever seen). The counter arithmetic is literally
+    * [[graft.operators.Relational10.cmsCounters]] — the same code the
+    * batch query runs — and counters are sums, so after full replay
+    * the streamed table equals the batch table EXACTLY and point
+    * estimates derived from it equal batch x06's (spec-asserted,
+    * the kmvDistinctStream exact-parity convention). Complete output
+    * mode re-emits the current counters per trigger. */
+  def countMinStream(events: DataFrame): DataFrame =
+    graft.operators.Relational10.cmsCounters(
+      events.select(col("user_id")))
+
   def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
     val kmv = org.apache.spark.sql.functions.udaf(
       graft.functions.KMinValues.KMV(k))

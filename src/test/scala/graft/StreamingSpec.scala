@@ -265,6 +265,41 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min counters equal the batch table exactly after replay (x06 parity)") {
+    val s = spark
+    import s.implicits._
+    // two micro-batches split by user parity: every counter cell
+    // receives increments from BOTH batches, exercising the streaming
+    // state merge, and sums are arrival-order-free so equality is exact
+    // stage from the RAW parquet (nanos-long ts) so the chunks keep
+    // the schema EventStreams.stream expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    StreamTestIO.writeChunk(raw.filter($"user_id" % 2 === 0),
+      dir.resolve("even.parquet"), base)
+    StreamTestIO.writeChunk(raw.filter($"user_id" % 2 === 1),
+      dir.resolve("odd.parquet"), base + 1000)
+    val events = Tables.load(spark, sf, "events")
+    val q = EventStreams.runToMemory(
+      EventStreams.countMinStream(EventStreams.stream(spark, dir.toString,
+        Map("maxFilesPerTrigger" -> "1"))),
+      "cms_stream", mode = "complete")
+    try {
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = operators.Relational10
+        .cmsCounters(events.select($"user_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream/batch CMS counters diverge: sizes ${streamed.size}/${batch.size}")
+      // and the counter table is the bounded-state claim: <= D*W rows
+      assert(streamed.size <= 3 * 256, s"counter table overflow: ${streamed.size}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join matches the batch join") {
     val s = spark
     import s.implicits._
