@@ -288,6 +288,43 @@ object Relational10 {
     * shingle→doc index materialized so new-batch pair probes touch
     * only the new docs' shingle buckets ([[Relational7.d11]]'s
     * straddle shape). */
+  /** One ingest increment of the merge algebra: fold `newPairs` (the
+    * pairs with at least one endpoint outside the already-clustered
+    * corpus) into `oldLabels` (`(id, comp)`, the true min-id labeling
+    * of the old corpus), returning the `(id, comp)` labeling of the
+    * grown corpus. Chainable — labels out feed the next increment in
+    * — because min-id labeling is associative; Relational10Spec
+    * proves a TWO-increment chain equals full recompute. */
+  private[graft] def mergeIncrement(s: SparkSession,
+      newPairs: DataFrame, oldLabels: DataFrame): DataFrame = {
+    import s.implicits._
+    val old = oldLabels.select($"id".as("x"), $"comp".as("lx"))
+      .localCheckpoint()
+    // contract new-batch pairs through the old labels
+    val la = old.select($"x".as("a_id"), $"lx".as("la"))
+    val lb = old.select($"x".as("b_id"), $"lx".as("lb"))
+    val contracted = newPairs
+      .join(la, Seq("a_id"), "left")
+      .join(lb, Seq("b_id"), "left")
+      .select(coalesce($"la", $"a_id").as("a_id"),
+        coalesce($"lb", $"b_id").as("b_id"))
+      .filter($"a_id" =!= $"b_id")
+    // CC on the contracted graph only (touched reps + new docs)
+    val comp = Relational4.d09(s, "", pairsIn = Some(contracted))
+      .select($"doc_id".as("node"), $"cluster_id".as("c"))
+      .localCheckpoint()
+    // stitch: old docs map through (their rep's) component; nodes not
+    // in the old label table (new docs, old docs whose only pairs are
+    // new) take their component label directly
+    val oldFinal = old
+      .join(comp.withColumnRenamed("node", "lx"), Seq("lx"), "left")
+      .select($"x".as("id"), coalesce($"c", $"lx").as("comp"))
+    val directFinal = comp
+      .join(old.select($"x".as("node")), Seq("node"), "left_anti")
+      .select($"node".as("id"), $"c".as("comp"))
+    oldFinal.union(directFinal)
+  }
+
   def d14(s: SparkSession, dir: String,
       pairsIn: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
@@ -296,31 +333,9 @@ object Relational10 {
     val newPairs = pairs.filter(isNewDoc($"a_id") || isNewDoc($"b_id"))
     // old-corpus cluster state (a real pipeline reads this, round N-1)
     val oldLabels = Relational4.d09(s, dir, pairsIn = Some(oldPairs))
-      .select($"doc_id".as("x"), $"cluster_id".as("lx"))
-      .localCheckpoint()
-    // contract new-batch pairs through the old labels
-    val la = oldLabels.select($"x".as("a_id"), $"lx".as("la"))
-    val lb = oldLabels.select($"x".as("b_id"), $"lx".as("lb"))
-    val contracted = newPairs
-      .join(la, Seq("a_id"), "left")
-      .join(lb, Seq("b_id"), "left")
-      .select(coalesce($"la", $"a_id").as("a_id"),
-        coalesce($"lb", $"b_id").as("b_id"))
-      .filter($"a_id" =!= $"b_id")
-    // CC on the contracted graph only (touched reps + new docs)
-    val comp = Relational4.d09(s, dir, pairsIn = Some(contracted))
-      .select($"doc_id".as("node"), $"cluster_id".as("comp"))
-      .localCheckpoint()
-    // stitch: old docs map through (their rep's) component; nodes not
-    // in the old label table (new docs, old docs whose only pairs are
-    // new) take their component label directly
-    val oldFinal = oldLabels
-      .join(comp.withColumnRenamed("node", "lx"), Seq("lx"), "left")
-      .select($"x".as("doc_id"), coalesce($"comp", $"lx").as("cluster_id"))
-    val directFinal = comp
-      .join(oldLabels.select($"x".as("node")), Seq("node"), "left_anti")
-      .select($"node".as("doc_id"), $"comp".as("cluster_id"))
-    val labels = oldFinal.union(directFinal)
+      .select($"doc_id".as("id"), $"cluster_id".as("comp"))
+    val labels = mergeIncrement(s, newPairs, oldLabels)
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
     val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select($"doc_id", $"cluster_id", $"cluster_size")

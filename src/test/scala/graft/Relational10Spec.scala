@@ -158,6 +158,40 @@ class Relational10Spec extends SparkSpec {
       s"superseded checkpoint rounds retained: $before -> $after persistent RDDs")
   }
 
+  test("merge algebra chains: two successive increments equal full recompute") {
+    val s = spark
+    import s.implicits._
+    val r4 = graft.operators.Relational4
+    val r10 = graft.operators.Relational10
+    // three-way deterministic split: base corpus A (folds 2-4),
+    // increment B (fold 0), increment C (fold 1)
+    def fold(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.TextOps.hash64(concat(lit("inc2:"), c.cast("string"))), lit(5L))
+    val pairs = graft.operators.Dedup.d02(spark, sf).select($"a_id", $"b_id")
+      .localCheckpoint()
+    val inA = (c: org.apache.spark.sql.Column) => fold(c) >= 2
+    val inB = (c: org.apache.spark.sql.Column) => fold(c) === 0
+    val inC = (c: org.apache.spark.sql.Column) => fold(c) === 1
+    val pAA = pairs.filter(inA($"a_id") && inA($"b_id"))
+    val pB = pairs.filter(
+      (inB($"a_id") || inB($"b_id")) && !inC($"a_id") && !inC($"b_id"))
+    val pC = pairs.filter(inC($"a_id") || inC($"b_id"))
+    // both increments must route pairs or the chain test is vacuous
+    assert(pB.count() > 0 && pC.count() > 0,
+      "three-way split routed nothing through an increment")
+    val labels0 = r4.d09(spark, sf, pairsIn = Some(pAA))
+      .select($"doc_id".as("id"), $"cluster_id".as("comp"))
+    val labels1 = r10.mergeIncrement(spark, pB, labels0)
+    val labels2 = r10.mergeIncrement(spark, pC, labels1)
+    val chained = labels2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = r4.d06(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chained == full,
+      s"chained increments diverged from full recompute: " +
+        s"sizes ${chained.size}/${full.size}, " +
+        s"only-chained=${chained.diff(full).take(3)}")
+  }
+
   test("d15 keeps one best-quality member per cluster (vs d07's min-id policy)") {
     val s = spark
     import s.implicits._
