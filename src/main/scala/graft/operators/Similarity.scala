@@ -439,6 +439,68 @@ object Similarity {
     inertia.result().toDF("round", "total_inertia")
   }
 
+  /** Simplified silhouette score per k-means cluster (centroid form:
+    * a = distance to own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b)) — the cluster-quality readout a
+    * training loop checks next to [[s07]]'s inertia decomposition:
+    * mean silhouette near 1 = tight well-separated cluster, near 0 =
+    * boundary-straddling, negative = likely mis-assigned. Uses the
+    * same deterministic seed centroids as s07 so the two reports
+    * describe the same clustering.
+    *
+    * Plan = s07's exactly, plus one more windowed reduction over the
+    * SAME K-row-per-vector frame (min of the non-own distances) —
+    * the corpus is scanned once, centroids broadcast, and both
+    * window functions share the vec_id partition sort; the only
+    * data-sized exchange is the window's hash partition on vec_id.
+    * At 100 TB the per-vector work is K·DIM multiply-adds — the same
+    * budget as the assignment pass it piggybacks on. The simplified
+    * (centroid) form is THE scalable silhouette: the classic
+    * pairwise form is O(n²) and never runs at corpus scale. */
+  def s10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding")
+    val seeds = e.filter($"vec_id" < KMEANS_K)
+      .select($"vec_id".as("cluster"), $"embedding".as("cvec"))
+    val wNear = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+    val wVec = Window.partitionBy($"vec_id")
+    val a = sqrt($"dist")
+    val b = sqrt($"b2")
+    e.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"cluster", sqDistD($"embedding", $"cvec").as("dist"))
+      .withColumn("rn", row_number().over(wNear))
+      .withColumn("b2", min(when($"rn" =!= 1, $"dist")).over(wVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster",
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)).as("sil"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg($"sil"), 4).as("mean_silhouette"))
+      .orderBy($"cluster")
+  }
+
+  private val s10Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |seeds AS (SELECT vec_id AS cluster, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < $KMEANS_K),
+       |d AS (SELECT e.vec_id, s.cluster,
+       |  list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |          * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+       |    for i in range(1, ${DIM + 1})]) AS dist
+       |  FROM e CROSS JOIN seeds s),
+       |a AS (SELECT vec_id, cluster, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM d),
+       |w AS (SELECT vec_id, cluster, dist, rn,
+       |  min(CASE WHEN rn <> 1 THEN dist END) OVER (PARTITION BY vec_id) AS b2
+       |  FROM a)
+       |SELECT cluster, count(*) AS n_members,
+       |  round(avg(CASE WHEN greatest(sqrt(dist), sqrt(b2)) = 0 THEN 0.0
+       |    ELSE (sqrt(b2) - sqrt(dist)) / greatest(sqrt(dist), sqrt(b2)) END), 4)
+       |    AS mean_silhouette
+       |FROM w WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
+
   private val RP_OUT = 16
 
   /** Deterministic ±1 Johnson-Lindenstrauss projection matrix:
@@ -500,6 +562,7 @@ object Similarity {
     "s06_two_stage_rerank" -> (s06 _),
     "s07_kmeans_step" -> (s07 _),
     "s09_random_projection" -> (s09 _),
+    "s10_silhouette" -> (s10 _),
     "d08_semantic_clusters" -> (d08 _),
   )
 
@@ -537,6 +600,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,
+    "s10_silhouette" -> s10Oracle,
     "s01_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
