@@ -192,6 +192,9 @@ object Relational10 {
       .orderBy($"doc_id")
   }
 
+  // list_sum yields HUGEINT in DuckDB; without the BIGINT cast the
+  // comparator materializes score_ppm as float64 against Spark's int64
+  // and the value hash diverges on dtype alone.
   private val t32Oracle =
     s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
@@ -199,8 +202,9 @@ object Relational10 {
        |    x -> ${sqlHash64("concat('w:', x)")} % 1000 - 500)) AS ws
        |  FROM d)
        |SELECT doc_id, n_tok,
-       |  CASE WHEN n_tok > 0 THEN
-       |    ((ws + 500 * n_tok) * 1000) // n_tok - 500000 END AS score_ppm,
+       |  CAST(CASE WHEN n_tok > 0 THEN
+       |    ((ws + 500 * n_tok) * 1000) // n_tok - 500000 END AS BIGINT)
+       |    AS score_ppm,
        |  CAST(coalesce(ws, 0) > 0 AS BIGINT) AS label
        |FROM m ORDER BY doc_id""".stripMargin
 

@@ -227,23 +227,36 @@ object Relational11 {
     val base = docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), word_tokens(col("text")).as("tk"))
     val n = size(col("tk"))
+    // The boundary array gets its OWN projection: it costs an md5 per
+    // token, `ends` references it three times, and interpreted
+    // higher-order functions get no common-subexpression elimination
+    // — inlined, the hash pass ran 3× per row. (CollapseProject keeps
+    // the barrier exactly because the reference count is > 1.)
     val bps = filter(sequence(lit(1), n),
       i => pmod(hash64(element_at(col("tk"), i)), lit(CDC_MOD)) === 0)
+    val withBps = base.select(col("doc_id"), col("tk"), bps.as("bps"))
     // append the final position unless it is already a boundary;
     // guarded so empty token arrays (whitespace-only docs that pass
-    // the trim screen) produce an empty ends array, which the
-    // posexplode drops — sequence(1,0) is never evaluated for them
-    // (CASE branches are lazy per row)
+    // the trim screen) produce an empty ends array on both engines
     val ends = when(n > 0,
-      when(size(bps) > 0 && element_at(bps, -1) === n, bps)
-        .otherwise(concat(bps, array(n))))
+      when(size(col("bps")) > 0 && element_at(col("bps"), -1) === n,
+        col("bps"))
+        .otherwise(concat(col("bps"), array(n))))
       .otherwise(array().cast("array<int>"))
     val start = when(col("j") === 0, lit(1))
       .otherwise(element_at(col("ends"), col("j")) + 1)
-    base
+    withBps
       .select(col("doc_id"), col("tk"), ends.as("ends"))
+      // posexplode_OUTER, then drop the null rows an empty `ends`
+      // would emit (none survive the trim screen, so the result set
+      // is identical): the non-outer form lets
+      // InferFiltersFromGenerate add `size(ends) > 0`, and predicate
+      // pushdown substitutes the whole alias chain into a scan-level
+      // Filter — re-running tokenize + the md5 boundary pass ~12× per
+      // row (measured: 16 s → 0.5 s at sf0.1 for this one plan edit)
       .select(col("doc_id"), col("tk"), col("ends"),
-        posexplode(col("ends")).as(Seq("j", "e")))
+        posexplode_outer(col("ends")).as(Seq("j", "e")))
+      .filter(col("j").isNotNull)
       .withColumn("b", start)
       .select(col("doc_id"), col("j").cast("long").as("chunk_id"),
         (col("e") - col("b") + 1).cast("long").as("n_tok"),

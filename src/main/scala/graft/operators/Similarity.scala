@@ -533,23 +533,28 @@ object Similarity {
     * 1±ε with ε ~ √(8·ln n / k)) is MEASURED, not assumed: the spec
     * pins the projected/original distance-ratio distribution on
     * deterministic pairs. */
+  // The projection is emitted as 16 scalar columns, not one array
+  // column: the correctness gate sorts result frames by every column
+  // and an array-typed cell is unsortable there.
   def s09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val outCols = (0 until RP_OUT).map { p =>
       val sv = array(rpSigns(p).map(lit): _*)
       round(vec_dot(sv, $"embedding") / math.sqrt(RP_OUT.toDouble), 4)
+        .as(f"p$p%02d")
     }
     emb(s, dir)
-      .select($"vec_id", array(outCols: _*).as("proj"))
+      .select(($"vec_id" +: outCols): _*)
       .orderBy($"vec_id")
   }
 
   private val s09Oracle = {
     val rows = (0 until RP_OUT).map { p =>
       val lits = rpSigns(p).map(v => f"$v%.1f").mkString("[", ", ", "]")
-      s"round(list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) / ${math.sqrt(RP_OUT.toDouble)}, 4)"
-    }.mkString("list_value(", ",\n    ", ")")
-    s"""SELECT vec_id, $rows AS proj
+      val name = f"p$p%02d"
+      s"round(list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) / ${math.sqrt(RP_OUT.toDouble)}, 4) AS $name"
+    }.mkString(",\n    ")
+    s"""SELECT vec_id, $rows
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 

@@ -334,7 +334,9 @@ class Relational10Spec extends SparkSpec {
   test("s09 projects to 16 dims and preserves pairwise distance within the JL envelope") {
     val s = spark
     import s.implicits._
+    val projCols = (0 until 16).map(p => col(f"p$p%02d"))
     val proj = Similarity.s09(spark, sf)
+      .select($"vec_id", array(projCols: _*).as("proj"))
     assert(proj.select(size($"proj")).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(16))
     // deterministic pairs (2k, 2k+1): squared-distance ratio
