@@ -19,16 +19,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-      // natively; read nanos as LONG and truncate to micros (exactly what
-      // DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, keeping the oracle
-      // comparable). `div` keeps the arithmetic integral — a double
-      // division would lose precision above 2^53 ns.
+      // events.ts has shipped as two physical types across testdata
+      // generations: parquet TIMESTAMP(NANOS) (unreadable natively by
+      // Spark — read nanos as LONG and truncate to micros, exactly
+      // DuckDB's TIMESTAMP_NS → TIMESTAMP cast) and plain
+      // TIMESTAMP(MICROS) without UTC adjustment (Spark reads
+      // TIMESTAMP_NTZ — normalize to session-local TIMESTAMP, a
+      // numeric no-op under the UTC-pinned sessions every entrypoint
+      // builds, and the type `unix_micros`/window functions expect).
+      // Adapting on the observed dtype here keeps all 30+ events
+      // consumers agnostic to the generator's choice.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          // integral `div`: a double division would lose precision
+          // above 2^53 ns
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

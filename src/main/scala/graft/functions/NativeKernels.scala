@@ -126,6 +126,91 @@ object NativeKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fixed-point signed dot product: Σ a_i · ⌊b_i·scale + 0.5⌋ as
+    * LONG. `a` is an integer (weight/sign) array, `b` a float/double
+    * array; each b_i is quantized to `scale`-ths via the exact IEEE
+    * sequence float→double (exact) → ·scale (one rounding) → +0.5
+    * (one rounding) → floor (exact) — every step a single IEEE 754
+    * operation any engine reproduces bit-identically, so the LONG
+    * result is engine-portable where a float dot product + decimal
+    * `round(x, 4)` is not (HALF_UP vs scaled rounding split near-tie
+    * values; see the t32 note in Relational10). Null if either side
+    * is null; ragged inputs truncate to the shorter length like
+    * [[VecDot]]. */
+  case class VecDotQ(left: Expression, right: Expression, scale: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    private def intArray(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    private def fpArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (intArray(left.dataType) && fpArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_q needs ARRAY<INT|BIGINT> weights and ARRAY<FLOAT|DOUBLE> " +
+          s"values, got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+    private def elemType(e: Expression): NumericType =
+      e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val lt = elemType(left); val rt = elemType(right)
+      val sc = scale.toDouble
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val w = lt match {
+          case IntegerType => a.getInt(i).toLong
+          case _ => a.getLong(i)
+        }
+        val x = rt match {
+          case FloatType => b.getFloat(i).toDouble
+          case _ => b.getDouble(i)
+        }
+        acc += w * math.floor(x * sc + 0.5).toLong
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wGet = elemType(left) match {
+        case IntegerType => (arr: String, i: String) => s"(long) $arr.getInt($i)"
+        case _ => (arr: String, i: String) => s"$arr.getLong($i)"
+      }
+      val xGet = elemType(right) match {
+        case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+        case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${wGet(a, i)} *
+           |    (long) java.lang.Math.floor(${xGet(b, i)} * ${scale}.0d + 0.5d);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDotQ =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Shared md5 → 60-bit-long kernel (= TextOps.hash64 semantics:
     * first 15 hex chars of the md5 digest parsed base-16). */
   @inline private def md5Hash64(md: java.security.MessageDigest,
@@ -374,6 +459,8 @@ object NativeKernels {
     col(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), ex(value.cast("long"))))
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
+  def vec_dot_q(weights: Column, values: Column, scale: Int): Column =
+    col(VecDotQ(ex(weights), ex(values), scale))
   def word_tokens(c: Column): Column = col(Tokens(ex(c.cast("string"))))
   def word_shingles(c: Column, n: Int): Column =
     col(WordShingles(ex(c.cast("string")), n))

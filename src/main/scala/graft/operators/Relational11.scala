@@ -206,9 +206,12 @@ object Relational11 {
     * Plan shape is t17's: one documents scan, per-row array work
     * (boundary positions via a filtered index sequence, chunks via
     * slice), explode — NO join and NO shuffle before the gate's
-    * ORDER BY. Empty-token docs yield an empty `ends` array and
-    * vanish at the explode on both engines (the t17 whitespace-only
-    * clamp lesson, solved here without a clamp).
+    * ORDER BY. Zero-token docs that pass the trim screen (tab/
+    * newline-only, punctuation-only — trim() strips only spaces)
+    * yield an empty `ends` array whose posexplode_outer null row is
+    * dropped by an explicit `j IS NOT NULL` filter on both engines
+    * (the t17 whitespace-only clamp lesson, solved here without a
+    * clamp).
     *
     * At 100 TB: embarrassingly parallel like t17; downstream
     * dedup joins on `chunk_hash` exactly as d13 does, but survive
@@ -248,8 +251,10 @@ object Relational11 {
     withBps
       .select(col("doc_id"), col("tk"), ends.as("ends"))
       // posexplode_OUTER, then drop the null rows an empty `ends`
-      // would emit (none survive the trim screen, so the result set
-      // is identical): the non-outer form lets
+      // emits (they DO occur: trim() strips only spaces, so tab/
+      // newline-only or punctuation-only docs reach here with zero
+      // tokens — same rationale as the empty-ends guard above; the
+      // `j IS NOT NULL` filter drops them): the non-outer form lets
       // InferFiltersFromGenerate add `size(ends) > 0`, and predicate
       // pushdown substitutes the whole alias chain into a scan-level
       // Filter — re-running tokenize + the md5 boundary pass ~12× per

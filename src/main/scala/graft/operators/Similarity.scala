@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.NativeKernels.{vec_dot, pair_expand}
+import graft.functions.NativeKernels.{vec_dot, vec_dot_q, pair_expand}
 
 /** Similarity search over `embeddings.embedding` (ArrayType(Float), dim
   * 64) — SURVEY.md §7.2. Brute-force cosine top-k as the exactness
@@ -519,11 +519,26 @@ object Similarity {
       if (h64(s"rp:$p:$d") % 2 == 0) 1.0 else -1.0))
   }
 
+  /** Quantization denominator for the s09 fixed-point projection:
+    * components in 1e-4 units, then ÷√16 folded in (4·10000). */
+  private val RP_SCALE = 10000
+
   /** Johnson-Lindenstrauss random projection: 64-dim float embeddings
-    * → 16-dim, proj[p] = Σ_d sign(p,d)·emb[d] / √16. The signs are
-    * plan literals, so the whole operator is scan → project → output
-    * sort: no join, no shuffle, one pass, codegen'd fold-left dot
-    * products (the s02 bucket arithmetic, reused 16×).
+    * → 16-dim, proj[p] = Σ_d sign(p,d)·⌊emb[d]·10⁴+½⌋ / (10⁴·√16).
+    * The signs are plan literals, so the whole operator is scan →
+    * project → output sort: no join, no shuffle, one pass, 16
+    * codegen'd [[graft.functions.NativeKernels.VecDotQ]] loops.
+    *
+    * The arithmetic is the t32 fixed-point discipline (see
+    * Relational10): each component quantizes to an integer through
+    * exact-or-single-rounding IEEE steps, the signed sum is pure
+    * LONG arithmetic, and the only float op on the output path is
+    * one division by the constant 40000.0 of an exactly-represented
+    * integer — bit-identical in any IEEE 754 engine. The previous
+    * form (float dot product + `round(x, 4)`) was NOT portable:
+    * Spark rounds HALF_UP on the exact binary value while DuckDB
+    * rounds via ·1e4 scaling, and near-tie values flipped at the
+    * 4th decimal (CORRECTNESS_r09 hash miss).
     *
     * At 100 TB this is the shuffle-bytes lever for every embedding
     * operator downstream: 4× fewer floats per vector into s03's
@@ -532,15 +547,17 @@ object Similarity {
     * the projected column. The JL guarantee (distances preserved to
     * 1±ε with ε ~ √(8·ln n / k)) is MEASURED, not assumed: the spec
     * pins the projected/original distance-ratio distribution on
-    * deterministic pairs. */
+    * deterministic pairs (quantization shifts each component by at
+    * most 5e-5 — far inside the envelope). */
   // The projection is emitted as 16 scalar columns, not one array
   // column: the correctness gate sorts result frames by every column
   // and an array-typed cell is unsortable there.
   def s09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val outCols = (0 until RP_OUT).map { p =>
-      val sv = array(rpSigns(p).map(lit): _*)
-      round(vec_dot(sv, $"embedding") / math.sqrt(RP_OUT.toDouble), 4)
+      val sv = array(rpSigns(p).map(v => lit(v.toLong)): _*)
+      (vec_dot_q(sv, $"embedding", RP_SCALE).cast("double") /
+        lit(RP_SCALE * math.sqrt(RP_OUT.toDouble)))
         .as(f"p$p%02d")
     }
     emb(s, dir)
@@ -549,10 +566,11 @@ object Similarity {
   }
 
   private val s09Oracle = {
+    val div = RP_SCALE * math.sqrt(RP_OUT.toDouble)
     val rows = (0 until RP_OUT).map { p =>
-      val lits = rpSigns(p).map(v => f"$v%.1f").mkString("[", ", ", "]")
+      val lits = rpSigns(p).map(v => f"${v.toLong}%d").mkString("[", ", ", "]")
       val name = f"p$p%02d"
-      s"round(list_sum([($lits)[i] * CAST(embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})]) / ${math.sqrt(RP_OUT.toDouble)}, 4) AS $name"
+      s"CAST(list_sum([($lits)[i] * CAST(floor(CAST(embedding[i] AS DOUBLE) * $RP_SCALE + 0.5) AS BIGINT) for i in range(1, ${DIM + 1})]) AS DOUBLE) / $div AS $name"
     }.mkString(",\n    ")
     s"""SELECT vec_id, $rows
        |FROM embeddings ORDER BY vec_id""".stripMargin

@@ -26,25 +26,38 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema for readStream (file sources need it declared).
-    * ts arrives as parquet TIMESTAMP(NANOS) → read as LONG
-    * (nanosAsLong, set in [[stream]]) and truncated to micros like the
-    * batch loader. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema for readStream (file sources need it declared),
+    * parameterized by the physical type `ts` was written with — the
+    * generator has shipped both TIMESTAMP(NANOS) (read as LONG via
+    * nanosAsLong) and TIMESTAMP(MICROS) (read natively). */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-based event stream. `dir` must be a directory of events
     * parquet files (the file-stream source tails directories — new
-    * files appearing there are the micro-batches). */
+    * files appearing there are the micro-batches). At least one file
+    * must already exist: the footer is probed to learn which physical
+    * type `ts` carries, and the stream normalizes to session-local
+    * TIMESTAMP micros exactly like [[graft.Tables.load]] — so every
+    * stateful operator downstream sees one ts type regardless of the
+    * generator era or whether a test staged chunks through
+    * Spark-written parquet (TIMESTAMP LTZ). */
   def stream(spark: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val df = spark.readStream.schema(eventsRawSchema(tsType))
       .options(options)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Watermarked tumbling-window aggregation (streaming w01). */

@@ -277,6 +277,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("kernel-occurrence sweep: no query plan re-runs tokenize/md5/shingle chains") {
+    // The t37 bug class: predicate pushdown (or a collapsed projection)
+    // substitutes an expensive kernel chain into multiple plan sites,
+    // re-running tokenize + md5 per row many times over. Sweep every
+    // registered query's physical plan and bound the occurrence counts.
+    // d09/d14 are exempt: their iterative fixpoint executes eagerly and
+    // the returned frame's lineage legitimately repeats the pair-build.
+    val exempt = Set("d09_cc_largestar", "d14_incremental_clusters")
+    // intended multi-branch kernel use, not rewrite-duplicated chains:
+    //   t11 — three scan branches (doc stats / unigram / bigram counts)
+    //   x06 — CMS depth D=3 hash rows on both counter and query side
+    val allowTok = Map("t11_repetition" -> 8).withDefaultValue(4)
+    val allowMd5 = Map("x06_countmin" -> 6).withDefaultValue(4)
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !exempt(name) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val nMd5 = "md5\\(".r.findAllIn(plan).size
+        val nTok = "tokens\\(".r.findAllIn(plan).size
+        val nShin = "shingle".r.findAllIn(plan).size
+        (name, nMd5, nTok, nShin)
+    }.filter { case (name, m, t, sh) =>
+      m > allowMd5(name) || t > allowTok(name) || sh > 6 }
+    assert(bad.isEmpty,
+      s"plans with repeated kernel chains (name, md5, tokens, shingles): $bad")
+  }
+
   test("t33 aggregates tokens before the vocab join and windows per source") {
     val p = planOf(graft.operators.Relational10.t33(spark, sf))
     val finalPlan = p.split("== Initial Plan ==").head

@@ -18,21 +18,31 @@ class StreamAsOfSpec extends SparkSpec {
   test("streaming as-of join equals batch a01 across micro-batches") {
     val s = spark
     import s.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts = LONG nanos
-    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    // normalized loader frame + numeric micros split key (ts is
+    // TIMESTAMP now; quantiles need a number)
+    val raw = Tables.load(spark, sf, "events")
+      .withColumn("tsm", org.apache.spark.sql.functions.expr("unix_micros(ts)"))
+    val Array(t1, t2) = raw.stat.approxQuantile("tsm", Array(0.33, 0.66), 0.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-asof")
     dir.toFile.deleteOnExit()
     val base = System.currentTimeMillis() - 60000
-    writeChunk(raw.filter($"ts" < t1), dir.resolve("c1.parquet"), base)
-    writeChunk(raw.filter($"ts" >= t1 && $"ts" < t2),
+    writeChunk(raw.filter($"tsm" < t1).drop("tsm"),
+      dir.resolve("c1.parquet"), base)
+    writeChunk(raw.filter($"tsm" >= t1 && $"tsm" < t2).drop("tsm"),
       dir.resolve("c2.parquet"), base + 1000)
-    writeChunk(raw.filter($"ts" >= t2), dir.resolve("c3.parquet"), base + 2000)
-    val maxTs = raw.agg(org.apache.spark.sql.functions.max($"ts")).head().getLong(0)
-    def sentinel(id: Long, nanos: Long) =
-      Seq((id, nanos, -1L, "view", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val day = 24L * 3600 * 1000000000L
+    writeChunk(raw.filter($"tsm" >= t2).drop("tsm"),
+      dir.resolve("c3.parquet"), base + 2000)
+    val maxTs = raw.agg(org.apache.spark.sql.functions.max($"tsm"))
+      .head().getLong(0)
+    // sentinel chunks must carry the same TIMESTAMP ts type as the
+    // real chunks — a mixed-type directory breaks the footer probe
+    def sentinel(id: Long, micros: Long) =
+      Seq((id, micros, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+        .select($"event_id",
+          org.apache.spark.sql.functions.timestamp_micros($"tsu").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+    val day = 24L * 3600 * 1000000L
     writeChunk(sentinel(-1L, maxTs + day), dir.resolve("s1.parquet"), base + 3000)
     writeChunk(sentinel(-2L, maxTs + 2 * day), dir.resolve("s2.parquet"), base + 4000)
 

@@ -12,21 +12,23 @@ class StreamFunnelSpec extends SparkSpec {
   test("streaming funnel stage hits equal batch e06 per-user stages") {
     val s = spark
     import s.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts = LONG nanos
-    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    // stage from the normalized loader frame with a numeric micros
+    // split key (ts itself is TIMESTAMP now; quantiles need a number)
+    val raw = Tables.load(spark, sf, "events")
+      .withColumn("tsm", expr("unix_micros(ts)"))
+    val Array(t1, t2) = raw.stat.approxQuantile("tsm", Array(0.33, 0.66), 0.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel")
     dir.toFile.deleteOnExit()
     val base = System.currentTimeMillis() - 60000
-    StreamTestIO.writeChunk(raw.filter($"ts" < t1),
+    StreamTestIO.writeChunk(raw.filter($"tsm" < t1).drop("tsm"),
       dir.resolve("c1.parquet"), base)
     // c2 re-delivers a slice of c1 alongside its own window: the
     // duplicates must not re-fire stages or shift latencies
     StreamTestIO.writeChunk(
-      raw.filter($"ts" >= t1 && $"ts" < t2)
-        .union(raw.filter($"ts" < t1).limit(500)),
+      raw.filter($"tsm" >= t1 && $"tsm" < t2)
+        .union(raw.filter($"tsm" < t1).limit(500)).drop("tsm"),
       dir.resolve("c2.parquet"), base + 1000)
-    StreamTestIO.writeChunk(raw.filter($"ts" >= t2),
+    StreamTestIO.writeChunk(raw.filter($"tsm" >= t2).drop("tsm"),
       dir.resolve("c3.parquet"), base + 2000)
     val q = EventStreams.runToMemory(
       FunnelStream.stages(

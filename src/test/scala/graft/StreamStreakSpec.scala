@@ -20,20 +20,22 @@ class StreamStreakSpec extends SparkSpec {
   test("streaming streaks equal batch e09 after replay (both state APIs)") {
     val s = spark
     import s.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet") // ts = LONG nanos
-    val Array(t1, t2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    // normalized loader frame + numeric micros split key (ts is
+    // TIMESTAMP now; quantiles need a number)
+    val raw = Tables.load(spark, sf, "events")
+      .withColumn("tsm", expr("unix_micros(ts)"))
+    val Array(t1, t2) = raw.stat.approxQuantile("tsm", Array(0.33, 0.66), 0.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-streak")
     dir.toFile.deleteOnExit()
     val base = System.currentTimeMillis() - 60000
-    StreamTestIO.writeChunk(raw.filter($"ts" < t1),
+    StreamTestIO.writeChunk(raw.filter($"tsm" < t1).drop("tsm"),
       dir.resolve("c1.parquet"), base)
     // c2 re-delivers part of c1 alongside its own window
     StreamTestIO.writeChunk(
-      raw.filter($"ts" >= t1 && $"ts" < t2)
-        .union(raw.filter($"ts" < t1).limit(500)),
+      raw.filter($"tsm" >= t1 && $"tsm" < t2)
+        .union(raw.filter($"tsm" < t1).limit(500)).drop("tsm"),
       dir.resolve("c2.parquet"), base + 1000)
-    StreamTestIO.writeChunk(raw.filter($"ts" >= t2),
+    StreamTestIO.writeChunk(raw.filter($"tsm" >= t2).drop("tsm"),
       dir.resolve("c3.parquet"), base + 2000)
 
     val batch = operators.Relational11.e09(spark, sf).collect()
@@ -67,10 +69,10 @@ class StreamStreakSpec extends SparkSpec {
   test("a re-delivery-only micro-batch emits nothing") {
     val s = spark
     import s.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val Array(t1) = raw.stat.approxQuantile("ts", Array(0.25), 0.0)
-    val slice = raw.filter($"ts" < t1)
+    val raw = Tables.load(spark, sf, "events")
+      .withColumn("tsm", expr("unix_micros(ts)"))
+    val Array(t1) = raw.stat.approxQuantile("tsm", Array(0.25), 0.0)
+    val slice = raw.filter($"tsm" < t1).drop("tsm")
     val users = slice.select($"user_id").distinct().count()
     val dir = java.nio.file.Files.createTempDirectory("graft-streak-noop")
     dir.toFile.deleteOnExit()

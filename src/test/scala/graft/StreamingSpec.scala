@@ -270,10 +270,9 @@ class StreamStaticJoinSpec extends SparkSpec {
     import s.implicits._
     // two micro-batches split by user parity: every counter cell
     // receives increments from BOTH batches, exercising the streaming
-    // state merge, and sums are arrival-order-free so equality is exact
-    // stage from the RAW parquet (nanos-long ts) so the chunks keep
-    // the schema EventStreams.stream expects
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state merge, and sums are arrival-order-free so equality is exact.
+    // chunks are staged from the raw parquet; EventStreams.stream's
+    // footer probe adapts to whatever ts type they carry
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-cms")
     dir.toFile.deleteOnExit()
