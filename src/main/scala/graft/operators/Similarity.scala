@@ -576,7 +576,47 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  private val KNN_K = 3
+
+  /** k-nearest-neighbor graph (k = [[KNN_K]]) over the rotation-bucket
+    * candidate structure: every vector ranks the candidates it shares
+    * ANY of the [[ROTS]] sign-pattern buckets with by exact cosine and
+    * keeps its top k — the adjacency every graph-based ANN index
+    * (HNSW/NSG-style) and graph-clustering stage starts from, where
+    * s01/s02 answer ad-hoc queries. Reuses [[candidatePairs]]
+    * verbatim: pair generation stays the bucketed groupBy+PairExpand
+    * shape (no O(n²) self-join — plan-asserted with the s03 family),
+    * symmetrized AFTER dedup so each undirected candidate is scored
+    * twice (once per endpoint), never re-generated. Cosine + round(4)
+    * + neighbor_id tie-break is the s01 determinism contract; the
+    * oracle mirrors the same rotations with identical plane literals.
+    *
+    * At 100 TB: candidate degree is bounded by bucket occupancy (the
+    * `maxBucket`-style cap measured for d02), so the per-vector rank
+    * window is over a SMALL candidate list, not the corpus; the
+    * explode carries only (rot, key, vec_id). A vector sharing no
+    * bucket has no row — the isolated-node convention downstream
+    * consumers (d08's CC, graph walks) already handle. */
+  def s11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val und = candidatePairs(e.select($"vec_id", $"embedding"))
+      .select($"a_id", $"b_id")
+    val directed = und.union(und.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    val scored = directed
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), Seq("a_id"))
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")), Seq("b_id"))
+      .select($"a_id".as("vec_id"), $"b_id".as("neighbor_id"),
+        cosine($"ea", $"na", $"eb", $"nb").as("cos"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= KNN_K)
+      .select($"vec_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"vec_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_graph" -> (s11 _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -752,6 +792,28 @@ object Similarity {
          |WHERE list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
          |   for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    "s11_knn_graph" -> {
+      val rotBranches = (0 until ROTS).map(r =>
+        s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+         |b AS ($rotBranches),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM b x JOIN b y
+         |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id),
+         |dirs AS (SELECT a_id, b_id FROM cand
+         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+         |scored AS (SELECT dirs.a_id AS vec_id, dirs.b_id AS neighbor_id,
+         |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
+         |  FROM dirs JOIN e ex ON ex.vec_id = dirs.a_id
+         |    JOIN e ey ON ey.vec_id = dirs.b_id),
+         |ranked AS (SELECT vec_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT vec_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         |FROM ranked WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin
     },
     // connected components over the SAME rotation-mirrored pair
     // generation, thresholded at the ROUNDED cosine ≥ 0.45 exactly as

