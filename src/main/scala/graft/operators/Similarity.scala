@@ -615,8 +615,63 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  private val PR_ITERS = 10
+  private val PR_DAMP = 0.85
+
+  /** PageRank over the [[s11]] knn graph, [[PR_ITERS]] fixed power
+    * iterations at damping [[PR_DAMP]] — the centrality signal
+    * graph-based corpus curation reads off the neighborhood structure
+    * (a highly-ranked vector sits in a dense semantic region; the
+    * fringe scores ≈ (1−d)/N). Every node in the s11 edge set has
+    * out-degree ≥ 1 by construction (a node with any bucket candidate
+    * ranks a non-empty top-k), so there is no dangling-mass term.
+    *
+    * Iteration is the d09 shape: the edge list and degree table
+    * materialize ONCE via localCheckpoint (they derive from the full
+    * s11 plan — without the cut, every one of the 10 rounds would
+    * re-run candidate generation), then each round is one
+    * contributions join + per-target sum + a left join back onto the
+    * node set (nodes with no in-edges keep the teleport term),
+    * checkpointed per round so the plan stays flat. At 100 TB this is
+    * the standard iterative-graph discipline: state = one rank per
+    * node, one degree-normalized shuffle per iteration, convergence
+    * bounded by the fixed iteration count.
+    *
+    * Determinism: per-round arithmetic is identical IEEE ops both
+    * engines (r/deg, ·0.85, +teleport); only the per-target SUM is
+    * order-sensitive, and its ulp jitter (≈1e-17 per round, damped
+    * 0.85×) is absorbed by the final round(6) — the t06/e04
+    * convention. The oracle unrolls the same [[PR_ITERS]] iterations
+    * as generated CTEs (recursive-CTE aggregation is not portable). */
+  def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val teleport = (1.0 - PR_DAMP) / n.toDouble
+    var r = nodes.select($"id", lit(1.0 / n.toDouble).as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = edges
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select($"dst", ($"r" / $"d").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("sc"))
+      r = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select($"id",
+          (lit(teleport) + lit(PR_DAMP) * coalesce($"sc", lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    r.select($"id".as("vec_id"), round($"r", 6).as("pr"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
+    "s12_pagerank" -> (s12 _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -643,6 +698,31 @@ object Similarity {
     }.mkString(" + ")
 
   private def sqlBucket: String = sqlBucketRot(0)
+
+  /** Shared CTE chain for the knn-graph family (s11, s12): the
+    * ROTS-rotation candidate structure, symmetrized, exact-cosine
+    * scored and per-vector ranked — identical plane literals to the
+    * engine side. */
+  private lazy val sqlKnnBase: String = {
+    val rotBranches = (0 until ROTS).map(r =>
+      s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+       |b AS ($rotBranches),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM b x JOIN b y
+       |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id),
+       |dirs AS (SELECT a_id, b_id FROM cand
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+       |scored AS (SELECT dirs.a_id AS vec_id, dirs.b_id AS neighbor_id,
+       |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
+       |  FROM dirs JOIN e ex ON ex.vec_id = dirs.a_id
+       |    JOIN e ey ON ey.vec_id = dirs.b_id),
+       |ranked AS (SELECT vec_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)""".stripMargin
+  }
 
   private val s07Oracle: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -793,27 +873,38 @@ object Similarity {
          |   for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin
     },
-    "s11_knn_graph" -> {
-      val rotBranches = (0 until ROTS).map(r =>
-        s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
-        .mkString("\n  UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
-         |b AS ($rotBranches),
-         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-         |  FROM b x JOIN b y
-         |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id),
-         |dirs AS (SELECT a_id, b_id FROM cand
-         |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
-         |scored AS (SELECT dirs.a_id AS vec_id, dirs.b_id AS neighbor_id,
-         |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
-         |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
-         |  FROM dirs JOIN e ex ON ex.vec_id = dirs.a_id
-         |    JOIN e ey ON ey.vec_id = dirs.b_id),
-         |ranked AS (SELECT vec_id, neighbor_id, cos,
-         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored)
+    "s11_knn_graph" ->
+      s"""WITH $sqlKnnBase
          |SELECT vec_id, neighbor_id, round(cos, 4) AS cos_sim, rank
-         |FROM ranked WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin,
+    // the same ROTS-rotation knn edges, then PR_ITERS power iterations
+    // unrolled as generated CTEs (aggregation inside a recursive CTE
+    // is not portable SQL); arithmetic written step-for-step as the
+    // Spark side computes it
+    "s12_pagerank" -> {
+      val iters = (1 to PR_ITERS).map { i =>
+        s"""pr$i AS (SELECT nodes.id,
+           |  (1.0 - $PR_DAMP) / nn.n + $PR_DAMP * coalesce(c.s, 0.0) AS r
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN (SELECT ed.dst, sum(p.r / deg.d) AS s
+           |    FROM ed JOIN pr${i - 1} p ON p.id = ed.src
+           |    JOIN deg ON deg.src = ed.src
+           |    GROUP BY ed.dst) c ON c.dst = nodes.id)""".stripMargin
+      }.mkString(",\n")
+      // ed is MATERIALIZED: DuckDB inlines plain CTEs, and each of the
+      // PR_ITERS iteration CTEs references ed — un-materialized, the
+      // whole 16-rotation candidate chain would re-evaluate per
+      // iteration (measured minutes instead of seconds at sf0.01)
+      s"""WITH $sqlKnnBase,
+         |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+         |  FROM ranked WHERE rank <= $KNN_K),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM ed),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT id AS vec_id, round(r, 6) AS pr
+         |FROM pr$PR_ITERS ORDER BY vec_id""".stripMargin
     },
     // connected components over the SAME rotation-mirrored pair
     // generation, thresholded at the ROUNDED cosine ≥ 0.45 exactly as

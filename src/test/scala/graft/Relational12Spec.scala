@@ -93,6 +93,26 @@ class Relational12Spec extends SparkSpec {
     }
   }
 
+  test("s12: pagerank conserves mass and floors at the teleport term") {
+    val s = spark
+    import s.implicits._
+    val pr = Similarity.s12(spark, sf).collect()
+    assert(pr.nonEmpty)
+    val n = pr.length
+    val total = pr.map(_.getAs[Double]("pr")).sum
+    // no dangling nodes → Σr stays exactly 1 per iteration (up to the
+    // final per-row round(6), so tolerance n·5e-7)
+    assert(math.abs(total - 1.0) <= n * 5e-7 + 1e-9,
+      s"pagerank mass not conserved: $total over $n nodes")
+    val teleport = 0.15 / n
+    assert(pr.forall(_.getAs[Double]("pr") >= teleport - 5e-7),
+      "every rank must be at least the teleport term")
+    // nodes that are nobody's neighbor hold ~the teleport floor;
+    // somebody must sit meaningfully above it for the signal to exist
+    assert(pr.map(_.getAs[Double]("pr")).max > 2 * teleport,
+      "a dense region should accumulate rank above the floor")
+  }
+
   test("s11: a symmetric-candidate top-k graph with s01's determinism contract") {
     val s = spark
     import s.implicits._
