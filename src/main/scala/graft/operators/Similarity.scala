@@ -645,9 +645,32 @@ object Similarity {
     * as generated CTEs (recursive-CTE aggregation is not portable). */
   def s12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = s11(s, dir)
+    pageRankOver(s11(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      .localCheckpoint()
+      .localCheckpoint())
+  }
+
+  /** The s11 edge list as materialized pipeline state (the q51m/t29m
+    * convention): built once per (session, dir), fed to downstream
+    * graph consumers. */
+  private[operators] def materializedKnnEdges(
+      s: SparkSession, dir: String): DataFrame =
+    Relational4.materialized("knn_edges", s, dir) {
+      import s.implicits._
+      s11(s, dir)
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+        .localCheckpoint()
+    }
+
+  /** [[s12]] over the once-materialized edge table — the pipeline-cost
+    * form: the graph build amortizes across every consumer, and the
+    * bench row prices just the 10 iterations. */
+  def s12m(s: SparkSession, dir: String): DataFrame =
+    pageRankOver(materializedKnnEdges(s, dir))
+
+  private def pageRankOver(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
     val n = nodes.count()
@@ -672,6 +695,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
+    "s12m_pagerank_materialized" -> (s12m _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -722,6 +746,32 @@ object Similarity {
        |ranked AS (SELECT vec_id, neighbor_id, cos,
        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored)""".stripMargin
+  }
+
+  private lazy val s12Oracle: String = {
+    val iters = (1 to PR_ITERS).map { i =>
+      s"""pr$i AS (SELECT nodes.id,
+         |  (1.0 - $PR_DAMP) / nn.n + $PR_DAMP * coalesce(c.s, 0.0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT ed.dst, sum(p.r / deg.d) AS s
+         |    FROM ed JOIN pr${i - 1} p ON p.id = ed.src
+         |    JOIN deg ON deg.src = ed.src
+         |    GROUP BY ed.dst) c ON c.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    // ed is MATERIALIZED: DuckDB inlines plain CTEs, and each of the
+    // PR_ITERS iteration CTEs references ed — un-materialized, the
+    // whole 16-rotation candidate chain would re-evaluate per
+    // iteration (measured minutes instead of seconds at sf0.01)
+    s"""WITH $sqlKnnBase,
+       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= $KNN_K),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id AS vec_id, round(r, 6) AS pr
+       |FROM pr$PR_ITERS ORDER BY vec_id""".stripMargin
   }
 
   private val s07Oracle: String =
@@ -881,31 +931,10 @@ object Similarity {
     // unrolled as generated CTEs (aggregation inside a recursive CTE
     // is not portable SQL); arithmetic written step-for-step as the
     // Spark side computes it
-    "s12_pagerank" -> {
-      val iters = (1 to PR_ITERS).map { i =>
-        s"""pr$i AS (SELECT nodes.id,
-           |  (1.0 - $PR_DAMP) / nn.n + $PR_DAMP * coalesce(c.s, 0.0) AS r
-           |  FROM nodes CROSS JOIN nn
-           |  LEFT JOIN (SELECT ed.dst, sum(p.r / deg.d) AS s
-           |    FROM ed JOIN pr${i - 1} p ON p.id = ed.src
-           |    JOIN deg ON deg.src = ed.src
-           |    GROUP BY ed.dst) c ON c.dst = nodes.id)""".stripMargin
-      }.mkString(",\n")
-      // ed is MATERIALIZED: DuckDB inlines plain CTEs, and each of the
-      // PR_ITERS iteration CTEs references ed — un-materialized, the
-      // whole 16-rotation candidate chain would re-evaluate per
-      // iteration (measured minutes instead of seconds at sf0.01)
-      s"""WITH $sqlKnnBase,
-         |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-         |  FROM ranked WHERE rank <= $KNN_K),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS id FROM ed),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-         |$iters
-         |SELECT id AS vec_id, round(r, 6) AS pr
-         |FROM pr$PR_ITERS ORDER BY vec_id""".stripMargin
-    },
+    "s12_pagerank" -> s12Oracle,
+    // the materialized form computes the identical result — only the
+    // edge-build amortization differs
+    "s12m_pagerank_materialized" -> s12Oracle,
     // connected components over the SAME rotation-mirrored pair
     // generation, thresholded at the ROUNDED cosine ≥ 0.45 exactly as
     // the Spark side filters s03's rounded output

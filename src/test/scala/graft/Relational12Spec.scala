@@ -113,6 +113,12 @@ class Relational12Spec extends SparkSpec {
       "a dense region should accumulate rank above the floor")
   }
 
+  test("s12m equals s12 row-for-row (materialized edges change cost, not results)") {
+    val a = Similarity.s12(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Similarity.s12m(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "materialized pagerank diverged from the fresh-build form")
+  }
+
   test("s11: a symmetric-candidate top-k graph with s01's determinism contract") {
     val s = spark
     import s.implicits._
