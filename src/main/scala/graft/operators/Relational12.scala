@@ -247,17 +247,62 @@ object Relational12 {
        |    ELSE 0 END AS BIGINT) AS pct_ppm
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- q55: correlated scalar subquery, decorrelated ----------------
+
+  /** TPC-H Q17 shape: per brand, the revenue sitting in "small"
+    * lineitems — quantity below 0.2× that PART's average quantity (a
+    * correlated scalar subquery in textbook SQL). The Spark side is
+    * written in the DECORRELATED form every optimizer rewrites to —
+    * one per-part average aggregate hash-joined back to lineitem — and
+    * the oracle states the correlated subquery verbatim, so the gate
+    * certifies the decorrelation equivalence itself.
+    *
+    * Determinism: l_quantity is integer-valued, so per-part double
+    * sums are EXACT under any order (integers < 2⁵³) and the 0.2·avg
+    * threshold is one deterministic multiply — no boundary row can
+    * flip between engines. The revenue sum rounds at 2 (the
+    * q01/q39 summation-order convention).
+    *
+    * At 100 TB: the threshold table is one row per part (dimension-
+    * sized, broadcast-or-hash-joined on the fact's own key — no
+    * per-row subquery execution anywhere); part is broadcast. */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val thr = li.groupBy($"l_partkey")
+      .agg((avg($"l_quantity") * 0.2).as("q_thr"))
+    val part = t(s, dir, "part").select($"p_partkey", $"p_brand")
+    li.join(thr, Seq("l_partkey"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter($"l_quantity" < $"q_thr")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      .orderBy($"p_brand")
+  }
+
+  private val q55Oracle =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+      |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---- registration -------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t38_bm25_retrieval" -> (t38 _),
     "t39_pmi_collocations" -> (t39 _),
     "t40_score_quantile_norm" -> (t40 _),
+    "q55_small_qty_revenue" -> (q55 _),
   )
 
   val oracles: Map[String, String] = Map(
     "t38_bm25_retrieval" -> t38Oracle,
     "t39_pmi_collocations" -> t39Oracle,
     "t40_score_quantile_norm" -> t40Oracle,
+    "q55_small_qty_revenue" -> q55Oracle,
   )
 }

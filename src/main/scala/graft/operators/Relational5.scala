@@ -38,24 +38,48 @@ object Relational5 {
     * common token, and fraction of characters covered by the most
     * common bigram (count × bigram length / n_chars). Ties break on
     * the lexicographically smallest n-gram so both engines pick the
-    * same winner. One explode + two aggregates; everything else is
-    * per-row. */
+    * same winner.
+    *
+    * ONE corpus scan (r10 rewrite; the original three-branch form —
+    * docs/unigram/bigram each re-tokenizing — carried a kernel-sweep
+    * allowance): unigrams and bigrams ride a single tagged explode
+    * (the t39 shape), one (doc, kind, gram) count aggregate, and all
+    * per-doc stats come from window aggregates over the SAME doc_id
+    * partitioning — conditional `when(kind=...)` inside the windows
+    * instead of filtered branches, because a filter on the kind
+    * column would push below the aggregate and split the exchange per
+    * consumer (the t39 pushdown lesson, without needing t39's
+    * checkpoint since nothing here re-reads a filtered subtree). The
+    * bigram argmax uses `min(struct(-c, gram))` so the tie breaks on
+    * the SMALLEST gram at the HIGHEST count in one order-agnostic
+    * aggregate. n_chars joins back from a column-pruned documents
+    * scan that never tokenizes. */
   def t11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-      .select($"doc_id", $"n_chars",
-        word_tokens($"text").as("toks"))
-      .select($"doc_id", $"n_chars", $"toks",
-        size($"toks").cast("long").as("n_tokens"))
-    val uni = docs.select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("top_tok"))
-    val wBi = Window.partitionBy($"doc_id").orderBy($"c".desc, $"bg")
-    val bi = docs.select($"doc_id", explode(bigrams($"toks")).as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(wBi)).filter($"rn" === 1)
-      .select($"doc_id", ($"c" * length($"bg")).as("bg_chars"))
-    docs.join(uni, Seq("doc_id")).join(bi, Seq("doc_id"), "left")
+    val units = transform($"toks",
+      w => struct(lit("u").as("kind"), w.as("gram")))
+    val bis = transform(bigrams($"toks"),
+      b => struct(lit("b").as("kind"), b.as("gram")))
+    val kt = t(s, dir, "documents")
+      .select($"doc_id", word_tokens($"text").as("toks"))
+      .select($"doc_id", explode_outer(concat(units, bis)).as("p"))
+      .filter($"p".isNotNull)
+      .groupBy($"doc_id", $"p.kind".as("kind"), $"p.gram".as("gram"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"doc_id")
+    val stats = kt
+      .withColumn("n_tokens",
+        sum(when($"kind" === "u", $"c")).over(w).cast("long"))
+      .withColumn("top_tok", max(when($"kind" === "u", $"c")).over(w))
+      .withColumn("best_bi",
+        min(when($"kind" === "b", struct((-$"c").as("nc"), $"gram"))).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"kind", $"gram")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_tokens", $"top_tok",
+        (-$"best_bi.nc" * length($"best_bi.gram")).as("bg_chars"))
+    t(s, dir, "documents").select($"doc_id", $"n_chars")
+      .join(stats, Seq("doc_id"))
       .select($"doc_id", $"n_tokens",
         ($"top_tok" / $"n_tokens").as("top_token_frac"),
         (coalesce($"bg_chars", lit(0L)) / $"n_chars").as("rep_bigram_frac"))

@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSpec {
       s"small sides must broadcast:\n${finalPlan.take(1500)}")
   }
 
+  test("q55: decorrelated subquery plans as hash joins, part broadcast, no per-row subquery") {
+    val plan = planOf(graft.operators.Relational12.q55(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      s"correlated-subquery shape must decorrelate:\n${finalPlan.take(1500)}")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"the part dimension must broadcast:\n${finalPlan.take(1500)}")
+  }
+
   test("t14: mixture rates join back without shuffling the corpus twice") {
     val plan = planOf(graft.operators.Curation.t14(spark, sf))
     // the per-source counts and their min must come back as broadcast
@@ -303,9 +313,8 @@ class PlanAuditSpec extends SparkSpec {
     // the returned frame's lineage legitimately repeats the pair-build.
     val exempt = Set("d09_cc_largestar", "d14_incremental_clusters")
     // intended multi-branch kernel use, not rewrite-duplicated chains:
-    //   t11 — three scan branches (doc stats / unigram / bigram counts)
     //   x06 — CMS depth D=3 hash rows on both counter and query side
-    val allowTok = Map("t11_repetition" -> 8).withDefaultValue(4)
+    val allowTok = Map.empty[String, Int].withDefaultValue(4)
     val allowMd5 = Map("x06_countmin" -> 6).withDefaultValue(4)
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !exempt(name) =>

@@ -113,6 +113,23 @@ class Relational12Spec extends SparkSpec {
       "a dense region should accumulate rank above the floor")
   }
 
+  test("q55: small-quantity revenue respects the per-part threshold semantics") {
+    val s = spark
+    import s.implicits._
+    val out = Relational12.q55(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every qualifying row sits strictly below ITS part's 0.2·avg —
+    // recompute one part's threshold independently and cross-check the
+    // global count
+    val li = Tables.load(spark, sf, "lineitem")
+    val manual = li.groupBy($"l_partkey")
+      .agg((avg($"l_quantity") * 0.2).as("thr"))
+      .join(li, Seq("l_partkey"))
+      .filter($"l_quantity" < $"thr").count()
+    assert(out.map(_.getAs[Long]("n_small")).sum == manual,
+      "per-brand counts must total the global small-quantity row count")
+  }
+
   test("s12m equals s12 row-for-row (materialized edges change cost, not results)") {
     val a = Similarity.s12(spark, sf).collect().map(_.toSeq).toSeq
     val b = Similarity.s12m(spark, sf).collect().map(_.toSeq).toSeq
