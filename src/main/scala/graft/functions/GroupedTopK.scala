@@ -47,6 +47,32 @@ object GroupedTopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Rec]]()
   }
 
+  /** Scored-document variant (score_ppm DESC, doc_id ASC) — the t38
+    * retrieval shape: top-k docs per query term with the fixed-point
+    * integer score and its inputs carried through. The map side bounds
+    * every partition's contribution at k docs per term, so a stop-term
+    * (df ≈ corpus size) costs ≤ k·partitions shuffled rows instead of
+    * a corpus-sized single window partition. */
+  final case class ScoredDoc(score_ppm: Long, doc_id: Long, tf: Long, dl: Long)
+
+  val sOrd: Ordering[ScoredDoc] =
+    Ordering.by((r: ScoredDoc) => (-r.score_ppm, r.doc_id))
+
+  final case class TopDocs(k: Int)
+      extends Aggregator[ScoredDoc, Seq[ScoredDoc], Seq[ScoredDoc]] {
+    override def zero: Seq[ScoredDoc] = Vector.empty
+    override def reduce(buf: Seq[ScoredDoc], in: ScoredDoc): Seq[ScoredDoc] =
+      if (buf.length == k && sOrd.gteq(in, buf.last)) buf
+      else ((buf :+ in).sorted(sOrd)).take(k)
+    override def merge(a: Seq[ScoredDoc], b: Seq[ScoredDoc]): Seq[ScoredDoc] =
+      (a ++ b).sorted(sOrd).take(k)
+    override def finish(buf: Seq[ScoredDoc]): Seq[ScoredDoc] = buf.sorted(sOrd)
+    override def bufferEncoder: Encoder[Seq[ScoredDoc]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredDoc]]()
+    override def outputEncoder: Encoder[Seq[ScoredDoc]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredDoc]]()
+  }
+
   /** Weighted-term variant (weight DESC, term ASC) — the TF-IDF
     * top-terms shape: keep the k heaviest terms per document with a
     * total, engine-portable tie-break. */

@@ -60,9 +60,14 @@ object Relational12 {
     * Plan: ONE tokenize pass feeds tf; dl, TL and N all derive from
     * the tf aggregate (no second corpus scan); the query-term
     * vocabulary is a scan of [[QDOCS]] docs with the doc_id filter
-    * pushed to parquet. Both small sides broadcast. At 100 TB the
-    * only data-sized shuffle is the (doc, term) tf groupBy — the
-    * inverted-index build every retrieval system pays exactly once. */
+    * pushed to parquet. Both small sides broadcast. The top-k cut is
+    * the [[graft.functions.GroupedTopK.TopDocs]] bounded-buffer
+    * aggregator, NOT a rank window: a stop-term's window partition is
+    * corpus-sized (every doc containing "the" on one reducer), while
+    * the aggregator's map side bounds each partition at k docs per
+    * term — the q34 discipline applied where skew actually bites. At
+    * 100 TB the only data-sized shuffle is the (doc, term) tf groupBy
+    * — the inverted-index build every retrieval system pays once. */
   def t38(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = t(s, dir, "documents")
@@ -78,10 +83,13 @@ object Relational12 {
       .select($"term", $"doc_id", $"tf", $"dl",
         expr("(22 * tf * tl * 1000000) div (10 * tf * tl + 3 * tl + 9 * dl * n_docs)")
           .as("score_ppm"))
-    val w = Window.partitionBy($"term").orderBy($"score_ppm".desc, $"doc_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TOPD)
-      .select($"term", $"doc_id", $"tf", $"dl", $"score_ppm", $"rank")
+    val topk = udaf(graft.functions.GroupedTopK.TopDocs(TOPD))
+    scored.groupBy($"term")
+      .agg(topk($"score_ppm", $"doc_id", $"tf", $"dl").as("top"))
+      .select($"term", posexplode($"top").as(Seq("pos", "r")))
+      .select($"term", $"r.doc_id".as("doc_id"), $"r.tf".as("tf"),
+        $"r.dl".as("dl"), $"r.score_ppm".as("score_ppm"),
+        ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"term", $"rank")
   }
 

@@ -75,6 +75,13 @@ class PlanAuditSpec extends SparkSpec {
     // tf table by term for a sort-merge join
     assert(!finalPlan.contains("SortMergeJoin"),
       s"small sides must broadcast:\n${finalPlan.take(1500)}")
+    // the top-k cut is the bounded-buffer aggregator, not a rank
+    // window — a stop-term would otherwise sort a corpus-sized
+    // partition on one reducer
+    assert(!finalPlan.contains("Window"),
+      s"per-term top-k must partial-aggregate, not window:\n${finalPlan.take(1500)}")
+    assert(finalPlan.contains("ObjectHashAggregate"),
+      s"typed TopDocs aggregator must plan as ObjectHashAggregate:\n${finalPlan.take(1500)}")
   }
 
   test("q55: decorrelated subquery plans as hash joins, part broadcast, no per-row subquery") {
