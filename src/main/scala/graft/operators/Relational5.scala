@@ -43,39 +43,34 @@ object Relational5 {
     * ONE corpus scan (r10 rewrite; the original three-branch form —
     * docs/unigram/bigram each re-tokenizing — carried a kernel-sweep
     * allowance): unigrams and bigrams ride a single tagged explode
-    * (the t39 shape), one (doc, kind, gram) count aggregate, and all
-    * per-doc stats come from window aggregates over the SAME doc_id
-    * partitioning — conditional `when(kind=...)` inside the windows
-    * instead of filtered branches, because a filter on the kind
-    * column would push below the aggregate and split the exchange per
-    * consumer (the t39 pushdown lesson, without needing t39's
-    * checkpoint since nothing here re-reads a filtered subtree). The
-    * bigram argmax uses `min(struct(-c, gram))` so the tie breaks on
-    * the SMALLEST gram at the HIGHEST count in one order-agnostic
-    * aggregate. n_chars joins back from a column-pruned documents
-    * scan that never tokenizes. */
+    * (the t39 shape), one (doc, kind, gram) count aggregate, then one
+    * per-doc aggregate with `when(kind=...)` CONDITIONAL aggregates —
+    * not filtered branches (a filter on kind would push below the
+    * count aggregate and split the exchange per consumer, the t39
+    * pushdown lesson) and not windows (a first draft windowed over
+    * doc_id and paid a needless corpus-sized partition sort — 3×
+    * slower at sf0.1). The bigram argmax is `min(struct(-c, gram))`:
+    * highest count, then lexicographically smallest gram, in one
+    * order-agnostic aggregate. n_chars joins back from a
+    * column-pruned documents scan that never tokenizes. */
   def t11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val units = transform($"toks",
       w => struct(lit("u").as("kind"), w.as("gram")))
     val bis = transform(bigrams($"toks"),
       b => struct(lit("b").as("kind"), b.as("gram")))
-    val kt = t(s, dir, "documents")
+    val stats = t(s, dir, "documents")
       .select($"doc_id", word_tokens($"text").as("toks"))
       .select($"doc_id", explode_outer(concat(units, bis)).as("p"))
       .filter($"p".isNotNull)
       .groupBy($"doc_id", $"p.kind".as("kind"), $"p.gram".as("gram"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy($"doc_id")
-    val stats = kt
-      .withColumn("n_tokens",
-        sum(when($"kind" === "u", $"c")).over(w).cast("long"))
-      .withColumn("top_tok", max(when($"kind" === "u", $"c")).over(w))
-      .withColumn("best_bi",
-        min(when($"kind" === "b", struct((-$"c").as("nc"), $"gram"))).over(w))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"kind", $"gram")))
-      .filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"kind" === "u", $"c")).cast("long").as("n_tokens"),
+        max(when($"kind" === "u", $"c")).as("top_tok"),
+        min(when($"kind" === "b", struct((-$"c").as("nc"), $"gram")))
+          .as("best_bi"))
       .select($"doc_id", $"n_tokens", $"top_tok",
         (-$"best_bi.nc" * length($"best_bi.gram")).as("bg_chars"))
     t(s, dir, "documents").select($"doc_id", $"n_chars")

@@ -56,6 +56,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("vec_dot_q: codegen path equals the JVM reference fold on random inputs") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.NativeKernels.vec_dot_q
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      val signs = Array.fill(n)(if (rnd.nextBoolean()) 1L else -1L)
+      // include negatives, near-half-boundary values, and magnitudes
+      // around the embedding scale
+      val vals = Array.fill(n)((rnd.nextFloat() - 0.5f) * 4.0f)
+      (i.toLong, signs, vals)
+    }
+    def ref(signs: Array[Long], vals: Array[Float], scale: Int): Long =
+      signs.zip(vals).map { case (w, x) =>
+        w * math.floor(x.toDouble * scale + 0.5).toLong }.sum
+    val got = rows.toDF("id", "signs", "vals")
+      .select($"id", vec_dot_q($"signs", $"vals", 10000).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, signs, vals) =>
+      assert(got(id) == ref(signs, vals, 10000),
+        s"kernel/reference mismatch at row $id")
+    }
+    // ragged inputs truncate to the shorter length, like vec_dot
+    val ragged = Seq((1L, Array(1L, -1L, 1L), Array(2.0f, 3.0f)))
+      .toDF("id", "signs", "vals")
+      .select(vec_dot_q($"signs", $"vals", 10).as("fp")).head().getLong(0)
+    assert(ragged == 20L - 30L)
+  }
+
   test("config loader: reference defaults + overrides + query list") {
     val cfg = ConfigLoader.fromJson(
       """{"anomali_classification": "public", "tags_tlp": "red",
