@@ -255,6 +255,67 @@ object Relational12 {
        |    ELSE 0 END AS BIGINT) AS pct_ppm
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- t41: TextRank keywords ---------------------------------------
+
+  private val TR_TOP = 20
+
+  /** TextRank keyword extraction: PageRank over the word
+    * co-occurrence graph — nodes are words, edges the support-filtered
+    * corpus bigrams of t39 in BOTH directions (co-occurrence is
+    * symmetric), ranks from [[Similarity.pageRankOver]]'s damped power
+    * iteration, top [[TR_TOP]] words emitted. The composition IS the
+    * published algorithm (Mihalcea & Tarau 2004, unweighted variant):
+    * a word matters when it co-occurs with words that matter — the
+    * graph-centrality upgrade over raw frequency (t05) and PMI pair
+    * scores (t39).
+    *
+    * Symmetric edges mean every node has out-degree ≥ 1, so the
+    * no-dangling-mass precondition of the shared PageRank holds by
+    * construction. Determinism is s12's argument (identical IEEE
+    * steps, final round(6)), and the top-k cut orders by the ROUNDED
+    * rank with the word as tie-break. The oracle chains t39's bigram
+    * SQL into the shared unrolled-iteration CTEs.
+    *
+    * At 100 TB: the graph is VOCABULARY-sized (nodes = words, edges =
+    * distinct frequent bigrams) no matter the corpus size — the one
+    * corpus-scale pass is t39's bigram count, after which the
+    * iteration runs on the dictionary (the t34/BPE-trainer
+    * economics). */
+  def t41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = greatest(size($"tk") - 1, lit(0))
+    val big = t(s, dir, "documents")
+      .select(word_tokens($"text").as("tk"))
+      .select(explode_outer(zip_with(
+        slice($"tk", lit(1), n1), slice($"tk", lit(2), n1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter($"p".isNotNull)
+      .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= PMI_MIN_SUPPORT)
+      .select($"a", $"b")
+      .localCheckpoint()
+    val edges = big.select($"a".as("src"), $"b".as("dst"))
+      .union(big.select($"b".as("src"), $"a".as("dst")))
+    Similarity.pageRankOver(edges)
+      .select($"vec_id".as("word"), $"pr".as("rank_score"))
+      .orderBy($"rank_score".desc, $"word")
+      .limit(TR_TOP)
+  }
+
+  private lazy val t41Oracle =
+    s"""WITH d AS (SELECT ${sqlTokens("text")} AS tk FROM documents),
+       |big AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM (SELECT unnest([{'a': tk[i], 'b': tk[i+1]}
+       |      for i in range(1, len(tk))]) AS p FROM d)
+       |  GROUP BY p.a, p.b),
+       |fb AS (SELECT a, b FROM big WHERE n_ab >= $PMI_MIN_SUPPORT),
+       |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM fb
+       |  UNION ALL SELECT b AS src, a AS dst FROM fb),
+       |${Similarity.sqlPageRankCtes}
+       |SELECT id AS word, round(r, 6) AS rank_score
+       |FROM ${Similarity.prFinalCte}
+       |ORDER BY rank_score DESC, word LIMIT $TR_TOP""".stripMargin
+
   // ---- q55: correlated scalar subquery, decorrelated ----------------
 
   /** TPC-H Q17 shape: per brand, the revenue sitting in "small"
@@ -304,6 +365,7 @@ object Relational12 {
     "t38_bm25_retrieval" -> (t38 _),
     "t39_pmi_collocations" -> (t39 _),
     "t40_score_quantile_norm" -> (t40 _),
+    "t41_textrank_keywords" -> (t41 _),
     "q55_small_qty_revenue" -> (q55 _),
   )
 
@@ -311,6 +373,7 @@ object Relational12 {
     "t38_bm25_retrieval" -> t38Oracle,
     "t39_pmi_collocations" -> t39Oracle,
     "t40_score_quantile_norm" -> t40Oracle,
+    "t41_textrank_keywords" -> t41Oracle,
     "q55_small_qty_revenue" -> q55Oracle,
   )
 }

@@ -668,7 +668,10 @@ object Similarity {
   def s12m(s: SparkSession, dir: String): DataFrame =
     pageRankOver(materializedKnnEdges(s, dir))
 
-  private def pageRankOver(edges: DataFrame): DataFrame = {
+  /** Damped power iteration over any (src, dst) edge frame — shared
+    * by [[s12]]/[[s12m]] and the TextRank face
+    * ([[Relational12.t41]]); node ids may be any orderable type. */
+  private[operators] def pageRankOver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
@@ -748,7 +751,13 @@ object Similarity {
        |  FROM scored)""".stripMargin
   }
 
-  private lazy val s12Oracle: String = {
+  /** The deg/nodes/nn/pr0..prN CTE chain of [[pageRankOver]] in
+    * DuckDB SQL, step-for-step the Spark arithmetic; expects the
+    * caller to have defined an `ed(src, dst)` CTE (MATERIALIZED when
+    * its derivation is expensive — DuckDB inlines plain CTEs into
+    * every one of the N iteration references). Shared by the s12 and
+    * t41 oracles. */
+  private[operators] lazy val sqlPageRankCtes: String = {
     val iters = (1 to PR_ITERS).map { i =>
       s"""pr$i AS (SELECT nodes.id,
          |  (1.0 - $PR_DAMP) / nn.n + $PR_DAMP * coalesce(c.s, 0.0) AS r
@@ -758,21 +767,22 @@ object Similarity {
          |    JOIN deg ON deg.src = ed.src
          |    GROUP BY ed.dst) c ON c.dst = nodes.id)""".stripMargin
     }.mkString(",\n")
-    // ed is MATERIALIZED: DuckDB inlines plain CTEs, and each of the
-    // PR_ITERS iteration CTEs references ed — un-materialized, the
-    // whole 16-rotation candidate chain would re-evaluate per
-    // iteration (measured minutes instead of seconds at sf0.01)
-    s"""WITH $sqlKnnBase,
-       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM ranked WHERE rank <= $KNN_K),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+    s"""deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS id FROM ed),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |pr0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-       |$iters
-       |SELECT id AS vec_id, round(r, 6) AS pr
-       |FROM pr$PR_ITERS ORDER BY vec_id""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private[operators] def prFinalCte: String = s"pr$PR_ITERS"
+
+  private lazy val s12Oracle: String =
+    s"""WITH $sqlKnnBase,
+       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= $KNN_K),
+       |$sqlPageRankCtes
+       |SELECT id AS vec_id, round(r, 6) AS pr
+       |FROM $prFinalCte ORDER BY vec_id""".stripMargin
 
   private val s07Oracle: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -113,6 +113,26 @@ class Relational12Spec extends SparkSpec {
       "a dense region should accumulate rank above the floor")
   }
 
+  test("t41: textrank emits a bounded, teleport-floored keyword list") {
+    val s = spark
+    import s.implicits._
+    val kw = Relational12.t41(spark, sf).collect()
+    assert(kw.nonEmpty && kw.length <= 20)
+    val scores = kw.map(_.getAs[Double]("rank_score"))
+    assert(scores.toSeq == scores.sorted.reverse.toSeq, "not rank-ordered")
+    // every rank is at least the teleport floor for SOME node count n:
+    // scores are positive and bounded by 1
+    assert(scores.forall(x => x > 0.0 && x <= 1.0))
+    // NOTE: on this synthetic corpus the frequent-bigram graph is
+    // near-regular, so ranks sit near-uniform (1/n each) — the gate
+    // certifies the machinery; a natural corpus separates keywords.
+    // The words themselves must come from the corpus vocabulary.
+    val vocab = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.NativeKernels.word_tokens($"text")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kw.forall(r => vocab.contains(r.getAs[String]("word"))))
+  }
+
   test("q55: small-quantity revenue respects the per-part threshold semantics") {
     val s = spark
     import s.implicits._
