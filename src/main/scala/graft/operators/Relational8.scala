@@ -649,6 +649,95 @@ object Relational8 {
   private val x05Oracle = kmvOracle("events", "event_type", "user_id")
   private val x01kOracle = kmvOracle("lineitem", "l_returnflag", "l_orderkey")
 
+  /** KMV SET OPERATIONS (x07): estimated distinct-user overlap for
+    * every event-type pair — |A∩B| without ever materializing either
+    * distinct set. The audience-overlap question every funnel/reach
+    * dashboard asks, answered from the same per-type KMV sketches x05
+    * maintains:
+    *
+    *   union k-min  U = first k of sort(distinct(ksₐ ∪ ks_b))
+    *   Jaccard est  J = |{h ∈ U : h ∈ ksₐ ∧ h ∈ ks_b}| / |U|
+    *   |A∪B| est      = x05's estimator on U
+    *   |A∩B| est      = J · |A∪B|est       (Beyer et al. 2007)
+    *
+    * Every step is a deterministic function of the input sets under
+    * the fixed hash, so — like x05/x06 and unlike HLL — the ESTIMATES
+    * hash-match a DuckDB oracle exactly; the exact intersection rides
+    * along as the error report. Sketch frames are #types rows; the
+    * pair join is trivially broadcast. At 100 TB the sketches merge
+    * across partitions/days by the same k-min merge, and pair overlap
+    * costs O(k) per pair instead of a distinct-set join. */
+  def x07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val hashed = ev.select($"event_type",
+        hash64(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .as[(String, Long)]
+    val sk = hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.KMinValues.KMV(KMV_K).toColumn.name("ks"))
+      .toDF("event_type", "ks")
+    val pairs = sk.as("x").join(sk.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("a_type"), col("y.event_type").as("b_type"),
+        col("x.ks").as("aks"), col("y.ks").as("bks"))
+      .withColumn("u",
+        slice(array_sort(array_union($"aks", $"bks")), 1, KMV_K))
+      .withColumn("shared", size(filter($"u",
+        h => array_contains($"aks", h) && array_contains($"bks", h))))
+      .withColumn("uest",
+        when(size($"u") < KMV_K, size($"u").cast("double"))
+          .otherwise(lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at($"u", -1)))
+    val dt = ev.select($"event_type", $"user_id").distinct()
+    val exact = dt.as("p").join(dt.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .groupBy(col("p.event_type").as("a_type"), col("q.event_type").as("b_type"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    pairs
+      .join(exact, Seq("a_type", "b_type"), "left")
+      .select($"a_type", $"b_type",
+        size($"u").cast("long").as("n_u"),
+        round($"shared".cast("double") / size($"u"), 4).as("j_est"),
+        round($"shared".cast("double") / size($"u") * $"uest", 2)
+          .as("est_intersect"),
+        coalesce($"exact_intersect", lit(0L)).as("exact_intersect"))
+      .orderBy($"a_type", $"b_type")
+  }
+
+  private val x07Oracle =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ${sqlHash64("concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT event_type, list(h ORDER BY h) AS ks
+       |  FROM r WHERE rn <= $KMV_K GROUP BY event_type),
+       |p AS (SELECT x.event_type AS a_type, y.event_type AS b_type,
+       |    x.ks AS aks, y.ks AS bks
+       |  FROM sk x JOIN sk y ON x.event_type < y.event_type),
+       |c AS (SELECT a_type, b_type, aks, bks,
+       |  list_sort(list_distinct(list_concat(aks, bks)))[1:$KMV_K] AS u FROM p),
+       |e AS (SELECT a_type, b_type, u,
+       |  len(list_filter(u, x -> list_contains(aks, x) AND list_contains(bks, x)))
+       |    AS shared,
+       |  CASE WHEN len(u) < $KMV_K THEN CAST(len(u) AS DOUBLE)
+       |    ELSE CAST(${KMV_K - 1} AS DOUBLE) * 1152921504606846976 / u[-1]
+       |  END AS uest
+       |  FROM c),
+       |dt AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (SELECT p.event_type AS a_type, q.event_type AS b_type,
+       |    CAST(count(*) AS BIGINT) AS exact_intersect
+       |  FROM dt p JOIN dt q
+       |    ON p.user_id = q.user_id AND p.event_type < q.event_type
+       |  GROUP BY 1, 2)
+       |SELECT e.a_type, e.b_type, CAST(len(u) AS BIGINT) AS n_u,
+       |  round(CAST(shared AS DOUBLE) / len(u), 4) AS j_est,
+       |  round(CAST(shared AS DOUBLE) / len(u) * uest, 2) AS est_intersect,
+       |  coalesce(exact_intersect, 0) AS exact_intersect
+       |FROM e LEFT JOIN ex USING (a_type, b_type)
+       |ORDER BY a_type, b_type""".stripMargin
+
   /** Effective token mass per source after soft dedup: each
     * document's tokens weighted by its d10 soft-dedup weight
     * (1/near-dup-cluster size), rolled up per source — the number a
@@ -699,6 +788,7 @@ object Relational8 {
     "q52s_token_deciles_sharded" -> (q52s _),
     "s08_kmeans_assign" -> (s08 _),
     "x05_kmv_distinct" -> (x05 _),
+    "x07_kmv_setops" -> (x07 _),
     "x01k_kmv_distinct" -> (x01k _),
     "t26_effective_tokens" -> (t26 _),
     "t27_zipf_fit" -> (t27 _),
@@ -716,6 +806,7 @@ object Relational8 {
     "q52s_token_deciles_sharded" -> q52Oracle,
     "s08_kmeans_assign" -> s08Oracle,
     "x05_kmv_distinct" -> x05Oracle,
+    "x07_kmv_setops" -> x07Oracle,
     "x01k_kmv_distinct" -> x01kOracle,
     "t26_effective_tokens" -> t26Oracle,
     "t27_zipf_fit" -> t27Oracle,

@@ -116,6 +116,23 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("x07 KMV set-op estimates stay inside the sketch error envelope") {
+    val rows = Relational8.x07(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("j_est")
+      val est = r.getAs[Double]("est_intersect")
+      val exact = r.getAs[Long]("exact_intersect")
+      assert(j >= 0.0 && j <= 1.0, s"Jaccard estimate out of range: $j")
+      assert(est >= 0.0)
+      // |A∩B| = J·|A∪B| compounds the two KMV errors; 4σ at
+      // σ≈1/sqrt(k-2)≈0.127 per factor bounds any fixed dataset,
+      // plus slack for tiny exact counts
+      assert(math.abs(est - exact) <= math.max(4 * 2 * 0.127 * exact, 8.0),
+        s"intersection estimate $est too far from exact $exact")
+    }
+  }
+
   test("t26 effective tokens never exceed raw tokens, retention in (0,1]") {
     val rows = Relational8.t26(spark, sf).collect()
     assert(rows.nonEmpty)
