@@ -336,6 +336,41 @@ class PlanAuditSpec extends SparkSpec {
       s"plans with repeated kernel chains (name, md5, tokens, shingles): $bad")
   }
 
+  test("partition pruning: a source-partitioned layout scans only the matching directory") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partprune")
+    dir.toFile.deleteOnExit()
+    Tables.load(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("source").parquet(dir.toString)
+    val sources = Tables.load(spark, sf, "documents")
+      .select($"source").distinct().collect().map(_.getString(0)).sorted
+    assert(sources.length > 1, "need multiple partitions to prove pruning")
+    val one = sources.head
+    val q = spark.read.parquet(dir.toString).filter($"source" === one)
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition predicate must reach PartitionFilters (pruned at
+    // listing time), NOT survive as a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("source")),
+      s"source predicate must prune partitions:\n${plan.take(1500)}")
+    // and the pruned scan reads strictly fewer files than the full scan
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+        case _ => 0L
+      }.sum
+    val prunedFiles = filesOf(q)
+    val allFiles = filesOf(spark.read.parquet(dir.toString))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned scan must touch fewer files: $prunedFiles vs $allFiles")
+    // row-level truth unchanged
+    assert(q.count() ==
+      Tables.load(spark, sf, "documents").filter($"source" === one).count())
+  }
+
   test("t33 aggregates tokens before the vocab join and windows per source") {
     val p = planOf(graft.operators.Relational10.t33(spark, sf))
     val finalPlan = p.split("== Initial Plan ==").head
