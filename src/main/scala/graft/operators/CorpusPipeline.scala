@@ -58,11 +58,20 @@ object CorpusPipeline {
     * score (the published filter order: cheap heuristics, then rules,
     * then model); `classifierMinPpm` additionally gates on the t32
     * fixed-point classifier score — both verdicts are id sets like
-    * every other stage. */
+    * every other stage. `classifierTopFrac` is the CALIBRATED form of
+    * that gate: keep the top fraction of EACH SOURCE by t40's exact
+    * per-source percentile instead of one raw score cut — a raw
+    * threshold keeps different fractions of different sources (their
+    * score distributions differ), which silently reweights the
+    * mixture t14/t23 then measure. A percentile needs the per-source
+    * rank, so unlike the per-row ppm gate this one is a verdict join
+    * (the honest cost of calibration; the t40 frame is computed once
+    * and its keep set is an id set like every other verdict). */
   def curate(s: SparkSession, dir: String, outDir: String,
       shards: Long = 8L, maxRecordsPerFile: Long = 1000L,
       crossCorpus: Boolean = false, gopher: Boolean = false,
-      classifierMinPpm: Option[Long] = None): DataFrame = {
+      classifierMinPpm: Option[Long] = None,
+      classifierTopFrac: Option[Double] = None): DataFrame = {
     import s.implicits._
 
     val docs = Tables.load(s, dir, "documents")
@@ -87,8 +96,14 @@ object CorpusPipeline {
     val s2b = if (gopher)
       s2a.filter(Relational10.gopherPass($"text") === 1L)
     else s2a
-    val s2 = classifierMinPpm.fold(s2b)(minPpm =>
+    val s2c = classifierMinPpm.fold(s2b)(minPpm =>
       s2b.filter(Relational10.classifierScorePpm($"text") >= minPpm))
+    val s2 = classifierTopFrac.fold(s2c) { frac =>
+      val cut = math.round((1.0 - frac) * 1000000).toLong
+      val calibratedKeep = Relational12.t40(s, dir)
+        .filter($"pct_ppm" >= cut).select($"doc_id")
+      s2c.join(calibratedKeep, Seq("doc_id"), "left_semi")
+    }
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
     val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
 
@@ -120,7 +135,9 @@ object CorpusPipeline {
       Seq(("02_quality", s2a.count())) ++
       (if (gopher) Seq(("02b_gopher_rules", s2b.count())) else Nil) ++
       (if (classifierMinPpm.isDefined)
-        Seq(("02c_classifier", s2.count())) else Nil) ++
+        Seq(("02c_classifier", s2c.count())) else Nil) ++
+      (if (classifierTopFrac.isDefined)
+        Seq(("02d_calibrated", s2.count())) else Nil) ++
       Seq(
         ("03_exact_dedup", s3.count()),
         ("04_near_dedup", s4.count()),

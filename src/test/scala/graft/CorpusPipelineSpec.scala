@@ -123,6 +123,41 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally curated.unpersist()
   }
 
+  test("curate with the calibrated gate keeps the same fraction of every source") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated-c").toString
+    val frac = 0.5
+    val stats = CorpusPipeline.curate(s, sf, out, shards = 4L,
+      maxRecordsPerFile = 100L, classifierTopFrac = Some(frac)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.contains("02d_calibrated"))
+    assert(stats("02d_calibrated") < stats("02_quality"),
+      "calibrated cut dropped nothing — vacuous gate")
+    // the verdict itself keeps EXACTLY the top fraction of each source
+    // (the calibration claim a raw score cut cannot make): per source,
+    // kept = docs with pct_ppm >= (1-frac)·1e6, which by t40's exact
+    // integer rank arithmetic is within 1 of frac·n_source
+    val t40 = graft.operators.Relational12.t40(s, sf)
+    val perSource = t40.groupBy($"source").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          $"pct_ppm" >= 500000L, 1L).otherwise(0L)).as("kept"))
+      .collect()
+    perSource.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("kept"))
+      assert(math.abs(kept - frac * n) <= 1.0 + frac,
+        s"source ${r.getString(0)}: kept $kept of $n is not ~${frac * n}")
+    }
+    // and every survivor is in the verdict's keep set
+    val ids = s.read.parquet(out).select($"doc_id")
+    assert(ids.join(t40.filter($"pct_ppm" < 500000L), Seq("doc_id"),
+      "left_semi").isEmpty,
+      "a below-percentile doc survived the calibrated gate")
+  }
+
   test("curateWeighted replaces the hard near-dup drop with t20's sample") {
     val s = spark
     import s.implicits._

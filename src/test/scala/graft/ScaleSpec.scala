@@ -179,6 +179,55 @@ class ScaleSpec extends SparkSpec {
       s"capped jaccard must be the predicted 41/65: $r"))
   }
 
+  test("t38 stop-term: bounded top-k equals the window form when df = corpus size") {
+    val s = spark
+    import s.implicits._
+    // 20k docs, EVERY one containing the query term "the" (df = V —
+    // the stop-term case whose rank-window partition would be
+    // corpus-sized). Varying lengths and tfs so the top-5 is
+    // non-trivial; doc_id < 3 are the query docs per t38's contract.
+    val V = 20000
+    val filler = (0 until 10).map(k =>
+      concat(lit(s" f${k}u"), ($"doc_id" % 97).cast("string")))
+    val theReps = concat_ws(" ",
+      array_repeat(lit("the"), ($"doc_id" % 7 + 1).cast("int")))
+    val docsDf = s.range(V).select($"id".as("doc_id"))
+      .withColumn("text", concat(theReps +: filler: _*))
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("skew").as("source"),
+        octet_length($"text").cast("long").as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("t38-skew")
+    docsDf.write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val got = graft.operators.Relational12.t38(s, tmp.toString)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_ppm"))).toMap
+    assert(got.nonEmpty)
+    // independent window-form recomputation of the same contract
+    import graft.functions.NativeKernels.word_tokens
+    import org.apache.spark.sql.expressions.Window
+    val tf = docsDf.select($"doc_id", explode(word_tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val tot = dl.agg(sum($"dl").as("tl"), count(lit(1)).as("n_docs"))
+    val qterms = docsDf.filter($"doc_id" < 3)
+      .select(explode(word_tokens($"text")).as("term")).distinct()
+    val w = Window.partitionBy($"term").orderBy($"score_ppm".desc, $"doc_id")
+    val want = tf.join(qterms, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(tot)
+      .select($"term", $"doc_id", $"tf", $"dl",
+        expr("(22 * tf * tl * 1000000) div (10 * tf * tl + 3 * tl + 9 * dl * n_docs)")
+          .as("score_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_ppm"))).toMap
+    assert(got == want,
+      s"aggregator top-k diverged from window form: sizes ${got.size}/${want.size}")
+    // the stop-term really was at full df and still ranked
+    assert(got.contains(("the", 1L)))
+  }
+
   test("AQE splits the skewed partitions of a vocab-style shuffled join") {
     val s = spark
     import s.implicits._
