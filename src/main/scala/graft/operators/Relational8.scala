@@ -598,20 +598,22 @@ object Relational8 {
 
   /** Shared KMV distinct-count estimator: hash the value column with
     * the fixed engine-portable hash, keep the k smallest per group
-    * (typed [[graft.functions.KMinValues.KMV]] aggregator — ≤ k
-    * longs per (partition, group) cross the shuffle), estimate
-    * (k−1)·2^60 / kth-min, ride the exact count along as the error
-    * report. */
+    * (the [[graft.functions.KMinValues.KMV]] aggregator registered as
+    * a `udaf` inside a relational `groupBy` — ≤ k longs per
+    * (partition, group) cross the shuffle, and the aggregate input
+    * stays on the codegen'd columnar path instead of the typed
+    * `groupByKey` encoder path, the same form the streaming face
+    * uses at [[graft.streaming.EventStreams.kmvDistinctStream]]),
+    * estimate (k−1)·2^60 / kth-min, ride the exact count along as
+    * the error report. */
   private def kmvDistinct(s: SparkSession, df: DataFrame,
       group: String, value: String): DataFrame = {
     import s.implicits._
-    val hashed = df.select(col(group),
+    val kmvU = udaf(graft.functions.KMinValues.KMV(KMV_K))
+    val kmv = df.select(col(group),
         hash64(concat(lit("kmv:"), col(value).cast("string"))).as("h"))
-      .as[(String, Long)]
-    val kmv = hashed.groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.KMinValues.KMV(KMV_K).toColumn.name("ks"))
-      .toDF(group, "ks")
+      .groupBy(col(group))
+      .agg(kmvU($"h").as("ks"))
     val exact = df.groupBy(col(group))
       .agg(countDistinct(col(value)).cast("long").as("exact_distinct"))
     kmv.select(col(group), size($"ks").cast("long").as("n_h"),
@@ -661,21 +663,29 @@ object Relational8 {
     *   |A∩B| est      = J · |A∪B|est       (Beyer et al. 2007)
     *
     * Every step is a deterministic function of the input sets under
-    * the fixed hash, so — like x05/x06 and unlike HLL — the ESTIMATES
-    * hash-match a DuckDB oracle exactly; the exact intersection rides
-    * along as the error report. Sketch frames are #types rows; the
-    * pair join is trivially broadcast. At 100 TB the sketches merge
-    * across partitions/days by the same k-min merge, and pair overlap
-    * costs O(k) per pair instead of a distinct-set join. */
+    * the fixed hash, so — like x05/x06 and unlike HLL — the sketch
+    * quantities hash-match a DuckDB oracle exactly. The OUTPUT is
+    * deliberately all exact integers: `shared`, `n_u`, the union's
+    * k-th min `kth_u`, and a fixed-point `j_ppm` = ⌊10⁶·shared/n_u⌋
+    * (integer floor division — no HALF_UP-vs-scaled-rounding hazard;
+    * the r9 s09 lesson). The consumer derives J = shared/n_u,
+    * |A∪B|est = (k−1)·2⁶⁰/kth_u, |A∩B|est = J·|A∪B|est — divisions
+    * on exact integers, never gated on a rounded double near a tie.
+    * The exact intersection rides along as the error report; the
+    * spec re-derives the double estimates and checks the envelope.
+    *
+    * Sketch frames are #types rows; the pair join is trivially
+    * broadcast. At 100 TB the sketches merge across partitions/days
+    * by the same k-min merge, and pair overlap costs O(k) per pair
+    * instead of a distinct-set join. */
   def x07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
-    val hashed = ev.select($"event_type",
+    val kmvU = udaf(graft.functions.KMinValues.KMV(KMV_K))
+    val sk = ev.select($"event_type",
         hash64(concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
-      .as[(String, Long)]
-    val sk = hashed.groupByKey(_._1).mapValues(_._2)
-      .agg(graft.functions.KMinValues.KMV(KMV_K).toColumn.name("ks"))
-      .toDF("event_type", "ks")
+      .groupBy($"event_type")
+      .agg(kmvU($"h").as("ks"))
     val pairs = sk.as("x").join(sk.as("y"),
         col("x.event_type") < col("y.event_type"))
       .select(col("x.event_type").as("a_type"), col("y.event_type").as("b_type"),
@@ -683,11 +693,7 @@ object Relational8 {
       .withColumn("u",
         slice(array_sort(array_union($"aks", $"bks")), 1, KMV_K))
       .withColumn("shared", size(filter($"u",
-        h => array_contains($"aks", h) && array_contains($"bks", h))))
-      .withColumn("uest",
-        when(size($"u") < KMV_K, size($"u").cast("double"))
-          .otherwise(lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) /
-            element_at($"u", -1)))
+        h => array_contains($"aks", h) && array_contains($"bks", h))).cast("long"))
     val dt = ev.select($"event_type", $"user_id").distinct()
     val exact = dt.as("p").join(dt.as("q"),
         col("p.user_id") === col("q.user_id") &&
@@ -698,9 +704,9 @@ object Relational8 {
       .join(exact, Seq("a_type", "b_type"), "left")
       .select($"a_type", $"b_type",
         size($"u").cast("long").as("n_u"),
-        round($"shared".cast("double") / size($"u"), 4).as("j_est"),
-        round($"shared".cast("double") / size($"u") * $"uest", 2)
-          .as("est_intersect"),
+        $"shared",
+        expr("(shared * 1000000L) DIV size(u)").as("j_ppm"),
+        element_at($"u", -1).as("kth_u"),
         coalesce($"exact_intersect", lit(0L)).as("exact_intersect"))
       .orderBy($"a_type", $"b_type")
   }
@@ -719,11 +725,8 @@ object Relational8 {
        |c AS (SELECT a_type, b_type, aks, bks,
        |  list_sort(list_distinct(list_concat(aks, bks)))[1:$KMV_K] AS u FROM p),
        |e AS (SELECT a_type, b_type, u,
-       |  len(list_filter(u, x -> list_contains(aks, x) AND list_contains(bks, x)))
-       |    AS shared,
-       |  CASE WHEN len(u) < $KMV_K THEN CAST(len(u) AS DOUBLE)
-       |    ELSE CAST(${KMV_K - 1} AS DOUBLE) * 1152921504606846976 / u[-1]
-       |  END AS uest
+       |  CAST(len(list_filter(u, x -> list_contains(aks, x) AND list_contains(bks, x)))
+       |    AS BIGINT) AS shared
        |  FROM c),
        |dt AS (SELECT DISTINCT event_type, user_id FROM events),
        |ex AS (SELECT p.event_type AS a_type, q.event_type AS b_type,
@@ -732,8 +735,9 @@ object Relational8 {
        |    ON p.user_id = q.user_id AND p.event_type < q.event_type
        |  GROUP BY 1, 2)
        |SELECT e.a_type, e.b_type, CAST(len(u) AS BIGINT) AS n_u,
-       |  round(CAST(shared AS DOUBLE) / len(u), 4) AS j_est,
-       |  round(CAST(shared AS DOUBLE) / len(u) * uest, 2) AS est_intersect,
+       |  shared,
+       |  CAST((shared * 1000000) // len(u) AS BIGINT) AS j_ppm,
+       |  u[-1] AS kth_u,
        |  coalesce(exact_intersect, 0) AS exact_intersect
        |FROM e LEFT JOIN ex USING (a_type, b_type)
        |ORDER BY a_type, b_type""".stripMargin

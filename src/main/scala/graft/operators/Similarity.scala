@@ -645,9 +645,15 @@ object Similarity {
     * as generated CTEs (recursive-CTE aggregation is not portable). */
   def s12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pageRankOver(s11(s, dir)
+    val edges = s11(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      .localCheckpoint())
+      .localCheckpoint()
+    // pageRankOver's eager checkpoints mean the returned frame no
+    // longer reads edges — release the scratch edge snapshot here
+    // (s12m's edges are shared materialized state and stay cached)
+    val out = pageRankOver(edges)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
+    out
   }
 
   /** The s11 edge list as materialized pipeline state (the q51m/t29m
@@ -679,18 +685,26 @@ object Similarity {
     val n = nodes.count()
     val teleport = (1.0 - PR_DAMP) / n.toDouble
     var r = nodes.select($"id", lit(1.0 / n.toDouble).as("r"))
+      .localCheckpoint()
     for (_ <- 1 to PR_ITERS) {
       val contrib = edges
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select($"dst", ($"r" / $"d").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
-      r = nodes
+      val next = nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select($"id",
           (lit(teleport) + lit(PR_DAMP) * coalesce($"sc", lit(0.0))).as("r"))
         .localCheckpoint()
+      // real block release of the superseded rank snapshot — without
+      // this the loop retains all PR_ITERS+1 checkpoints (the d09 /
+      // bpeRun discipline; at a billion-node graph that's real memory)
+      graft.functions.CheckpointOps.freeLocalCheckpoint(r)
+      r = next
     }
+    // the final r is checkpointed, so its plan no longer reads nodes
+    graft.functions.CheckpointOps.freeLocalCheckpoint(nodes)
     r.select($"id".as("vec_id"), round($"r", 6).as("pr"))
       .orderBy($"vec_id")
   }

@@ -120,10 +120,18 @@ class Relational8Spec extends SparkSpec {
     val rows = Relational8.x07(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val j = r.getAs[Double]("j_est")
-      val est = r.getAs[Double]("est_intersect")
+      // the query emits exact integers (ADVICE r10: no rounded-double
+      // gates); the consumer-side estimate derivation lives here
+      val nU = r.getAs[Long]("n_u")
+      val shared = r.getAs[Long]("shared")
+      val jPpm = r.getAs[Long]("j_ppm")
+      val kthU = r.getAs[Long]("kth_u")
       val exact = r.getAs[Long]("exact_intersect")
+      val j = shared.toDouble / nU
+      assert(jPpm == shared * 1000000L / nU, "j_ppm is the floor-div fixed point")
       assert(j >= 0.0 && j <= 1.0, s"Jaccard estimate out of range: $j")
+      val uest = if (nU < 64) nU.toDouble else 63.0 * 1152921504606846976.0 / kthU
+      val est = j * uest
       assert(est >= 0.0)
       // |A∩B| = J·|A∪B| compounds the two KMV errors; 4σ at
       // σ≈1/sqrt(k-2)≈0.127 per factor bounds any fixed dataset,
