@@ -56,9 +56,24 @@ import java.util.Locale
   * co-occurs with a calibration shift is contention; one with a flat
   * calibration is real. Within a run, a query whose spread rivals its
   * median was unstable and its delta should not gate.
+  *
+  * SELF-GATING (VERDICT r10 #1 — three rounds running, the committed
+  * artifact carried environment noise as its headline caveat): the
+  * runner now ENFORCES its own quiet-host bar instead of merely
+  * reporting it. Bar: |cal_post − cal_pre| / cal_pre < 10% AND
+  * cal spread < 0.10 s. Before the suite it waits (bounded) for the
+  * probe to quiet; after the suite, if the run drifted past the bar,
+  * the WHOLE suite re-runs (warm — materialized state and JIT carry
+  * over), up to `SPARK_GRAFT_BENCH_ATTEMPTS` (default 3) attempts.
+  * The quietest attempt (smallest drift) is the one emitted, and the
+  * artifact carries `"noisy":true|false` + `"attempts":n` so a run
+  * that never quieted SELF-LABELS — a noisy number can still exist,
+  * but it can no longer masquerade as a clean one.
   */
 object Bench {
   private val REPS = 3
+  private val CAL_DRIFT_BAR = 0.10  // |post−pre|/pre, the r8 quiet bar
+  private val CAL_SPREAD_BAR = 0.10 // seconds, max−min across 6 probes
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -132,33 +147,79 @@ object Bench {
     // warm-up and is discarded) and again after — both windows feed
     // one median+spread so contention ANYWHERE in the run surfaces
     calibrate(spark)
-    val calPre = (1 to REPS).map(_ => calibrate(spark))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to REPS).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] query $name failed: $e")
-            -1.0
-        }
+    // pre-gate: wait (bounded) for the probe to quiet before timing
+    // anything, so a transiently-loud host start doesn't burn a whole
+    // suite attempt
+    var settleWaits = 0
+    var settled = false
+    while (!settled && settleWaits < 10) {
+      val probe = (1 to REPS).map(_ => calibrate(spark))
+      settled = probe.max - probe.min < CAL_SPREAD_BAR
+      if (!settled) {
+        System.err.println(f"[bench] host not quiet (probe spread ${probe.max - probe.min}%.3f s); waiting")
+        Thread.sleep(5000); settleWaits += 1
       }
-      // any failed rep marks the query failed: -1, never a timing
-      (name,
-        if (times.exists(_ < 0)) -1.0 else median(times),
-        if (times.exists(_ < 0)) -1.0 else times.max - times.min)
     }
 
-    val calPost = (1 to REPS).map(_ => calibrate(spark))
-    val cal = calPre ++ calPost
-    val calMed = median(cal)
-    val calSpread = cal.max - cal.min
+    // one suite attempt: pre-probe window, all queries, post-probe
+    // window. The quiet bar is judged per attempt.
+    case class Attempt(results: Seq[(String, Double, Double)],
+        calPre: Seq[Double], calPost: Seq[Double]) {
+      val calPreMed: Double = median(calPre)
+      val calPostMed: Double = median(calPost)
+      val drift: Double =
+        math.abs(calPostMed - calPreMed) / math.max(calPreMed, 1e-9)
+      val calAll: Seq[Double] = calPre ++ calPost
+      val calMed: Double = median(calAll)
+      val calSpread: Double = calAll.max - calAll.min
+      def quiet: Boolean = drift < CAL_DRIFT_BAR && calSpread < CAL_SPREAD_BAR
+    }
+
+    def runAttempt(): Attempt = {
+      val calPre = (1 to REPS).map(_ => calibrate(spark))
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to REPS).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] query $name failed: $e")
+              -1.0
+          }
+        }
+        // any failed rep marks the query failed: -1, never a timing
+        (name,
+          if (times.exists(_ < 0)) -1.0 else median(times),
+          if (times.exists(_ < 0)) -1.0 else times.max - times.min)
+      }
+      val calPost = (1 to REPS).map(_ => calibrate(spark))
+      Attempt(results, calPre, calPost)
+    }
+
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    var attempts = List(runAttempt())
+    while (!attempts.head.quiet && attempts.length < maxAttempts) {
+      System.err.println(f"[bench] attempt ${attempts.length} failed the quiet bar " +
+        f"(drift ${attempts.head.drift * 100}%.1f%% / spread ${attempts.head.calSpread}%.3f s); re-running suite")
+      attempts ::= runAttempt()
+    }
+    val best = attempts.minBy(a => (if (a.quiet) 0 else 1, a.drift))
+    val noisy = !best.quiet
+    if (noisy)
+      System.err.println(f"[bench] WARNING: no attempt met the quiet bar after " +
+        f"${attempts.length} tries — artifact self-labeled noisy " +
+        f"(best drift ${best.drift * 100}%.1f%%, spread ${best.calSpread}%.3f s)")
+
+    val results = best.results
+    val calMed = best.calMed
+    val calSpread = best.calSpread
     // pre/post window medians separately: a post-window median shifted
     // up vs pre says the RUN drifted (heap debt, host load arriving
     // mid-suite), which max−min alone can't localize in time
-    val calPreMed = median(calPre)
-    val calPostMed = median(calPost)
+    val calPreMed = best.calPreMed
+    val calPostMed = best.calPostMed
     // materialization cost is its own top-level key, NOT a queries
     // entry: total_sec = sum of non-failed queries values, exactly
     // reproducible by a consumer summing the map (ADVICE r4)
@@ -175,6 +236,7 @@ object Bench {
         s""""materialize_dedup_pipeline_sec":${fmt(if (matOk) tMat else -1.0)},""" +
         s""""calibration_sec":${fmt(calMed)},"calibration_spread_sec":${fmt(calSpread)},""" +
         s""""calibration_pre_sec":${fmt(calPreMed)},"calibration_post_sec":${fmt(calPostMed)},""" +
+        s""""noisy":$noisy,"attempts":${attempts.length},""" +
         s""""queries":$qs,"spread":$spreads}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -182,7 +244,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e") }
     System.err.println(s"[bench] per-query: $perQueryJson")
     // the ONE stdout line — short enough that no tail capture truncates it
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"queries_file":"BENCH_QUERIES.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"noisy":$noisy,"attempts":${attempts.length},"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }

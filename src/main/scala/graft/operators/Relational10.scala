@@ -346,6 +346,51 @@ object Relational10 {
       .orderBy($"doc_id")
   }
 
+  // ---- d16: incremental SEMANTIC cluster maintenance ----------------
+
+  /** d14's contract-through-old-labels algebra applied to the
+    * embedding pipeline (VERDICT r10 #5 — d08's clusters previously
+    * recomputed from scratch per batch): the same deterministic ~10%
+    * of vectors is the newly ingested batch, the old 90% is clustered
+    * first (frozen round-N−1 state), and the new batch merges in by
+    * contracting its pairs through the old labels — CC runs only on
+    * (touched old reps + new vectors), never the corpus. Min-id
+    * labeling is associative, so the result is BIT-IDENTICAL to d08's
+    * full recompute, and the oracle IS d08's full-recompute SQL
+    * verbatim; SimilaritySpec additionally asserts Spark-side
+    * equality with d08 row for row.
+    *
+    * Scale: with the rotation-bucket index materialized, a real
+    * increment generates candidate pairs only for buckets the new
+    * vectors touch ([[graft.operators.Relational7.d11]]'s straddle
+    * shape); the merge itself is bounded by the increment, which is
+    * what makes embedding-dedup maintainable at 100 TB ingest rates.
+    * The registered form reads the slot-cached pair table (the d14
+    * precedent) so its bench cost is the merge cost. */
+  def d16(s: SparkSession, dir: String,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val pairs = pairsIn.getOrElse(Similarity.d08Pairs(s, dir))
+      .select($"a_id", $"b_id")
+    val oldPairs = pairs.filter(!isNewDoc($"a_id") && !isNewDoc($"b_id"))
+    val newPairs = pairs.filter(isNewDoc($"a_id") || isNewDoc($"b_id"))
+    val oldLabels = Relational4.d09(s, dir, pairsIn = Some(oldPairs))
+      .select($"doc_id".as("id"), $"cluster_id".as("comp"))
+    val labels = mergeIncrement(s, newPairs, oldLabels)
+      .select($"id".as("vec_id"), $"comp".as("cluster_id"))
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select($"vec_id", $"cluster_id", $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
+  /** Slot-cached d08 pair table (the materializedPairs analog for the
+    * embedding pipeline) — shared by the registered d16 form. */
+  private[operators] def materializedEmbPairs(s: SparkSession,
+      dir: String): DataFrame =
+    Relational4.materialized("embPairs", s, dir)(
+      Similarity.d08Pairs(s, dir).localCheckpoint())
+
   // ---- d15: quality-aware dedup apply -------------------------------
 
   /** Quality-aware near-dup apply: keep the BEST-QUALITY member of
@@ -646,6 +691,8 @@ object Relational10 {
     "t33_nll_buckets" -> (t33 _),
     "d14_incremental_clusters" -> ((s: SparkSession, d: String) =>
       d14(s, d, Some(Relational4.materializedPairs(s, d)))),
+    "d16_incremental_semantic_clusters" -> ((s: SparkSession, d: String) =>
+      d16(s, d, Some(materializedEmbPairs(s, d)))),
     "x06_countmin" -> (x06 _),
     "t34_bpe_train" -> (t34 _),
     "t35_bpe_apply" -> (t35 _),
@@ -659,6 +706,9 @@ object Relational10 {
     // the oracle is d06's FULL-RECOMPUTE clustering SQL, verbatim:
     // incremental maintenance must be indistinguishable from it
     "d14_incremental_clusters" -> Relational4.oracles("d06_dup_clusters"),
+    // same discipline over the embedding pipeline: d08's full
+    // recompute SQL is the oracle for the incremental merge
+    "d16_incremental_semantic_clusters" -> Similarity.oracles("d08_semantic_clusters"),
     "x06_countmin" -> x06Oracle,
     "t34_bpe_train" -> t34Oracle,
     "t35_bpe_apply" -> t35Oracle,

@@ -346,6 +346,75 @@ object Relational11 {
        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   }
 
+  // ---- q56: the q54 keys driving the writer, pruning measured ------
+
+  private val Z_NUM_FILES = 16
+  private val Z_MAX_RECORDS = 50000L
+  private val Q56_CUST_LO = 30L
+  private val Q56_CUST_HI = 90L
+
+  private val zLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Orders rewritten through
+    * [[graft.sources.FileFormats.writeZOrderedParquet]] on q54's
+    * Morton key (VERDICT r10 #4 — the layout op producing PRUNING,
+    * not just keys), cached per (session, dir) like the d06m/d07m
+    * pipeline state. Row-identical to `orders`; only the file
+    * clustering changes, so every query over it shares the original
+    * table's oracle. The temp directory is removed on JVM exit. */
+  def zOrderedOrdersPath(s: SparkSession, dir: String): String =
+    zLayoutCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-zorders")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(out.toFile)
+      }))
+      val days = datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date"))
+      graft.sources.FileFormats.writeZOrderedParquet(
+        t(s, dir, "orders"),
+        zInterleave($"o_custkey", days.cast("long")),
+        out.toString, Z_NUM_FILES, Z_MAX_RECORDS)
+      out.toString
+    })
+
+  /** Two-dimensional selective scan over the z-clustered layout: a
+    * custkey band AND one order year — the predicate shape Z-ordering
+    * exists for (a single-column sort bounds one dimension; Morton
+    * clustering bounds both). The RESULT is layout-invariant, so the
+    * oracle is plain SQL over the original `orders` — correctness
+    * checks the rewrite lost nothing, while `ZOrderLayoutSpec` reads
+    * the parquet footers and measures what the layout BUYS: files
+    * whose (custkey, date) min/max envelope misses the predicate are
+    * skipped by any stats-aware reader, against a round-robin layout
+    * where every file spans every value and nothing ever prunes.
+    * Output keeps to exact integers (counts, key extremes) — no
+    * double-sum or rounding hazard in the gate. */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(zOrderedOrdersPath(s, dir))
+      .filter($"o_custkey".between(Q56_CUST_LO, Q56_CUST_HI) &&
+        $"o_orderdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        $"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min($"o_orderkey").as("min_orderkey"),
+        max($"o_orderkey").as("max_orderkey"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q56Oracle =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |  min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+       |FROM orders
+       |WHERE o_custkey BETWEEN $Q56_CUST_LO AND $Q56_CUST_HI
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,6 +423,7 @@ object Relational11 {
     "t36_source_kl" -> (t36 _),
     "t37_cdc_chunks" -> (t37 _),
     "q54_zorder_locality" -> (q54 _),
+    "q56_zorder_pruned_scan" -> (q56 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +432,6 @@ object Relational11 {
     "t36_source_kl" -> t36Oracle,
     "t37_cdc_chunks" -> t37Oracle,
     "q54_zorder_locality" -> q54Oracle,
+    "q56_zorder_pruned_scan" -> q56Oracle,
   )
 }

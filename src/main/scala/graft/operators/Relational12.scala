@@ -54,8 +54,13 @@ object Relational12 {
     * N and TL count docs with ≥ 1 token (zero-token docs can match no
     * term, so excluding them changes no ranking, only the constants —
     * stated identically in the oracle). Numerator bound: 22·tf·TL·10⁶
-    * must fit int64 — fine to tf·TL < 4·10¹¹ (sf0.1 ≈ 5·10⁷); at
-    * corpus scale shard the statistics or widen to DECIMAL.
+    * must fit int64 — fine to tf·TL < 4.19·10¹¹ (sf0.1 ≈ 5·10⁷); at
+    * corpus scale shard the statistics or widen to DECIMAL. The bound
+    * is ENFORCED at runtime (ADVICE r10): the `tot` frame raises if
+    * max(dl)·TL (≥ the largest tf·TL any row can reach) exceeds
+    * ⌊2⁶³/22·10⁶⌋ — past it the non-ANSI multiply would wrap silently
+    * and corrupt rankings with no error. The guard lives in the `tl`
+    * column expression itself so Catalyst cannot prune it.
     *
     * Plan: ONE tokenize pass feeds tf; dl, TL and N all derive from
     * the tf aggregate (no second corpus scan); the query-term
@@ -74,7 +79,22 @@ object Relational12 {
       .select($"doc_id", explode(word_tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val tot = dl.agg(sum($"dl").as("tl"), count(lit(1)).as("n_docs"))
+    // ⌊Long.MaxValue / 22e6⌋: largest tf·TL whose ppm numerator fits
+    // int64. tf ≤ max(dl), so max(dl)·TL bounds every row's tf·TL;
+    // the tl > 3·10⁹ disjunct keeps the guard product itself from
+    // wrapping (tl ≤ 3·10⁹ ∧ max_dl ≤ tl ⇒ max_dl·tl ≤ 9·10¹⁸ < 2⁶³).
+    val tot = dl.agg(sum($"dl").as("tl"), count(lit(1)).as("n_docs"),
+        max($"dl").as("max_dl"))
+      .select(
+        when($"tl" > lit(3000000000L) ||
+            $"max_dl" * $"tl" > lit(419244183493L),
+          raise_error(concat(
+            lit("t38: BM25 score_ppm numerator would overflow int64 "),
+            lit("(max_dl*tl = "), ($"max_dl" * $"tl").cast("string"),
+            lit(" > 419244183493); shard the corpus statistics or "),
+            lit("widen the numerator to DECIMAL(38,0)"))))
+          .otherwise($"tl").as("tl"),
+        $"n_docs")
     val qterms = t(s, dir, "documents").filter($"doc_id" < QDOCS)
       .select(explode(word_tokens($"text")).as("term")).distinct()
     val scored = tf.join(broadcast(qterms), Seq("term"))
@@ -120,11 +140,20 @@ object Relational12 {
     * pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = n_ab/B over
     * non-distinct corpus bigrams and p(w) = n_w/T over tokens,
     * support-filtered at n_ab ≥ [[PMI_MIN_SUPPORT]] (unsmoothed PMI
-    * promotes hapax pairs without it). The counts and both totals are
-    * exact integers emitted as columns; only the final ln crosses into
-    * float — computed as ln of ONE double ratio whose numerator and
-    * denominator are exactly-represented integer products (< 2⁵³ at
-    * bench SFs), then round(4) per the t06/e04 convention.
+    * promotes hapax pairs without it). The output is DELIBERATELY all
+    * exact integers (ADVICE r10 — the earlier round(ln(...), 4)
+    * double was portable only while no value sat near a 5e-5
+    * boundary, fragile under data regeneration): since T and B are
+    * global constants, pmi ranks identically to n_ab/(n_a·n_b), which
+    * is emitted as the fixed point `r_ppt` = ⌊10¹²·n_ab/(n_a·n_b)⌋ —
+    * integer floor division, bit-identical across engines. The
+    * consumer derives pmi = ln(r_ppt·T²/(B·10¹²)) (or exactly from
+    * the count columns); ties in the quantized key break by (a, b).
+    * Overflow is guarded at runtime in the `r_ppt` expression itself
+    * (the t38 discipline): n_ab ≤ ⌊2⁶³/10¹²⌋ and T ≤ 3·10⁹ keep both
+    * int64 products exact; past that shard or widen to DECIMAL. At a
+    * corpus scale where n_a·n_b > 10¹²·n_ab the key floors to 0 —
+    * those pairs have pmi ≪ 0 and never reach a top-30 cut.
     *
     * Plan: ONE corpus scan and ONE explode feed everything — the
     * unigram and bigram streams ride the same generator as tagged
@@ -170,10 +199,14 @@ object Relational12 {
       .join(uni.select($"w".as("a"), $"n_w".as("n_a")), Seq("a"))
       .join(uni.select($"w".as("b"), $"n_w".as("n_b")), Seq("b"))
       .crossJoin(broadcast(tTok)).crossJoin(broadcast(bTok))
-      .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
-        round(log(($"n_ab".cast("double") * $"t_tok" * $"t_tok") /
-          ($"b_tok".cast("double") * $"n_a" * $"n_b")), 4).as("pmi"))
-      .orderBy($"pmi".desc, $"a", $"b")
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"t_tok", $"b_tok",
+        when($"n_ab" > lit(9223372L) || $"t_tok" > lit(3000000000L),
+          raise_error(lit("t39: r_ppt int64 bound exceeded " +
+            "(n_ab > 9223372 or t_tok > 3e9); shard the counts or " +
+            "widen the key to DECIMAL(38,0)")))
+          .otherwise(expr("(n_ab * 1000000000000) div (n_a * n_b)"))
+          .as("r_ppt"))
+      .orderBy($"r_ppt".desc, $"a", $"b")
       .limit(PMI_TOP)
   }
 
@@ -190,12 +223,12 @@ object Relational12 {
        |tt AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_tok FROM uni),
        |bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b_tok FROM big)
        |SELECT big.a, big.b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
-       |  round(ln((CAST(n_ab AS DOUBLE) * t_tok * t_tok) /
-       |    (CAST(b_tok AS DOUBLE) * ua.n_w * ub.n_w)), 4) AS pmi
+       |  t_tok, b_tok,
+       |  CAST((n_ab * 1000000000000) // (ua.n_w * ub.n_w) AS BIGINT) AS r_ppt
        |FROM big JOIN uni ua ON ua.w = big.a JOIN uni ub ON ub.w = big.b
        |CROSS JOIN tt CROSS JOIN bt
        |WHERE n_ab >= $PMI_MIN_SUPPORT
-       |ORDER BY pmi DESC, big.a, big.b LIMIT $PMI_TOP""".stripMargin
+       |ORDER BY r_ppt DESC, big.a, big.b LIMIT $PMI_TOP""".stripMargin
 
   // ---- t40: per-source score quantile normalization -----------------
 

@@ -337,12 +337,60 @@ object Relational6 {
       .orderBy($"rank")
   }
 
+  private val X04E_K = 32
+
+  /** Deterministic face of the heavy-hitter tier (VERDICT r10 #7 —
+    * x04's SpaceSaving content is genuinely merge-order-dependent, so
+    * it stays the one rows-only row by documented decision; THIS
+    * query closes the oracle gap with the exact-threshold semantics
+    * the sketch guarantees): every item whose true count exceeds
+    * N/[[X04E_K]] — precisely the set SpaceSaving(k=[[X04E_K]]) can
+    * never drop — with its exact count, rank, and integer ppm share.
+    * Runs on event_type, the dimension of this corpus that HAS
+    * hitters at every SF (user_id's max share falls below 1/k past
+    * sf0.001 — a threshold face over it would be vacuously empty).
+    *
+    * Fully mergeable (counts are sums) and deterministic, so the
+    * DuckDB oracle hash-matches bit-for-bit — this is the
+    * verification pass a production heavy-hitter pipeline runs next
+    * to its sketch. Scale: one map-side-combined groupBy on a
+    * bounded-cardinality column; the rank window sees only the ≤ k
+    * surviving rows. */
+  def x04e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val tot = ev.agg(count(lit(1)).as("n_tot"))
+    val hot = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(tot))
+      .filter($"exact_count" * X04E_K > $"n_tot")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"exact_count".desc, $"event_type")
+    hot.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"event_type", $"exact_count",
+        expr("(exact_count * 1000000) div n_tot").as("share_ppm"), $"n_tot")
+      .orderBy($"rank")
+  }
+
+  private val x04eOracle =
+    s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM events),
+       |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+       |  FROM events GROUP BY event_type),
+       |hot AS (SELECT event_type, exact_count, n_tot
+       |  FROM c CROSS JOIN tot WHERE exact_count * $X04E_K > n_tot)
+       |SELECT CAST(row_number() OVER (ORDER BY exact_count DESC, event_type)
+       |    AS BIGINT) AS rank,
+       |  event_type, exact_count,
+       |  CAST((exact_count * 1000000) // n_tot AS BIGINT) AS share_ppm, n_tot
+       |FROM hot ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_filter_agg" -> (q45 _),
     "q46_grouping_sets" -> (q46 _),
     "e04_ewma" -> (e04 _),
     "t15_dup_ngram_stats" -> (t15 _),
     "x04_heavy_hitters" -> (x04 _),
+    "x04e_heavy_hitters_exact" -> (x04e _),
     "q47_listagg" -> (q47 _),
     "t16_winnowing" -> (t16 _),
     "q48_edit_distance" -> (q48 _),
@@ -350,6 +398,7 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "x04e_heavy_hitters_exact" -> x04eOracle,
     "q45_filter_agg" -> q45Sql,
     "q46_grouping_sets" -> q46Sql,
     "e04_ewma" -> e04Sql,

@@ -153,12 +153,19 @@ object Similarity {
     * `embedding`): a pair is a candidate iff it shares a sign-pattern
     * bucket in ANY of the ROTS rotations. Injectable so the recall
     * spec can feed planted near-dups. */
+  /** The ROTS (rot, key) sign-pattern bucket assignments of an
+    * embedding column, as one array — the SINGLE bucketing definition
+    * batch candidate generation and the streaming face
+    * ([[graft.streaming.GraphStream]]) both project, so their
+    * sharding is bit-identical by construction. */
+  private[graft] def rotBucketKeys(e: Column): Column =
+    array((0 until ROTS).map(r =>
+      struct(lit(r).as("rot"), bucketOfRot(e, r).as("key"))): _*)
+
   private[graft] def candidatePairs(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val rotKeys = (0 until ROTS).map(r =>
-      struct(lit(r).as("rot"), bucketOfRot($"embedding", r).as("key")))
-    e.select($"vec_id", explode(array(rotKeys: _*)).as("u"))
+    e.select($"vec_id", explode(rotBucketKeys($"embedding")).as("u"))
       .groupBy($"u.rot".as("rot"), $"u.key".as("key"))
       .agg(sort_array(collect_list($"vec_id")).as("ids"))
       .filter(size($"ids") > 1)
@@ -181,7 +188,7 @@ object Similarity {
     * cosine (bit-equal across engines). */
   /** d08's thresholded pair set — shared with the materialized
     * pipeline form ([[Relational4.materializedEmbLabels]]). */
-  private[operators] def d08Pairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def d08Pairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s03(s, dir).filter($"cos_sim" >= 0.45).select($"a_id", $"b_id")
   }
@@ -599,9 +606,23 @@ object Similarity {
     * consumers (d08's CC, graph walks) already handle. */
   def s11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val und = candidatePairs(e.select($"vec_id", $"embedding"))
-      .select($"a_id", $"b_id")
+    val e = emb(s, dir)
+    knnFromCandidates(e,
+      candidatePairs(e.select($"vec_id", $"embedding")).select($"a_id", $"b_id"))
+  }
+
+  /** Directed top-k cut over an undirected candidate pair set — the
+    * shared tail of batch [[s11]] and the streaming face's
+    * trigger-side refresh ([[graft.streaming.GraphStream]]): mirror
+    * each pair, join the embeddings back on, score with the exact
+    * cosine kernel, rank per node. Keeping this in ONE place means
+    * the stream and batch rankings can only differ if their candidate
+    * sets do — which is exactly what the parity spec pins. */
+  private[graft] def knnFromCandidates(embs: DataFrame,
+      und: DataFrame): DataFrame = {
+    val s = embs.sparkSession
+    import s.implicits._
+    val e = embs.select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val directed = und.union(und.select($"b_id".as("a_id"), $"a_id".as("b_id")))
     val scored = directed
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), Seq("a_id"))
@@ -677,7 +698,7 @@ object Similarity {
   /** Damped power iteration over any (src, dst) edge frame — shared
     * by [[s12]]/[[s12m]] and the TextRank face
     * ([[Relational12.t41]]); node ids may be any orderable type. */
-  private[operators] def pageRankOver(edges: DataFrame): DataFrame = {
+  private[graft] def pageRankOver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))

@@ -38,16 +38,24 @@ object EventStreams {
   /** File-based event stream. `dir` must be a directory of events
     * parquet files (the file-stream source tails directories — new
     * files appearing there are the micro-batches). At least one file
-    * must already exist: the footer is probed to learn which physical
-    * type `ts` carries, and the stream normalizes to session-local
-    * TIMESTAMP micros exactly like [[graft.Tables.load]] — so every
-    * stateful operator downstream sees one ts type regardless of the
-    * generator era or whether a test staged chunks through
-    * Spark-written parquet (TIMESTAMP LTZ). */
+    * must already exist: every footer is probed to learn which
+    * physical type `ts` carries, and the stream normalizes to
+    * session-local TIMESTAMP micros exactly like [[graft.Tables.load]]
+    * — so every stateful operator downstream sees one ts type
+    * regardless of the generator era or whether a test staged chunks
+    * through Spark-written parquet (TIMESTAMP LTZ).
+    *
+    * The probe runs ONCE at stream construction, so it validates that
+    * ALL existing footers agree on the ts physical type and fails
+    * with a clear message otherwise (ADVICE r10 — a directory mixing
+    * nanos-era and micros-era files would misparse whichever
+    * generation the single-sample probe missed). Late-arriving files
+    * MUST match the probed type: the streaming source reads them with
+    * the schema fixed here and cannot re-probe. */
   def stream(spark: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType = probeTsType(spark, dir)
     val df = spark.readStream.schema(eventsRawSchema(tsType))
       .options(options)
       .parquet(dir)
@@ -58,6 +66,33 @@ object EventStreams {
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
+  }
+
+  /** Probe the ts physical type from EVERY parquet footer under `dir`
+    * (one directory level — event stream dirs are flat), requiring
+    * them to agree. A single-file sample would silently pick one
+    * generation of a mixed directory; better to fail loudly at
+    * construction than misparse later micro-batches. */
+  private[streaming] def probeTsType(spark: SparkSession, dir: String)
+      : DataType = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    require(files.nonEmpty,
+      s"events stream dir $dir has no parquet files to probe the ts type from")
+    val types = files
+      .map(f => f -> spark.read.parquet(f).schema("ts").dataType)
+    val distinctTypes = types.map(_._2).distinct
+    require(distinctTypes.size == 1,
+      s"events stream dir $dir mixes ts physical types " +
+        s"${distinctTypes.mkString(", ")} across files (e.g. " +
+        types.groupBy(_._2).map { case (t, fs) => s"$t: ${fs.head._1}" }.mkString("; ") +
+        "); the stream probes the type once at construction, so all files " +
+        "— including late arrivals — must share one generation")
+    distinctTypes.head
   }
 
   /** Watermarked tumbling-window aggregation (streaming w01). */

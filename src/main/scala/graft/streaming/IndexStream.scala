@@ -62,15 +62,10 @@ object IndexStream {
       .agg(count(lit(1)).as("df"), sum($"p.tf").as("cf"))
   }
 
-  /** Batch equivalent over a static documents frame — the parity
-    * reference, built from the SAME per-row kernel so the spec checks
-    * the streaming machinery, not a formula transcription. */
-  def tfIndexBatch(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(explode(termTfPairs(word_tokens($"text"))).as("p"))
-      .groupBy($"p.term".as("term"))
-      .agg(count(lit(1)).as("df"), sum($"p.tf").as("cf"))
-  }
+  /** Batch equivalent over a static documents frame — literally the
+    * same frame-builder applied to a static input (the plan is
+    * identical modulo the source), so the parity spec measures the
+    * streaming machinery (micro-batching, state, output mode) and the
+    * two faces can never drift (ADVICE r10). */
+  def tfIndexBatch(docs: DataFrame): DataFrame = tfIndexStream(docs)
 }

@@ -164,6 +164,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("x04e: exact-threshold face surfaces exactly the items above N/k, ranked") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational6.x04e(s, sf).collect()
+    assert(rows.nonEmpty, "corpus has event types above the 1/32 share")
+    val nTot = Tables.load(s, sf, "events").count()
+    val exact = Tables.load(s, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly the SpaceSaving(k) guarantee set — no more, no less
+    val expect = exact.filter { case (_, c) => c * 32 > nTot }.keySet
+    assert(rows.map(_.getAs[String]("event_type")).toSet == expect)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("exact_count")
+      assert(c == exact(r.getAs[String]("event_type")))
+      assert(c * 32 > nTot)
+      assert(r.getAs[Long]("share_ppm") == c * 1000000L / nTot)
+      assert(r.getAs[Long]("n_tot") == nTot)
+    }
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length.toLong))
+    val cs = rows.map(_.getAs[Long]("exact_count")).toSeq
+    assert(cs == cs.sorted.reverse, "not ranked by descending count")
+  }
+
   test("SpaceSaving invariants hold under eviction pressure (k << domain)") {
     val s = spark
     import s.implicits._

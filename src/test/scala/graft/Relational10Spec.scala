@@ -236,6 +236,24 @@ class Relational10Spec extends SparkSpec {
         s"first diff ${inc.zip(full).find(p => p._1 != p._2)}")
   }
 
+  test("d16 incremental semantic merge is bit-identical to d08 full recompute") {
+    val s = spark
+    import s.implicits._
+    // meaningful only if the fold split routes embedding pairs through
+    // the merge path (straddling or new-new)
+    def isNew(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.TextOps.hash64(concat(lit("inc:"), c.cast("string"))), lit(10L)) === 0L
+    val pairs = graft.operators.Similarity.d08Pairs(spark, sf)
+    val newTouched = pairs.filter(isNew($"a_id") || isNew($"b_id")).count()
+    assert(newTouched > 0, "fold split routed no embedding pairs through the merge path")
+    val full = graft.operators.Similarity.d08(spark, sf).collect().toSeq
+    val inc = Relational10.d16(spark, sf).collect().toSeq
+    assert(inc == full,
+      s"incremental semantic clustering diverged from full recompute: " +
+        s"sizes ${inc.size}/${full.size}, " +
+        s"first diff ${inc.zip(full).find(p => p._1 != p._2)}")
+  }
+
   test("t34 BPE trainer: 5 distinct-pair merges; self-pair exclusion vacuous; step 1 = t19's top pair") {
     val s = spark
     import s.implicits._

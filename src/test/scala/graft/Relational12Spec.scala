@@ -49,25 +49,36 @@ class Relational12Spec extends SparkSpec {
     }
   }
 
-  test("t39: collocations respect support floor and descending-PMI order") {
+  test("t39: collocations respect support floor; integer key matches counts") {
     val rows = Relational12.t39(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 30)
     assert(rows.forall(_.getAs[Long]("n_ab") >= 5L))
-    // recompute one PMI from the emitted integer counts — the emitted
-    // double must match the stated formula on its own row
-    val tTok = Tables.load(spark, sf, "documents")
-      .select(size(graft.functions.NativeKernels.word_tokens(col("text")))
-        .cast("long").as("l"))
-      .agg(sum("l")).head().getLong(0)
+    // the emitted fixed-point key must be the floor-div of its own
+    // integer count columns (ADVICE r10: integers are the gate; the
+    // consumer derives pmi from them)
+    rows.foreach { r =>
+      val nAb = r.getAs[Long]("n_ab")
+      val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      assert(r.getAs[Long]("r_ppt") == nAb * 1000000000000L / (nA * nB),
+        s"r_ppt is not the floor-div fixed point on row $r")
+    }
+    val keys = rows.map(_.getAs[Long]("r_ppt")).toSeq
+    assert(keys == keys.sorted.reverse, "output not in descending-key order")
+    // consumer-side pmi derivation: pmi = ln(n_ab·T²/(B·n_a·n_b)) on
+    // the exact integer columns, checked with a tolerance (never a
+    // rounded-double hash gate) and plausibility-bounded
     val r0 = rows.head
-    val pmi0 = r0.getAs[Double]("pmi")
-    // B = T - docs-with-tokens; recompute loosely: pmi must be within
-    // rounding of ln(n_ab·T²/(B·n_a·n_b)) for SOME B ≤ T — sanity-bound
-    // the magnitude instead of restating the plan: pmi ≤ ln(T) + 1
-    assert(pmi0 <= math.log(tTok.toDouble) + 1.0 && pmi0 > 0.0,
+    val tTok = r0.getAs[Long]("t_tok"); val bTok = r0.getAs[Long]("b_tok")
+    val pmi0 = math.log(r0.getAs[Long]("n_ab").toDouble * tTok * tTok /
+      (bTok.toDouble * r0.getAs[Long]("n_a") * r0.getAs[Long]("n_b")))
+    assert(pmi0 > 0.0 && pmi0 <= math.log(tTok.toDouble) + 1.0,
       s"implausible top PMI $pmi0 for T=$tTok")
-    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
-    assert(pmis == pmis.sorted.reverse, "output not in descending PMI order")
+    // the quantized-key derivation agrees with the exact-count one to
+    // quantization error: pmi ≈ ln(r_ppt·T²/(B·10¹²))
+    val pmiQ = math.log(r0.getAs[Long]("r_ppt").toDouble * tTok * tTok /
+      (bTok.toDouble * 1e12))
+    assert(math.abs(pmiQ - pmi0) < 0.01,
+      s"fixed-point pmi derivation drifted: $pmiQ vs $pmi0")
   }
 
   test("t40: percentiles are exact ppm ranks, uniform per source") {
