@@ -1,0 +1,319 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps.{hash64, sqlHash64}
+
+/** Thirteenth tranche — the incremental-ingest and sketch-sampling
+  * shapes a 100 TB pipeline runs on every arrival batch, each
+  * oracle-checked:
+  *
+  *  - q57: incremental aggregate maintenance — the d14 algebra applied
+  *    to rollups: yesterday's per-key partial-aggregate STATE plus the
+  *    new batch's partials merge to exactly the full-recompute answer,
+  *    so the daily 100 TB scan becomes a state-table-sized merge;
+  *  - x08: bottom-k-by-hash sample quantiles — a mergeable O(k)
+  *    uniform sample per group under a FIXED hash, so the sketch is a
+  *    deterministic function of the input set and (the x05/x07 trick)
+  *    hash-checkable against DuckDB exactly, with the exact full-data
+  *    quantiles riding along as the error report;
+  *  - s13: product-quantization ANN (Jégou et al. 2011, IEEE TPAMI
+  *    33(1)) — subspace codebooks, per-vector codes, and
+  *    asymmetric-distance (ADC) top-k in EXACT fixed-point micro
+  *    units (the s09/VecDotQ discipline), with the exact full-dim
+  *    distance riding along for the rerank/recall readout.
+  *
+  * The reference ships none of these (it is an IOC ETL bridge,
+  * `/root/reference/src/Datalake2Anomali.py:1-449`); they extend the
+  * SURVEY §7.2 LLM-pipeline surface alongside tranches 1-12.
+  */
+object Relational13 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- q57: incremental aggregate maintenance -----------------------
+
+  /** Incremental rollup maintenance: per-supplier order statistics
+    * (count, Σqty, Σprice, min/max price) maintained as a mergeable
+    * partial-aggregate state table. The "old" corpus (90% of
+    * lineitem, orderkey % 10 ≠ 0) is aggregated into state once; the
+    * arriving batch (orderkey % 10 = 0) aggregates independently; the
+    * MERGE — union + re-aggregate of two key-sized frames — equals the
+    * full-corpus rollup bit-for-bit, because every measure is chosen
+    * from the commutative-monoid menu: counts and sums over exact
+    * integers (quantity is integral; price is exact cents, ×100 before
+    * the long cast), min/max over the same. No double ever sums, so
+    * the result is independent of both merge order and engine.
+    *
+    * This is the ingest shape that matters at 100 TB: the daily
+    * rollup touches only the new batch + a key-sized state table
+    * (two narrow shuffles on the grouping key), never the history.
+    * The oracle aggregates the full table directly — proving
+    * state ⊕ delta ≡ recompute, the d14 contract for aggregates. */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_suppkey", $"l_orderkey",
+      round($"l_quantity").cast("long").as("qty"),
+      round($"l_extendedprice" * 100).cast("long").as("cents"))
+    def partial(df: DataFrame): DataFrame = df.groupBy($"l_suppkey").agg(
+      count(lit(1)).as("n"), sum($"qty").as("sum_qty"),
+      sum($"cents").as("sum_cents"),
+      min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    val state = partial(li.filter($"l_orderkey" % 10 =!= 0)) // yesterday
+    val delta = partial(li.filter($"l_orderkey" % 10 === 0)) // new batch
+    state.unionByName(delta).groupBy($"l_suppkey").agg(
+        sum($"n").as("n"), sum($"sum_qty").as("sum_qty"),
+        sum($"sum_cents").as("sum_cents"),
+        min($"min_cents").as("min_cents"), max($"max_cents").as("max_cents"))
+      .orderBy($"l_suppkey")
+  }
+
+  private val q57Oracle =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  // ---- x08: bottom-k sample quantiles -------------------------------
+
+  private val X08_K = 128
+
+  /** Per-event-type value quantiles (p50/p90/p99) from a bottom-k-by-
+    * hash sample — [[graft.functions.Sampling.BottomK]], the mergeable
+    * O(k) uniform sample — next to the exact full-data order
+    * statistics as the rider error report. The quantile convention is
+    * the interpolation-free lower order statistic: sorted v₁..vₙ,
+    * index ⌊(n−1)·q⌋+1 — raw data values pass through untouched, so
+    * every output cell is either an exact integer or a value that
+    * appears verbatim in the input, and the whole row hash-matches
+    * DuckDB with no rounding gate at all.
+    *
+    * Scale: the estimate path shuffles ≤ k·partitions (h, value)
+    * pairs per group — constant state, the x05 shape — and its
+    * √(q(1−q)/k) rank error (k=128: ±4.4pp at p50, ±0.9pp at p99) is
+    * what a 100 TB latency/score monitor actually buys. The exact
+    * rider is the offline truth pass (one full sort per group, the
+    * cost the sketch exists to avoid) — kept in the registered query
+    * so the gate checks BOTH faces, dropped by a production consumer.
+    * Unlike percentile_approx/t-digest, the bottom-k estimate is
+    * deterministic under the fixed hash: same input set, same answer,
+    * any partitioning, any engine. */
+  def x08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_type", $"event_id", $"value",
+      hash64(concat(lit("x08:"), $"event_id".cast("string"))).as("h"))
+    def sidx(n: Column, q: Double): Column =
+      (floor((n - lit(1)).cast("double") * lit(q)) + lit(1)).cast("int")
+    val bk = udaf(graft.functions.Sampling.BottomK(X08_K))
+    val samp = ev.groupBy($"event_type")
+      .agg(bk($"h", $"value").as("sample"))
+      .select($"event_type",
+        array_sort(transform($"sample", x => x.getField("v"))).as("vals"))
+      .select($"event_type", size($"vals").cast("long").as("n_sample"),
+        element_at($"vals", sidx(size($"vals"), 0.5)).as("p50_est"),
+        element_at($"vals", sidx(size($"vals"), 0.9)).as("p90_est"),
+        element_at($"vals", sidx(size($"vals"), 0.99)).as("p99_est"))
+    val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wn = Window.partitionBy($"event_type")
+    val full = ev
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wn))
+    val exact = full.groupBy($"event_type").agg(
+      max($"n").cast("long").as("n_total"),
+      max(when($"rn" === sidx($"n", 0.5), $"value")).as("p50_exact"),
+      max(when($"rn" === sidx($"n", 0.9), $"value")).as("p90_exact"),
+      max(when($"rn" === sidx($"n", 0.99), $"value")).as("p99_exact"))
+    samp.join(exact, Seq("event_type")).orderBy($"event_type")
+  }
+
+  private val x08Oracle =
+    s"""WITH ev AS (SELECT event_type, event_id, value,
+       |    ${sqlHash64("concat('x08:', CAST(event_id AS VARCHAR))")} AS h
+       |  FROM events),
+       |sk AS (SELECT event_type, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS hrn
+       |  FROM ev),
+       |samp AS (SELECT event_type, list_sort(list(value)) AS vals
+       |  FROM sk WHERE hrn <= $X08_K GROUP BY event_type),
+       |sq AS (SELECT event_type, CAST(len(vals) AS BIGINT) AS n_sample,
+       |  vals[CAST(floor((len(vals)-1)*0.5) AS INT)+1] AS p50_est,
+       |  vals[CAST(floor((len(vals)-1)*0.9) AS INT)+1] AS p90_est,
+       |  vals[CAST(floor((len(vals)-1)*0.99) AS INT)+1] AS p99_est FROM samp),
+       |fr AS (SELECT event_type, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |  count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+       |fx AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+       |  max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT)+1 THEN value END) AS p50_exact,
+       |  max(CASE WHEN rn = CAST(floor((n-1)*0.9) AS BIGINT)+1 THEN value END) AS p90_exact,
+       |  max(CASE WHEN rn = CAST(floor((n-1)*0.99) AS BIGINT)+1 THEN value END) AS p99_exact
+       |  FROM fr GROUP BY event_type)
+       |SELECT sq.event_type, n_sample, p50_est, p90_est, p99_est,
+       |  n_total, p50_exact, p90_exact, p99_exact
+       |FROM sq JOIN fx ON sq.event_type = fx.event_type
+       |ORDER BY sq.event_type""".stripMargin
+
+  // ---- s13: product-quantization ANN (ADC) --------------------------
+
+  private val PQ_M = 4       // subspaces
+  private val PQ_SUB = 16    // dims per subspace (4 × 16 = DIM 64)
+  private val PQ_K = 8       // codes per subspace (seeds = first 8 vectors)
+  private val PQ_NQ = 3      // query vectors: vec_id < 3
+  private val PQ_POOL = 50   // ADC candidate pool fed to the exact rerank
+  private val PQ_TOPK = 10
+
+  /** Fold-left squared distance between two float-array slices — the
+    * s04/s07 engine-portable accumulation order. */
+  private def sqd(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c,
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Product-quantization ANN with asymmetric distance (ADC): split
+    * the 64-dim embedding into [[PQ_M]]=4 subspaces of 16 dims,
+    * quantize each subspace against a [[PQ_K]]-entry codebook
+    * (deterministic init — the s07 seed convention: slices of the
+    * first K vectors), and score each query against the corpus by
+    * table lookup: adc(q,v) = Σₘ ‖qₘ − cb[m][codeₘ(v)]‖², computed
+    * once per (query, subspace, code) — M·K·NQ cells — instead of
+    * once per (query, vector, dimension).
+    *
+    * Every per-subspace lookup distance is quantized to integer
+    * MICRO units before the Σₘ (round(d·10⁶) on a double both
+    * engines computed bit-identically from the same floats), so the
+    * ADC score is a SUM OF LONGS — exact, order-free, no
+    * cross-engine float-accumulation gate: the s09/VecDotQ fixed-
+    * point discipline applied to distance tables. Two stages, the
+    * s06/IVF-rerank production shape: (1) ADC keeps a [[PQ_POOL]]
+    * candidate pool per query via the
+    * [[graft.functions.GroupedTopK.TopDocs]] bounded buffer
+    * (score = −adc, the t38 discipline — map-side state ≤ pool per
+    * query, no corpus-sized rank window); (2) the exact full-dim
+    * distance is computed for POOL·NQ candidates only and the final
+    * top-[[PQ_TOPK]] ranks by it. The ADC estimate and its pool
+    * position ride along, so recall-vs-exact is measurable from the
+    * output itself (the spec pins the measured number — seed
+    * codebooks on this near-isotropic synthetic corpus put 40-80% of
+    * the true top-10 in a 50-pool; a trained-codebook production run
+    * re-trains per corpus with lloydIterate per subspace, which the
+    * oracle deliberately avoids because double-averaged centroids
+    * are not cross-engine bit-stable).
+    *
+    * Scale: codes are M small ints per vector — the 16× scan-width
+    * compression that makes billion-vector search RAM-resident; the
+    * corpus is scanned once to code (broadcast codebook, no
+    * shuffle), once to score (broadcast LUT, one groupBy on
+    * (q, vec) sized corpus·M·NQ); rerank touches pool·NQ vectors. At
+    * 100 TB the codes table IS the index — materialized once,
+    * re-scored per query batch. */
+  def s13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val mExp = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
+    // codebook: (m, code, cvec) — subspace slices of the first K vectors
+    val cb = e.filter($"vec_id" < PQ_K)
+      .select($"vec_id".cast("int").as("code"), mExp, $"embedding")
+      .select($"m", $"code",
+        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("cvec"))
+    // corpus subspace slices → nearest code per (vector, subspace):
+    // min(struct) argmin — an aggregate, not a rank window (s08)
+    val sub = e.select($"vec_id", mExp, $"embedding")
+      .select($"vec_id", $"m",
+        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
+    val codes = sub.join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m", $"code", sqd($"svec", $"cvec").as("d"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"))
+    // query LUT: micro-quantized subspace distances, M·K rows per query
+    val qs = e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), mExp, $"embedding")
+      .select($"q_id", $"m",
+        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("qvec"))
+    val lut = qs.join(broadcast(cb), Seq("m"))
+      .select($"q_id", $"m", $"code",
+        round(sqd($"qvec", $"cvec") * 1e6).cast("long").as("ld2"))
+    val pool = udaf(graft.functions.GroupedTopK.TopDocs(PQ_POOL))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ld2").as("adc")) // exact long sum over M subspaces
+      .groupBy($"q_id")
+      .agg(pool(-$"adc", $"vec_id", lit(0L), lit(0L)).as("cand"))
+      .select($"q_id", posexplode($"cand").as(Seq("pos", "r")))
+      .select($"q_id", $"r.doc_id".as("neighbor_id"),
+        (-$"r.score_ppm").as("adc_d2_micro"),
+        ($"pos" + 1).cast("long").as("adc_rank"))
+    // stage 2: exact full-dim rerank over the pool·NQ candidates only;
+    // the rank window partition is ≤ PQ_POOL rows by construction
+    val qe = e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wR = Window.partitionBy($"q_id").orderBy($"exact_d2_micro", $"neighbor_id")
+    adc.join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select($"q_id", $"neighbor_id", $"adc_rank", $"adc_d2_micro",
+        round(sqd($"q_emb", $"embedding") * 1e6).cast("long").as("exact_d2_micro"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter($"rank" <= PQ_TOPK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val s13Oracle = {
+    val sqdSql = (a: String, b: String, len: Int) =>
+      s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |      * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |    for i in range(1, ${len + 1})])""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
+       |cb AS (SELECT m, CAST(vec_id AS INT) AS code,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS cvec
+       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_K),
+       |sub AS (SELECT vec_id, m,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS svec
+       |  FROM e CROSS JOIN mm),
+       |cd AS (SELECT vec_id, sub.m AS m, code,
+       |    ${sqdSql("svec", "cvec", PQ_SUB)} AS d
+       |  FROM sub JOIN cb ON sub.m = cb.m),
+       |codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS q_id, m,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qvec
+       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_NQ),
+       |lut AS (SELECT q_id, qs.m AS m, code,
+       |    CAST(round(${sqdSql("qvec", "cvec", PQ_SUB)} * 1000000) AS BIGINT) AS ld2
+       |  FROM qs JOIN cb ON qs.m = cb.m),
+       |adc AS (SELECT q_id, vec_id, CAST(sum(ld2) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |  WHERE vec_id <> q_id GROUP BY q_id, vec_id),
+       |rk AS (SELECT q_id, vec_id AS neighbor_id, adc AS adc_d2_micro,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+       |      AS BIGINT) AS adc_rank
+       |  FROM adc),
+       |ex AS (SELECT rk.q_id, rk.neighbor_id, adc_rank, adc_d2_micro,
+       |    CAST(round(${sqdSql("q.embedding", "n.embedding", 64)} * 1000000)
+       |      AS BIGINT) AS exact_d2_micro
+       |  FROM rk JOIN e n ON n.vec_id = rk.neighbor_id
+       |    JOIN e q ON q.vec_id = rk.q_id
+       |  WHERE adc_rank <= $PQ_POOL),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY exact_d2_micro, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT q_id, neighbor_id, adc_rank, adc_d2_micro, exact_d2_micro, rank
+       |FROM rr WHERE rank <= $PQ_TOPK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_incremental_rollup" -> (q57 _),
+    "x08_bottomk_quantiles" -> (x08 _),
+    "s13_pq_adc_topk" -> (s13 _))
+
+  val oracles: Map[String, String] = Map(
+    "q57_incremental_rollup" -> q57Oracle,
+    "x08_bottomk_quantiles" -> x08Oracle,
+    "s13_pq_adc_topk" -> s13Oracle)
+}

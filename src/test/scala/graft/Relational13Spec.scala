@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational13
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Thirteenth tranche: incremental rollup maintenance, bottom-k sample
+  * quantiles, PQ/ADC two-stage ANN. The DuckDB oracle pins
+  * cross-engine equality; these specs pin the SEMANTICS — the merge
+  * algebra, the sample-vs-exact error envelope, and the measured
+  * ADC recall a consumer relies on. */
+class Relational13Spec extends SparkSpec {
+
+  test("q57: state ⊕ delta merge is bit-identical to the full recompute") {
+    val s = spark
+    import s.implicits._
+    val merged = Relational13.q57(spark, sf)
+    val li = Tables.load(spark, sf, "lineitem").select($"l_suppkey",
+      round($"l_quantity").cast("long").as("qty"),
+      round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val direct = li.groupBy($"l_suppkey").agg(
+      count(lit(1)).as("n"), sum($"qty").as("sum_qty"),
+      sum($"cents").as("sum_cents"),
+      min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    assert(merged.count() > 0)
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+      "incremental merge differs from full recompute")
+  }
+
+  test("x08: sample size, monotone quantiles, and the rank-error envelope") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational13.x08(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sf, "events")
+      .groupBy($"event_type").agg(collect_list($"value").as("vs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getSeq[Double](r.fieldIndex("vs"))).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val nTotal = r.getAs[Long]("n_total")
+      assert(r.getAs[Long]("n_sample") == math.min(128L, nTotal))
+      val (p50, p90, p99) = (r.getAs[Double]("p50_est"),
+        r.getAs[Double]("p90_est"), r.getAs[Double]("p99_est"))
+      assert(p50 <= p90 && p90 <= p99, s"non-monotone estimates for $et")
+      // rank error: the estimated quantile's true rank stays within the
+      // √(q(1−q)/k) envelope (k=128 → σ ≈ 4.4pp at p50); 4σ bars
+      val vs = ev(et)
+      def trueRank(v: Double): Double = vs.count(_ <= v).toDouble / vs.size
+      assert(math.abs(trueRank(p50) - 0.5) < 0.18, s"p50 rank error for $et")
+      assert(math.abs(trueRank(p90) - 0.9) < 0.12, s"p90 rank error for $et")
+      assert(math.abs(trueRank(p99) - 0.99) < 0.05, s"p99 rank error for $et")
+      // exact riders really are the order statistics
+      assert(math.abs(trueRank(r.getAs[Double]("p50_exact")) - 0.5) <
+        1.5 / vs.size + 0.005)
+    }
+  }
+
+  test("s13: contiguous ranks, exact-distance ordering, measured recall") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational13.s13(spark, sf).collect()
+    assert(rows.length == 30) // 3 queries × top-10
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      // final order is by EXACT distance (the rerank contract)
+      val ds = sorted.map(_.getAs[Long]("exact_d2_micro"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"exact-distance inversion for query $q")
+      // every candidate came from the ADC pool
+      assert(rs.forall(_.getAs[Long]("adc_rank") <= 50))
+    }
+    // recall@10 vs the exact brute-force top-10 (offline ground truth,
+    // 500 × 3 distance pairs at sf0.001 — dev-time diagnostic scale).
+    // Seed codebooks on this near-isotropic corpus measured 0.5-0.7
+    // per query; pinned floor 0.4 per query keeps the bar honest.
+    val e = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val recalls = byQ.map { case (q, rs) =>
+      val qe = e(q)
+      val exactTop = e.keys.filter(_ != q).toSeq
+        .map { id =>
+          val v = e(id)
+          var d = 0.0
+          var i = 0
+          while (i < qe.length) {
+            val t = qe(i).toDouble - v(i).toDouble; d += t * t; i += 1
+          }
+          (d, id)
+        }.sorted.take(10).map(_._2).toSet
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      q -> got.intersect(exactTop).size / 10.0
+    }
+    recalls.foreach { case (q, r) =>
+      assert(r >= 0.4, s"recall@10 for query $q = $r below measured floor")
+    }
+    assert(recalls.values.sum / recalls.size >= 0.5,
+      s"mean recall ${recalls.values.sum / recalls.size} below measured floor")
+  }
+
+  test("s13: plan stays broadcast — no cartesian product, no shuffled join") {
+    val plan = Relational13.s13(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "unexpected nested-loop join")
+  }
+}
