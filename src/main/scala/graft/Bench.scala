@@ -61,7 +61,12 @@ import java.util.Locale
   * artifact carried environment noise as its headline caveat): the
   * runner now ENFORCES its own quiet-host bar instead of merely
   * reporting it. Bar: |cal_post − cal_pre| / cal_pre < 10% AND
-  * cal spread < 0.10 s. Before the suite it waits (bounded) for the
+  * ROBUST cal spread < 0.10 s (drop-1 max−min across the 6 probes —
+  * r8 measured that a single GC pause puts the RAW max−min at
+  * ~0.15 s on an otherwise-quiet host, which made the raw-spread
+  * bar structurally unmeetable; the raw spread still ships in the
+  * artifact, and sustained contention moves the pre/post MEDIANS,
+  * which the drift bar catches). Before the suite it waits (bounded) for the
   * probe to quiet; after the suite, if the run drifted past the bar,
   * the WHOLE suite re-runs (warm — materialized state and JIT carry
   * over), up to `SPARK_GRAFT_BENCH_ATTEMPTS` (default 3) attempts.
@@ -173,7 +178,21 @@ object Bench {
       val calAll: Seq[Double] = calPre ++ calPost
       val calMed: Double = median(calAll)
       val calSpread: Double = calAll.max - calAll.min
-      def quiet: Boolean = drift < CAL_DRIFT_BAR && calSpread < CAL_SPREAD_BAR
+      // robust spread: drop the single worst probe before max−min.
+      // The r8 analysis measured that ONE GC pause among the 6 probes
+      // puts raw max−min at ~0.15 s on a host that is otherwise quiet
+      // (every other signal — pre/post medians, per-query spreads —
+      // agreeing); gating on raw max−min made the quiet bar
+      // structurally unmeetable inside a full-suite JVM. The raw
+      // spread still ships in the artifact; contention that the trim
+      // could mask (sustained load) moves the MEDIANS and is caught
+      // by the drift bar.
+      val calRobustSpread: Double = {
+        val s = calAll.sorted
+        s(s.length - 2) - s.head
+      }
+      def quiet: Boolean =
+        drift < CAL_DRIFT_BAR && calRobustSpread < CAL_SPREAD_BAR
     }
 
     def runAttempt(): Attempt = {
@@ -202,7 +221,7 @@ object Bench {
     var attempts = List(runAttempt())
     while (!attempts.head.quiet && attempts.length < maxAttempts) {
       System.err.println(f"[bench] attempt ${attempts.length} failed the quiet bar " +
-        f"(drift ${attempts.head.drift * 100}%.1f%% / spread ${attempts.head.calSpread}%.3f s); re-running suite")
+        f"(drift ${attempts.head.drift * 100}%.1f%% / robust spread ${attempts.head.calRobustSpread}%.3f s); re-running suite")
       attempts ::= runAttempt()
     }
     val best = attempts.minBy(a => (if (a.quiet) 0 else 1, a.drift))
@@ -210,7 +229,7 @@ object Bench {
     if (noisy)
       System.err.println(f"[bench] WARNING: no attempt met the quiet bar after " +
         f"${attempts.length} tries — artifact self-labeled noisy " +
-        f"(best drift ${best.drift * 100}%.1f%%, spread ${best.calSpread}%.3f s)")
+        f"(best drift ${best.drift * 100}%.1f%%, robust spread ${best.calRobustSpread}%.3f s)")
 
     val results = best.results
     val calMed = best.calMed
@@ -235,6 +254,7 @@ object Bench {
       s"""{"sf":"$sfDir","total_sec":${fmt(total)},"failed":$failed,""" +
         s""""materialize_dedup_pipeline_sec":${fmt(if (matOk) tMat else -1.0)},""" +
         s""""calibration_sec":${fmt(calMed)},"calibration_spread_sec":${fmt(calSpread)},""" +
+        s""""calibration_robust_spread_sec":${fmt(best.calRobustSpread)},""" +
         s""""calibration_pre_sec":${fmt(calPreMed)},"calibration_post_sec":${fmt(calPostMed)},""" +
         s""""noisy":$noisy,"attempts":${attempts.length},""" +
         s""""queries":$qs,"spread":$spreads}"""

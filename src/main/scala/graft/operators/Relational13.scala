@@ -103,21 +103,36 @@ object Relational13 {
     * Unlike percentile_approx/t-digest, the bottom-k estimate is
     * deterministic under the fixed hash: same input set, same answer,
     * any partitioning, any engine. */
+  private def sidx(n: Column, q: Double): Column =
+    (floor((n - lit(1)).cast("double") * lit(q)) + lit(1)).cast("int")
+
+  /** The estimate face of [[x08]] as a shared frame-builder over any
+    * (event_type, event_id, value) frame — ONE stateful aggregation,
+    * so the streaming face ([[graft.streaming.EventStreams
+    * .bottomKQuantilesStream]]) delegates to this exact body (the
+    * IndexStream one-body discipline) and, the sketch being a
+    * deterministic mergeable function of the input SET, equals the
+    * batch answer exactly after any micro-batch replay. */
+  def bottomKEstimates(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("event_type"),
+      hash64(concat(lit("x08:"), col("event_id").cast("string"))).as("h"),
+      col("value"))
+    val bk = udaf(graft.functions.Sampling.BottomK(X08_K))
+    ev.groupBy(col("event_type"))
+      .agg(bk(col("h"), col("value")).as("sample"))
+      .select(col("event_type"),
+        array_sort(transform(col("sample"), x => x.getField("v"))).as("vals"))
+      .select(col("event_type"), size(col("vals")).cast("long").as("n_sample"),
+        element_at(col("vals"), sidx(size(col("vals")), 0.5)).as("p50_est"),
+        element_at(col("vals"), sidx(size(col("vals")), 0.9)).as("p90_est"),
+        element_at(col("vals"), sidx(size(col("vals")), 0.99)).as("p99_est"))
+  }
+
   def x08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events").select($"event_type", $"event_id", $"value",
       hash64(concat(lit("x08:"), $"event_id".cast("string"))).as("h"))
-    def sidx(n: Column, q: Double): Column =
-      (floor((n - lit(1)).cast("double") * lit(q)) + lit(1)).cast("int")
-    val bk = udaf(graft.functions.Sampling.BottomK(X08_K))
-    val samp = ev.groupBy($"event_type")
-      .agg(bk($"h", $"value").as("sample"))
-      .select($"event_type",
-        array_sort(transform($"sample", x => x.getField("v"))).as("vals"))
-      .select($"event_type", size($"vals").cast("long").as("n_sample"),
-        element_at($"vals", sidx(size($"vals"), 0.5)).as("p50_est"),
-        element_at($"vals", sidx(size($"vals"), 0.9)).as("p90_est"),
-        element_at($"vals", sidx(size($"vals"), 0.99)).as("p99_est"))
+    val samp = bottomKEstimates(ev)
     val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     val wn = Window.partitionBy($"event_type")
     val full = ev

@@ -457,6 +457,21 @@ object EventStreams {
             element_at(col("ks"), -1)), 2).as("est_distinct"))
   }
 
+  /** Streaming bottom-k sample quantiles (batch x08's streaming face):
+    * one stateful groupBy whose state is the O(k) mergeable
+    * [[graft.functions.Sampling.BottomK]] buffer per event type. The
+    * body IS [[graft.operators.Relational13.bottomKEstimates]] — the
+    * one-body discipline — and because bottom-k under a fixed hash is
+    * a deterministic function of the input SET (not the arrival
+    * order), after full replay the streamed quantile estimates equal
+    * batch x08's estimate columns EXACTLY, micro-batch split
+    * notwithstanding (spec-asserted). Complete output mode re-emits
+    * the current estimates per trigger — a live per-type latency/value
+    * quantile monitor with constant state. */
+  def bottomKQuantilesStream(events: DataFrame): DataFrame =
+    graft.operators.Relational13.bottomKEstimates(
+      events.select(col("event_type"), col("event_id"), col("value")))
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append")
       : StreamingQuery = {
     val q = df.writeStream.outputMode(mode)

@@ -265,6 +265,37 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k quantiles equal batch x08 estimates exactly (x08 parity)") {
+    val s = spark
+    import s.implicits._
+    // two micro-batches split by user parity: the bottom-k buffer per
+    // event type merges contributions from BOTH batches; the sketch is
+    // a deterministic function of the input SET, so replay equality is
+    // exact, not approximate.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x08")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    StreamTestIO.writeChunk(raw.filter($"user_id" % 2 === 0),
+      dir.resolve("even.parquet"), base)
+    StreamTestIO.writeChunk(raw.filter($"user_id" % 2 === 1),
+      dir.resolve("odd.parquet"), base + 1000)
+    val q = EventStreams.runToMemory(
+      EventStreams.bottomKQuantilesStream(
+        EventStreams.stream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))),
+      "x08_stream", mode = "complete")
+    try {
+      val streamed = spark.table("x08_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Relational13.x08(spark, sf)
+        .select($"event_type", $"n_sample", $"p50_est", $"p90_est", $"p99_est")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch x08 diverge: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min counters equal the batch table exactly after replay (x06 parity)") {
     val s = spark
     import s.implicits._
