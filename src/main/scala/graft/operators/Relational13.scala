@@ -225,33 +225,47 @@ object Relational13 {
     * (q, vec) sized corpus·M·NQ); rerank touches pool·NQ vectors. At
     * 100 TB the codes table IS the index — materialized once,
     * re-scored per query batch. */
+  private def mExp = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
+
+  /** PQ codebook: (m, code, cvec) — subspace slices of the first
+    * [[PQ_K]] vectors (the s07 deterministic seed convention). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("code"), mExp, col("embedding"))
+      .select(col("m"), col("code"),
+        slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("cvec"))
+
+  /** Per-vector PQ codes: (vec_id, m, code) — nearest codebook entry
+    * per subspace via min(struct) argmin (an aggregate, not a rank
+    * window — the s08 discipline). */
+  private def pqCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    e.select(col("vec_id"), mExp, col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        sqd(col("svec"), col("cvec")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+  /** Query distance LUT: (q_id, m, code, ld2) — micro-quantized
+    * subspace distances, M·K rows per query. */
+  private def pqLut(e: DataFrame, cb: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PQ_NQ)
+      .select(col("vec_id").as("q_id"), mExp, col("embedding"))
+      .select(col("q_id"), col("m"),
+        slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("qvec"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        round(sqd(col("qvec"), col("cvec")) * 1e6).cast("long").as("ld2"))
+
   def s13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-    val mExp = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
-    // codebook: (m, code, cvec) — subspace slices of the first K vectors
-    val cb = e.filter($"vec_id" < PQ_K)
-      .select($"vec_id".cast("int").as("code"), mExp, $"embedding")
-      .select($"m", $"code",
-        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("cvec"))
-    // corpus subspace slices → nearest code per (vector, subspace):
-    // min(struct) argmin — an aggregate, not a rank window (s08)
-    val sub = e.select($"vec_id", mExp, $"embedding")
-      .select($"vec_id", $"m",
-        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("svec"))
-    val codes = sub.join(broadcast(cb), Seq("m"))
-      .select($"vec_id", $"m", $"code", sqd($"svec", $"cvec").as("d"))
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct($"d", $"code")).as("best"))
-      .select($"vec_id", $"m", $"best.code".as("code"))
-    // query LUT: micro-quantized subspace distances, M·K rows per query
-    val qs = e.filter($"vec_id" < PQ_NQ)
-      .select($"vec_id".as("q_id"), mExp, $"embedding")
-      .select($"q_id", $"m",
-        slice($"embedding", $"m" * PQ_SUB + 1, lit(PQ_SUB)).as("qvec"))
-    val lut = qs.join(broadcast(cb), Seq("m"))
-      .select($"q_id", $"m", $"code",
-        round(sqd($"qvec", $"cvec") * 1e6).cast("long").as("ld2"))
+    val cb = pqCodebook(e)
+    val codes = pqCodes(e, cb)
+    val lut = pqLut(e, cb)
     val pool = udaf(graft.functions.GroupedTopK.TopDocs(PQ_POOL))
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter($"vec_id" =!= $"q_id")
@@ -322,13 +336,182 @@ object Relational13 {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- s14: IVF-PQ (cell-probed ADC + exact rerank) -----------------
+
+  private val IVF_PROBE = 4   // cells probed per query
+  private val IVF_POOL = 30   // ADC pool within the probed cells
+  private val Q20 = 1048576.0 // fixed-point scale for centroid routing
+
+  /** IVF-PQ — the composition a billion-vector serving system
+    * actually runs (Jégou et al. 2011 §V: inverted file for the
+    * coarse cut, product codes for the fine distance): route each
+    * query to its [[IVF_PROBE]] nearest cells, ADC-score ONLY the
+    * probed cells' members against the [[s13]] codebooks, pool, and
+    * exact-rerank the pool. Cell centroids seed from the label
+    * groups (deterministic "training", the s04 convention), but
+    * MEMBERSHIP is geometric — every vector assigns to its nearest
+    * centroid, the actual IVF inverted-file build (a label is
+    * metadata; a cell is a Voronoi region).
+    *
+    * Routing and assignment are exact integer arithmetic end to
+    * end: cell centroids AND vectors quantize to Q20 fixed point
+    * (round(v·2²⁰) — ~1e-6 grid against a ~1e-16 cross-engine avg
+    * wobble), so both decisions Σ(qq−cq)² are sums of LONGS with a
+    * total (dist, cell) tie-break — deterministic on any engine, no
+    * double-ranking gate anywhere in the query (the s09/VecDotQ
+    * discipline applied to the router, where s04 accepts the
+    * rounded-double risk).
+    *
+    * Scale: the probe cut means the ADC stage touches
+    * nProbe/nCells of the corpus (2/10 here; 1/1000s in production)
+    * — the knob that makes exhaustive-scan ANN a per-cell scan; the
+    * centroid table is nCells·DIM longs broadcast; everything
+    * downstream is s13's bounded machinery on the restricted
+    * candidate set. Recall decomposes as router recall × PQ-pool
+    * recall, both measured in the spec. */
+  def s14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = t(s, dir, "embeddings")
+    val e = e0.select($"vec_id", $"embedding")
+    // Q20 cell centroids: per-(cell, pos) mean, rounded once
+    val cent = e0.select($"label".cast("int").as("cell"),
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos").agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x.getField("c") * Q20).cast("long")).as("cq"))
+    // integer routing: Σ(qq−cq)² over longs
+    val isqd = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+        (acc, d) => acc + d)
+    val vqq = e.select($"vec_id",
+      transform($"embedding",
+        x => round(x.cast("double") * Q20).cast("long")).as("qq"))
+    // inverted-file build: every vector to its nearest centroid —
+    // min(struct) argmin (an aggregate, not a rank window; s08)
+    val asn = vqq.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell", isqd($"qq", $"cq").as("rdist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"rdist", $"cell")).as("best"))
+      .select($"vec_id", $"best.cell".as("cell"))
+    // probe cut: the query's IVF_PROBE nearest cells
+    val wP = Window.partitionBy($"q_id").orderBy($"rdist", $"cell")
+    val probes = vqq.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"qq")
+      .crossJoin(broadcast(cent))
+      .select($"q_id", $"cell", isqd($"qq", $"cq").as("rdist"))
+      .withColumn("prn", row_number().over(wP))
+      .filter($"prn" <= IVF_PROBE)
+      .select($"q_id", $"cell")
+    // ADC over probed-cell members only: s13's codes/LUT, restricted
+    val cb = pqCodebook(e)
+    val codes = pqCodes(e, cb).join(asn, Seq("vec_id"))
+    val lut = pqLut(e, cb)
+    val pool = udaf(graft.functions.GroupedTopK.TopDocs(IVF_POOL))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id", $"cell")
+      .agg(sum($"ld2").as("adc"))
+      .groupBy($"q_id")
+      .agg(pool(-$"adc", $"vec_id", $"cell".cast("long"), lit(0L)).as("cand"))
+      .select($"q_id", posexplode($"cand").as(Seq("pos", "r")))
+      .select($"q_id", $"r.doc_id".as("neighbor_id"),
+        (-$"r.score_ppm").as("adc_d2_micro"), $"r.tf".cast("int").as("cell"))
+    val qe = e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wR = Window.partitionBy($"q_id").orderBy($"exact_d2_micro", $"neighbor_id")
+    adc.join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select($"q_id", $"neighbor_id", $"cell", $"adc_d2_micro",
+        round(sqd($"q_emb", $"embedding") * 1e6).cast("long").as("exact_d2_micro"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter($"rank" <= PQ_TOPK)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val s14Oracle = {
+    val sqdSql = (a: String, b: String, len: Int) =>
+      s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |      * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |    for i in range(1, ${len + 1})])""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS INT) AS lbl
+       |  FROM embeddings),
+       |cent AS (SELECT cell, list(cq ORDER BY p) AS cq FROM
+       |  (SELECT lbl AS cell, p, CAST(round(avg(CAST(v AS DOUBLE)) * 1048576)
+       |      AS BIGINT) AS cq
+       |   FROM (SELECT lbl, unnest(embedding) AS v,
+       |           unnest(range(1, 65)) AS p FROM e)
+       |   GROUP BY lbl, p) GROUP BY cell),
+       |vq AS (SELECT vec_id,
+       |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+       |      for i in range(1, 65)] AS qq
+       |  FROM e),
+       |asn AS (SELECT vec_id, cell FROM
+       |  (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i])
+       |       for i in range(1, 65)]), cell) AS rn
+       |   FROM vq CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM
+       |  (SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i])
+       |       for i in range(1, 65)]), cell) AS prn
+       |   FROM vq CROSS JOIN cent WHERE vec_id < $PQ_NQ)
+       |  WHERE prn <= $IVF_PROBE),
+       |mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
+       |cb AS (SELECT m, CAST(vec_id AS INT) AS code,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS cvec
+       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_K),
+       |sub AS (SELECT vec_id, m,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS svec
+       |  FROM e CROSS JOIN mm),
+       |cd AS (SELECT vec_id, sub.m AS m, code,
+       |    ${sqdSql("svec", "cvec", PQ_SUB)} AS d
+       |  FROM sub JOIN cb ON sub.m = cb.m),
+       |codes AS (SELECT c0.vec_id AS vec_id, asn.cell AS cell, m, code
+       |  FROM (SELECT vec_id, m, code FROM (SELECT vec_id, m,
+       |      code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code)
+       |        AS rn FROM cd) WHERE rn = 1) c0
+       |  JOIN asn ON asn.vec_id = c0.vec_id),
+       |qs AS (SELECT vec_id AS q_id, m,
+       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qvec
+       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_NQ),
+       |lut AS (SELECT q_id, qs.m AS m, code,
+       |    CAST(round(${sqdSql("qvec", "cvec", PQ_SUB)} * 1000000) AS BIGINT)
+       |      AS ld2
+       |  FROM qs JOIN cb ON qs.m = cb.m),
+       |adc AS (SELECT lut.q_id AS q_id, vec_id, codes.cell AS cell,
+       |    CAST(sum(ld2) AS BIGINT) AS adc
+       |  FROM codes
+       |  JOIN probes ON codes.cell = probes.cell
+       |  JOIN lut ON lut.q_id = probes.q_id AND codes.m = lut.m
+       |    AND codes.code = lut.code
+       |  WHERE vec_id <> lut.q_id GROUP BY 1, 2, 3),
+       |rk AS (SELECT q_id, vec_id AS neighbor_id, cell, adc AS adc_d2_micro,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+       |  FROM adc),
+       |ex AS (SELECT rk.q_id, rk.neighbor_id, rk.cell AS cell, adc_d2_micro,
+       |    CAST(round(${sqdSql("q.embedding", "n.embedding", 64)} * 1000000)
+       |      AS BIGINT) AS exact_d2_micro
+       |  FROM rk JOIN e n ON n.vec_id = rk.neighbor_id
+       |    JOIN e q ON q.vec_id = rk.q_id
+       |  WHERE arn <= $IVF_POOL),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY exact_d2_micro, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT q_id, neighbor_id, cell, adc_d2_micro, exact_d2_micro, rank
+       |FROM rr WHERE rank <= $PQ_TOPK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_incremental_rollup" -> (q57 _),
     "x08_bottomk_quantiles" -> (x08 _),
-    "s13_pq_adc_topk" -> (s13 _))
+    "s13_pq_adc_topk" -> (s13 _),
+    "s14_ivf_pq" -> (s14 _))
 
   val oracles: Map[String, String] = Map(
     "q57_incremental_rollup" -> q57Oracle,
     "x08_bottomk_quantiles" -> x08Oracle,
-    "s13_pq_adc_topk" -> s13Oracle)
+    "s13_pq_adc_topk" -> s13Oracle,
+    "s14_ivf_pq" -> s14Oracle)
 }

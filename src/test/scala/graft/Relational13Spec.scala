@@ -102,6 +102,52 @@ class Relational13Spec extends SparkSpec {
       s"mean recall ${recalls.values.sum / recalls.size} below measured floor")
   }
 
+  test("s14: probe discipline, exact-distance ordering, measured recall") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational13.s14(spark, sf).collect()
+    assert(rows.length == 30) // 3 queries × top-10
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      val ds = sorted.map(_.getAs[Long]("exact_d2_micro"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"exact-distance inversion for query $q")
+      // the probe cut really cut: results come from ≤ IVF_PROBE cells
+      assert(rs.map(_.getAs[Int]("cell")).distinct.size <= 4,
+        s"more cells than probed for query $q")
+    }
+    // recall@10 vs brute force — the IVF caveat on an isotropic corpus:
+    // cells are Voronoi slivers of clusterless data, so the 4/10-cell
+    // probe cut costs real recall (measured 0.3-0.4/query here,
+    // 0.1-0.5 at sf0.1); floors pinned at the measured values. A
+    // corpus with actual cluster structure is where IVF recall
+    // concentrates — the s03/SCALING.md caveat.
+    val e = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val recalls = byQ.map { case (q, rs) =>
+      val qe = e(q)
+      val exactTop = e.keys.filter(_ != q).toSeq
+        .map { id =>
+          val v = e(id)
+          var d = 0.0
+          var i = 0
+          while (i < qe.length) {
+            val t = qe(i).toDouble - v(i).toDouble; d += t * t; i += 1
+          }
+          (d, id)
+        }.sorted.take(10).map(_._2).toSet
+      q -> rs.map(_.getAs[Long]("neighbor_id")).toSet.intersect(exactTop).size / 10.0
+    }
+    recalls.foreach { case (q, r) =>
+      assert(r >= 0.2, s"recall@10 for query $q = $r below measured floor")
+    }
+    assert(recalls.values.sum / recalls.size >= 0.3,
+      s"mean recall ${recalls.values.sum / recalls.size} below measured floor")
+  }
+
   test("s13: plan stays broadcast — no cartesian product, no shuffled join") {
     val plan = Relational13.s13(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
