@@ -94,7 +94,33 @@ object RecallReport {
       Seq(f"s03_recall_cos$t%.2f" -> r4(recall(cand, truth)),
         f"s03_truth_cos$t%.2f" -> truth.size.toDouble)
     } :+ ("s03_candidate_fraction" -> r4(cand.size / (n * (n - 1) / 2)))
-    (dedup ++ sim ++ q51).toMap
+    // s13/s14: ANN recall@10 (mean over the 3 fixed queries) vs the
+    // exact L2 top-10 — driver-side brute force over the collected
+    // embedding table (diagnostic scale, like every ground truth here)
+    val embs = Similarity.embVectors(s, dir)
+    def exactTop10(q: Long): Set[Long] = {
+      val qe = embs(q)
+      embs.keysIterator.filter(_ != q).map { id =>
+        val v = embs(id)
+        var d = 0.0
+        var i = 0
+        while (i < qe.length) {
+          val t = qe(i).toDouble - v(i).toDouble; d += t * t; i += 1
+        }
+        (d, id)
+      }.toSeq.sorted.take(10).map(_._2).toSet
+    }
+    def annRecall(df: DataFrame): Double = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val rs = got.map { case (q, ids) =>
+        ids.intersect(exactTop10(q)).size / 10.0 }
+      r4(rs.sum / rs.size)
+    }
+    val ann = Seq(
+      "s13_recall_at10" -> annRecall(Relational13.s13(s, dir)),
+      "s14_recall_at10" -> annRecall(Relational13.s14(s, dir)))
+    (dedup ++ sim ++ q51 ++ ann).toMap
   }
 
   /** Prints the SCALING.md markdown rows for one scale factor. */

@@ -211,6 +211,14 @@ object Similarity {
   private[graft] def embCount(s: SparkSession, dir: String): Long =
     emb(s, dir).count()
 
+  /** Collected id → vector map — the recall report's brute-force
+    * ground-truth input (diagnostic scale only, never a query). */
+  private[graft] def embVectors(s: SparkSession, dir: String)
+      : Map[Long, Array[Float]] =
+    emb(s, dir).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+
   /** All-pairs exact form of s03 — NOT registered (the O(n²) join is
     * the scale anti-pattern); kept as the ground truth for the recall
     * measurement in ScaleSpec / SCALING.md. */

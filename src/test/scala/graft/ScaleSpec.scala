@@ -57,7 +57,8 @@ class ScaleSpec extends SparkSpec {
       "s03_recall_cos0.40" -> 0.6780, "s03_truth_cos0.40" -> 59.0,
       "s03_recall_cos0.45" -> 0.7857, "s03_truth_cos0.45" -> 14.0,
       "s03_recall_cos0.50" -> 1.0, "s03_truth_cos0.50" -> 1.0,
-      "s03_candidate_fraction" -> 0.2371)
+      "s03_candidate_fraction" -> 0.2371,
+      "s13_recall_at10" -> 0.6333, "s14_recall_at10" -> 0.5)
     assert(m == published,
       s"recall drifted from the published table:\n measured=$m\n published=$published")
   }
