@@ -336,6 +336,50 @@ object Relational13 {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- e11: windowed trending top-k ---------------------------------
+
+  private val E11_K = 3
+
+  /** Trending entities: the top-[[E11_K]] users by event count per
+    * tumbling day window — the "what's hot this hour" readout every
+    * event platform serves, and the canonical composition of a
+    * windowed aggregate with the grouped-top-k cut. The cut rides the
+    * [[graft.functions.GroupedTopK.TopDocs]] bounded buffer keyed by
+    * WINDOW (the t38/q34 discipline): a viral window's partition
+    * never materializes a full ranking — every map partition
+    * contributes ≤ k (count, user) pairs per window, so the
+    * second-stage shuffle carries k·windows·partitions rows no matter
+    * how hot the window. Counts are exact integers with a total
+    * (n desc, user) tie-break — oracle-exact, no estimator.
+    *
+    * Scale: stage 1 is the one data-sized shuffle (window, user) —
+    * the same key any per-entity windowed metric pays; stage 2 is
+    * k-bounded. A 100 TB day with a single viral window costs the
+    * same top-k state as a quiet one. */
+  def e11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(graft.functions.GroupedTopK.TopDocs(E11_K))
+    t(s, dir, "events")
+      .select(date_trunc("day", $"ts").as("day"), $"user_id")
+      .groupBy($"day", $"user_id").agg(count(lit(1)).as("n"))
+      .groupBy($"day")
+      .agg(topk($"n", $"user_id", lit(0L), lit(0L)).as("top"))
+      .select($"day", posexplode($"top").as(Seq("pos", "r")))
+      .select($"day", ($"pos" + 1).cast("long").as("rank"),
+        $"r.doc_id".as("user_id"), $"r.score_ppm".as("n"))
+      .orderBy($"day", $"rank")
+  }
+
+  private val e11Oracle =
+    s"""WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |    user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT day, user_id, n,
+       |  CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id)
+       |    AS BIGINT) AS rank FROM c)
+       |SELECT day, rank, user_id, n FROM r WHERE rank <= $E11_K
+       |ORDER BY day, rank""".stripMargin
+
   // ---- s14: IVF-PQ (cell-probed ADC + exact rerank) -----------------
 
   private val IVF_PROBE = 4   // cells probed per query
@@ -507,11 +551,13 @@ object Relational13 {
     "q57_incremental_rollup" -> (q57 _),
     "x08_bottomk_quantiles" -> (x08 _),
     "s13_pq_adc_topk" -> (s13 _),
-    "s14_ivf_pq" -> (s14 _))
+    "s14_ivf_pq" -> (s14 _),
+    "e11_window_topk" -> (e11 _))
 
   val oracles: Map[String, String] = Map(
     "q57_incremental_rollup" -> q57Oracle,
     "x08_bottomk_quantiles" -> x08Oracle,
     "s13_pq_adc_topk" -> s13Oracle,
-    "s14_ivf_pq" -> s14Oracle)
+    "s14_ivf_pq" -> s14Oracle,
+    "e11_window_topk" -> e11Oracle)
 }

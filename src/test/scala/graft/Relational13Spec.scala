@@ -148,6 +148,28 @@ class Relational13Spec extends SparkSpec {
       s"mean recall ${recalls.values.sum / recalls.size} below measured floor")
   }
 
+  test("e11: contiguous ranks, non-increasing counts, all windows served") {
+    val s = spark
+    import s.implicits._
+    val rows = Relational13.e11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_.getAs[java.sql.Timestamp]("day"))
+    // every day in the data is served
+    val nDays = Tables.load(spark, sf, "events")
+      .select(date_trunc("day", $"ts")).distinct().count()
+    assert(byDay.size == nDays)
+    byDay.foreach { case (day, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length),
+        s"ranks not contiguous for $day")
+      assert(rs.length <= 3)
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"count inversion for $day")
+      assert(ns.forall(_ > 0))
+    }
+  }
+
   test("s13: plan stays broadcast — no cartesian product, no shuffled join") {
     val plan = Relational13.s13(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
