@@ -371,6 +371,38 @@ class PlanAuditSpec extends SparkSpec {
       Tables.load(spark, sf, "documents").filter($"source" === one).count())
   }
 
+  test("q57: both partial frames and the merge partial-aggregate before their shuffles") {
+    val p = planOf(graft.operators.Relational13.q57(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_"),
+      "rollup partials must map-side combine before the key shuffle")
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
+  test("x08: the estimate path is one bounded-buffer aggregate, no window") {
+    import graft.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val p = planOf(graft.operators.Relational13.bottomKEstimates(ev))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ObjectHashAggregate") ||
+      finalPlan.contains("SortAggregate"))
+    assert(finalPlan.contains("partial_"),
+      "the BottomK map side must bound partitions at k pairs before the shuffle")
+    assert(!finalPlan.contains("Window"),
+      "the estimate face must not sort full partitions")
+  }
+
+  test("e11: the trending cut is a window-keyed aggregate, not a rank window") {
+    val p = planOf(graft.operators.Relational13.e11(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ObjectHashAggregate") ||
+      finalPlan.contains("SortAggregate"))
+    assert(finalPlan.contains("partial_"),
+      "the TopDocs map side must bound partitions at k pairs per window")
+    assert(!finalPlan.contains("Window("),
+      "a viral window must never materialize a full ranking")
+  }
+
   test("t33 aggregates tokens before the vocab join and windows per source") {
     val p = planOf(graft.operators.Relational10.t33(spark, sf))
     val finalPlan = p.split("== Initial Plan ==").head

@@ -207,6 +207,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bottom-k sample is mergeable and equals sort-take under any partitioning") {
+    val bk = graft.functions.Sampling.BottomK(8)
+    val hvGen = Gen.listOf(for {
+      h <- Gen.chooseNum(0L, 1L << 60)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield graft.functions.Sampling.HV(h, v))
+    check(Prop.forAll(hvGen, hvGen, hvGen) { (p1, p2, p3) =>
+      val whole = (p1 ++ p2 ++ p3).foldLeft(bk.zero)(bk.reduce)
+      val merged = bk.merge(bk.merge(
+        p1.foldLeft(bk.zero)(bk.reduce),
+        p2.foldLeft(bk.zero)(bk.reduce)),
+        p3.foldLeft(bk.zero)(bk.reduce))
+      merged == whole &&
+        whole == (p1 ++ p2 ++ p3).sorted(graft.functions.Sampling.ord).take(8) &&
+        whole.length <= 8
+    })
+  }
+
   test("media codec: every writer round-trips through decode for arbitrary dims and payloads") {
     import graft.functions.MediaCodec
     val payloadGen = Gen.chooseNum(0, 2048)
