@@ -104,8 +104,15 @@ object Dedup {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id", word_shingles($"text", N).as("arr"))
+      // explode_OUTER + null filter on the GENERATED column: the
+      // non-outer form lets InferFiltersFromGenerate add
+      // `size(arr) > 0`, and predicate pushdown inlines the alias into
+      // a scan-level Filter that re-runs the shingle kernel 3× per row
+      // (the t37Chunks lesson, Relational11.scala:253-263; shingles
+      // are non-null strings, so s IS NULL ⇔ the empty-array row)
       .select($"doc_id", size($"arr").cast("long").as("n"),
-        explode($"arr").as("s"))
+        explode_outer($"arr").as("s"))
+      .filter($"s".isNotNull)
       .groupBy($"s")
       .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("members"))
       .filter(size($"members") > 1)

@@ -208,12 +208,21 @@ object Relational14 {
     // The corpus shingles once; the exemplar side is its own pruned
     // scan (doc_id < NQ reaches the parquet footer — 3 docs read),
     // broadcast into the shingle-keyed join.
+    // explode_OUTER + null filter on the GENERATED column, not the
+    // array: the non-outer form lets InferFiltersFromGenerate add
+    // `size(arr) > 0`, and predicate pushdown inlines the alias into a
+    // scan-level Filter that re-runs the shingle kernel 3× per row
+    // (the t37Chunks lesson, Relational11.scala:253-263)
     val sh = t(s, dir, "documents")
       .select($"doc_id", word_shingles($"text", SHINGLE_N).as("arr"))
-      .select($"doc_id", size($"arr").cast("long").as("n"), explode($"arr").as("s"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode_outer($"arr").as("s"))
+      .filter($"s".isNotNull)
     val qsh = t(s, dir, "documents").filter($"doc_id" < RRF_NQ)
       .select($"doc_id".as("q_id"), word_shingles($"text", SHINGLE_N).as("arr"))
-      .select($"q_id", size($"arr").cast("long").as("qn"), explode($"arr").as("s"))
+      .select($"q_id", size($"arr").cast("long").as("qn"),
+        explode_outer($"arr").as("s"))
+      .filter($"s".isNotNull)
     val lex = sh.join(broadcast(qsh), Seq("s"))
       .filter($"doc_id" =!= $"q_id")
       .groupBy($"q_id", $"doc_id")

@@ -336,6 +336,26 @@ class PlanAuditSpec extends SparkSpec {
       s"plans with repeated kernel chains (name, md5, tokens, shingles): $bad")
   }
 
+  test("e12: one data-sized exchange (the user window), pruned scan, no joins of the corpus") {
+    val plan = planOf(graft.operators.Relational14.e12(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the events scan must not read the unused wide columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"unused event columns must be pruned: $readSchema")
+  }
+
+  test("s15: lexical leg joins shingle-keyed with the exemplars broadcast; " +
+      "legs cut by the bounded top-k aggregate, no cartesian product") {
+    val plan = planOf(graft.operators.Relational14.s15(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid RRF must not plan a cartesian product:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exemplar shingle side must broadcast into the equi-join")
+    assert(plan.contains("ObjectHashAggregate"),
+      "leg top-k must ride the bounded TopDocs buffer, not a corpus-sized window")
+  }
+
   test("partition pruning: a source-partitioned layout scans only the matching directory") {
     val s = spark
     import s.implicits._
