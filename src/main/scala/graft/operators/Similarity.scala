@@ -738,10 +738,76 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ---- s16: label-propagation communities --------------------------
+
+  private[graft] val LPA_ITERS = 3
+
+  /** Label-propagation communities (Raghavan et al. 2007, Phys. Rev.
+    * E 76) over the s11 knn graph: every node starts as its own
+    * label; each synchronous round reassigns every node the most
+    * frequent label among its in-neighbors, ties to the SMALLEST
+    * label — a total, engine-portable tie-break that also makes the
+    * fixed-round result deterministic (classic LPA breaks ties
+    * randomly and runs to convergence; a data pipeline wants the
+    * reproducible fixed-round form, and [[LPA_ITERS]]=3 rounds are
+    * the diameter-3 smoothing a knn neighborhood graph needs). The
+    * community view complements s12's ranking (importance) and d08's
+    * connected components (reachability): LPA splits a connected
+    * blob into dense regions without a distance threshold.
+    *
+    * Shape per round: ONE edge-sized vote shuffle (edges ⋈ labels on
+    * src, count by (dst, label)) and one argmax — `min(struct(-n,
+    * label))`, an AGGREGATE, not a rank window (the s08 argmin
+    * discipline: partitions never see more than a node's distinct
+    * neighbor labels ≤ degree). Nodes nobody votes for (in-degree 0:
+    * the top-k graph is directed) keep their label via the left
+    * join. Superseded label snapshots are freed per round (the
+    * pageRankOver/d09 discipline). State: one long per node. */
+  private[graft] def labelPropOver(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
+    var lab = nodes.select($"id", $"id".as("lab")).localCheckpoint()
+    for (_ <- 1 to LPA_ITERS) {
+      val votes = edges
+        .join(lab.select($"id".as("src"), $"lab".as("slab")), Seq("src"))
+        .groupBy($"dst", $"slab").agg(count(lit(1)).as("n"))
+        .groupBy($"dst")
+        .agg(min(struct((-$"n").as("negn"), $"slab".as("slab"))).as("best"))
+        .select($"dst".as("id"), $"best.slab".as("newlab"))
+      val next = lab.join(votes, Seq("id"), "left")
+        .select($"id", coalesce($"newlab", $"lab").as("lab"))
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(lab)
+      lab = next
+    }
+    graft.functions.CheckpointOps.freeLocalCheckpoint(nodes)
+    val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("lab"))
+      .select($"id".as("vec_id"), $"lab".as("community"), $"community_size")
+      .orderBy($"vec_id")
+  }
+
+  def s16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val out = labelPropOver(edges)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
+    out
+  }
+
+  /** [[s16]] over the once-materialized edge table (the s12m form). */
+  def s16m(s: SparkSession, dir: String): DataFrame =
+    labelPropOver(materializedKnnEdges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
     "s12m_pagerank_materialized" -> (s12m _),
+    "s16_label_prop" -> (s16 _),
+    "s16m_label_prop_materialized" -> (s16m _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -826,6 +892,36 @@ object Similarity {
        |$sqlPageRankCtes
        |SELECT id AS vec_id, round(r, 6) AS pr
        |FROM $prFinalCte ORDER BY vec_id""".stripMargin
+
+  /** The l0..lN label-propagation CTE chain of [[labelPropOver]] in
+    * DuckDB SQL: per round, vote counts by (dst, label), argmax with
+    * the (n DESC, label) total tie-break, left-join fallback for
+    * in-degree-0 nodes. Expects an `ed(src, dst)` CTE. */
+  private lazy val sqlLpaCtes: String = {
+    val iters = (1 to LPA_ITERS).map { i =>
+      s"""v$i AS (SELECT ed.dst AS id, l.lab AS lab, CAST(count(*) AS BIGINT) AS n
+         |  FROM ed JOIN l${i - 1} l ON l.id = ed.src GROUP BY 1, 2),
+         |b$i AS (SELECT id, lab FROM (SELECT id, lab,
+         |    row_number() OVER (PARTITION BY id ORDER BY n DESC, lab) AS rn
+         |  FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT l.id, coalesce(b.lab, l.lab) AS lab
+         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT src AS id FROM ed),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |$iters""".stripMargin
+  }
+
+  private lazy val s16Oracle: String =
+    s"""WITH $sqlKnnBase,
+       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= $KNN_K),
+       |$sqlLpaCtes,
+       |sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$LPA_ITERS GROUP BY lab)
+       |SELECT l.id AS vec_id, l.lab AS community, community_size
+       |FROM l$LPA_ITERS l JOIN sizes ON sizes.lab = l.lab
+       |ORDER BY vec_id""".stripMargin
 
   private val s07Oracle: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -988,6 +1084,10 @@ object Similarity {
     // the materialized form computes the identical result — only the
     // edge-build amortization differs
     "s12m_pagerank_materialized" -> s12Oracle,
+    // fixed-round synchronous LPA with the (count DESC, label) total
+    // tie-break — deterministic, so the unrolled chain oracles exactly
+    "s16_label_prop" -> s16Oracle,
+    "s16m_label_prop_materialized" -> s16Oracle,
     // connected components over the SAME rotation-mirrored pair
     // generation, thresholded at the ROUNDED cosine ≥ 0.45 exactly as
     // the Spark side filters s03's rounded output

@@ -193,4 +193,35 @@ class Relational12Spec extends SparkSpec {
       edges.contains((a, b)) || edges.contains((b, a)) }
     assert(covered > 0, "high-cosine candidate pairs must surface in the graph")
   }
+
+  test("s16: community assignment is total, merging, deterministic, and " +
+      "sizes are consistent") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.s16(spark, sf).collect()
+    val nodes = Similarity.s11(spark, sf)
+      .select($"vec_id").distinct().count()
+    // every graph node gets exactly one community
+    assert(rows.length.toLong == nodes)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    // community_size is the actual member count of that community
+    val byComm = rows.groupBy(_.getAs[Long]("community"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("community_size") ==
+        byComm(r.getAs[Long]("community")).length.toLong)
+    }
+    // three voting rounds on a knn graph must merge SOMETHING
+    assert(byComm.size < rows.length,
+      "label propagation produced only singleton communities")
+    // deterministic: the fixed-round total-tie-break form reproduces
+    val again = Similarity.s16(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("s16m equals s16 row-for-row (materialized edges change cost, not results)") {
+    val a = Similarity.s16(spark, sf).collect().toSeq
+    val b = Similarity.s16m(spark, sf).collect().toSeq
+    assert(a == b, "materialized label propagation diverged from the fresh-build form")
+  }
 }
