@@ -314,17 +314,78 @@ object Relational14 {
        |ORDER BY q_id, fused_rank""".stripMargin
   }
 
+  // ---- t42: per-source cap sampling ---------------------------------
+
+  private[graft] val CAP_PER_SOURCE = 10
+
+  /** Per-source document cap: keep at most [[CAP_PER_SOURCE]] docs
+    * per source as a deterministic uniform sample — the per-domain
+    * cap every web-crawl curation pipeline applies so no single
+    * domain dominates the training mixture (the policy knob next to
+    * t10's stratified FRACTIONS: a cap bounds the absolute
+    * contribution, a fraction only the relative one).
+    *
+    * Selection is bottom-k by a fixed salted hash of doc_id
+    * ([[graft.functions.Sampling.BottomK]] — the x08 sketch): a
+    * uniform sample that is a deterministic FUNCTION of the doc set,
+    * so it is bit-reproducible under task retry / engine change (the
+    * t20 no-RNG-state argument) and STABLE under ingest — a doc's
+    * keep/drop flips only when a new doc hashes below the current
+    * k-th, never because arrival order changed.
+    *
+    * Shape: one groupBy(source) whose aggregate state is ≤ k
+    * (hash, doc) pairs per source per partition — map-side bounded,
+    * so a million-doc domain shuffles k rows, not a domain-sized
+    * window partition (the t33/t40 per-source-window trade solved by
+    * the bounded buffer instead of cut-point approximation). The
+    * kept list explodes back to rows with the selection rank and the
+    * source's total riding along. */
+  def t42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bk = udaf(graft.functions.Sampling.BottomK(CAP_PER_SOURCE))
+    t(s, dir, "documents")
+      .select($"source", $"doc_id",
+        graft.functions.TextOps.hash64(
+          concat(lit("cap:"), $"doc_id".cast("string"))).as("h"))
+      .groupBy($"source")
+      .agg(bk($"h", $"doc_id".cast("double")).as("kept"),
+        count(lit(1)).as("n_total"))
+      .select($"source", $"n_total", posexplode($"kept").as(Seq("pos", "r")))
+      .select($"source", $"n_total",
+        ($"pos" + 1).cast("long").as("keep_rank"),
+        $"r.v".cast("long").as("doc_id"), $"r.h".as("h"))
+      .orderBy($"source", $"keep_rank")
+  }
+
+  private val t42Oracle = {
+    import graft.functions.TextOps.sqlHash64
+    s"""WITH d AS (SELECT source, doc_id,
+       |    ${sqlHash64("concat('cap:', CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM documents),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+       |  FROM d GROUP BY source),
+       |r AS (SELECT source, doc_id, h,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |    AS BIGINT) AS keep_rank FROM d)
+       |SELECT r.source AS source, n_total, keep_rank, doc_id, h
+       |FROM r JOIN n ON n.source = r.source
+       |WHERE keep_rank <= $CAP_PER_SOURCE
+       |ORDER BY r.source, keep_rank""".stripMargin
+  }
+
   // ---- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_markov_transitions" -> (e12 _),
     "q58_bucketed_join" -> (q58 _),
     "s15_hybrid_rrf" -> (s15 _),
+    "t42_source_cap" -> (t42 _),
   )
 
   val oracles: Map[String, String] = Map(
     "e12_markov_transitions" -> e12Oracle,
     "q58_bucketed_join" -> q58Oracle,
     "s15_hybrid_rrf" -> s15Oracle,
+    "t42_source_cap" -> t42Oracle,
   )
 }

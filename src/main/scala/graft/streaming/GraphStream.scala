@@ -157,4 +157,18 @@ object GraphStream {
     graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
     out
   }
+
+  /** Trigger-side community refresh — batch s16's fixed-round LPA
+    * over the live edge set (the [[rankRefresh]] pattern): knn cut,
+    * then the deterministic label-propagation rounds, so the
+    * streamed community view after any replay equals
+    * [[graft.operators.Similarity.s16]] exactly. */
+  def communityRefresh(embs: DataFrame, candPairs: DataFrame): DataFrame = {
+    val edges = knnRefresh(embs, candPairs)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val out = Similarity.labelPropOver(edges)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
+    out
+  }
 }

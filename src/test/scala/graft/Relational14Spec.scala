@@ -106,4 +106,26 @@ class Relational14Spec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("lex_rank") > 0), "lexical leg empty")
     assert(rows.exists(_.getAs[Long]("dense_rank") > 0), "dense leg empty")
   }
+  test("t42: the cap binds per source, the sample is the bottom-k of the " +
+      "hash order, and the partial aggregate bounds map-side state") {
+    val rows = Relational14.t42(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, g) =>
+      assert(g.length <= Relational14.CAP_PER_SOURCE, s"cap violated for $src")
+      assert(g.map(_.getAs[Long]("keep_rank")).sorted.toSeq ==
+        (1L to g.length.toLong), s"ranks not contiguous for $src")
+      // kept docs are exactly the k smallest hashes (sorted ascending)
+      val hs = g.sortBy(_.getAs[Long]("keep_rank")).map(_.getAs[Long]("h")).toSeq
+      assert(hs == hs.sorted, s"kept hashes not in bottom-k order for $src")
+      assert(g.map(_.getAs[Long]("n_total")).distinct.length == 1)
+    }
+    // deterministic under re-evaluation
+    val again = Relational14.t42(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
+    // the BottomK aggregate partial-aggregates (<= k rows per source
+    // cross the shuffle), and no per-source rank window exists
+    val plan = Relational14.t42(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomk"), "BottomK must combine map-side")
+    assert(!plan.contains("Window"), "the cap must not plan a rank window")
+  }
 }

@@ -53,6 +53,12 @@ class StreamGraphSpec extends SparkSpec {
       assert(ranks == s12b, s"rank refresh diverged from s12: " +
         s"sizes ${ranks.size}/${s12b.size}, " +
         s"first diff ${ranks.zip(s12b).find(p => p._1 != p._2)}")
+      val comms = GraphStream.communityRefresh(embs, streamed)
+        .collect().map(_.toSeq).toSeq
+      val s16b = Similarity.s16(spark, sf).collect().map(_.toSeq).toSeq
+      assert(comms == s16b, s"community refresh diverged from s16: " +
+        s"sizes ${comms.size}/${s16b.size}, " +
+        s"first diff ${comms.zip(s16b).find(p => p._1 != p._2)}")
     } finally q.stop()
 
     // the transformWithState face (ListState residents on RocksDB)
