@@ -373,6 +373,66 @@ object Relational14 {
        |ORDER BY r.source, keep_rank""".stripMargin
   }
 
+  // ---- q59: copy-on-write upsert layout -----------------------------
+
+  private[graft] val Q59_MONTH = "1995-03"
+
+  private val cowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Orders laid out hive-partitioned by order month, then upserted
+    * copy-on-write: the delta re-prices every [[Q59_MONTH]] order
+    * (+1), and [[graft.sources.FileFormats.cowUpsertByPartition]]
+    * rewrites exactly that ONE month directory — the other ~80 month
+    * partitions stay byte-identical on disk (FileFormatsSpec hashes
+    * them). Cached per (session, dir), the q56/q58 layout
+    * convention. */
+  def upsertedOrdersPath(s: SparkSession, dir: String): String =
+    cowCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-cow")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(out.toFile)
+      }))
+      val om = date_format($"o_orderdate", "yyyy-MM")
+      t(s, dir, "orders").withColumn("om", om)
+        .write.mode("overwrite").partitionBy("om").parquet(out.toString)
+      val delta = t(s, dir, "orders").filter(om === Q59_MONTH)
+        .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+        .withColumn("om", om)
+      graft.sources.FileFormats.cowUpsertByPartition(
+        s, out.toString, delta, "om", "o_orderkey")
+      out.toString
+    })
+
+  /** Monthly order economics over the COW-upserted layout: the
+    * result must equal applying the re-price IN SQL to the original
+    * table — proving the partition-surgical rewrite produced exactly
+    * the full-table-merge semantics (the q56/q58 layout-invariance
+    * discipline: correctness checks content, the spec checks which
+    * bytes moved). Measures are exact integers; the +1 re-price and
+    * the ×100 cents cast are the SAME IEEE steps on both engines, so
+    * no rounding gate. */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(upsertedOrdersPath(s, dir))
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q59Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice + CASE
+       |    WHEN strftime(o_orderdate, '%Y-%m') = '$Q59_MONTH' THEN 1 ELSE 0
+       |    END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -380,6 +440,7 @@ object Relational14 {
     "q58_bucketed_join" -> (q58 _),
     "s15_hybrid_rrf" -> (s15 _),
     "t42_source_cap" -> (t42 _),
+    "q59_cow_upsert" -> (q59 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -387,5 +448,6 @@ object Relational14 {
     "q58_bucketed_join" -> q58Oracle,
     "s15_hybrid_rrf" -> s15Oracle,
     "t42_source_cap" -> t42Oracle,
+    "q59_cow_upsert" -> q59Oracle,
   )
 }

@@ -130,4 +130,44 @@ object FileFormats {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Copy-on-write partition upsert — the Delta/Iceberg MERGE shape
+    * on a plain hive-partitioned parquet layout: rewrite ONLY the
+    * partitions the delta touches (base rows whose key the delta
+    * replaces are anti-joined out, delta rows unioned in); every
+    * untouched partition's files stay byte-identical on disk
+    * (FileFormatsSpec proves it by hashing them). This is the daily
+    * ingest shape at 100 TB: a delta touching 1 of 1000 date
+    * partitions costs one partition read+write, never a table
+    * rewrite — the q57 state⊕delta economics applied to STORAGE.
+    *
+    * The affected-partition list is a driver-side collect BY DESIGN:
+    * partition values are the layout's directory fan-out (dates,
+    * sources — thousands at most), never data-sized. Each rewrite
+    * stages to an underscore-prefixed temp dir (invisible to parquet
+    * directory listings) and swaps in with a directory rename —
+    * atomic on a POSIX FS; an object-store deployment swaps via the
+    * manifest/commit protocol its table format provides. Returns the
+    * affected partition values. */
+  def cowUpsertByPartition(spark: SparkSession, basePath: String,
+      delta: DataFrame, partCol: String, keyCol: String): Seq[String] = {
+    val affected = delta.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    affected.foreach { p =>
+      val dir = new java.io.File(s"$basePath/$partCol=$p")
+      require(dir.isDirectory, s"partition $partCol=$p missing under $basePath")
+      val dRows = delta.filter(col(partCol).cast("string") === p).drop(partCol)
+      val merged = spark.read.parquet(dir.toString)
+        .join(dRows.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(dRows)
+      val tmp = new java.io.File(s"$basePath/_cow_tmp_$p")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+      java.nio.file.Files.move(tmp.toPath, dir.toPath)
+    }
+    affected
+  }
 }

@@ -101,4 +101,56 @@ class FileFormatsSpec extends SparkSpec {
     val back = s.read.parquet(out)
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+  test("cowUpsertByPartition rewrites only the touched partition; " +
+      "every other partition's files stay byte-identical") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-cowspec")
+    out.toFile.deleteOnExit()
+    val om = org.apache.spark.sql.functions.date_format($"o_orderdate", "yyyy-MM")
+    val orders = Tables.load(spark, sf, "orders")
+    orders.withColumn("om", om)
+      .write.mode("overwrite").partitionBy("om").parquet(out.toString)
+
+    def fileHashes(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(out.toFile).filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getPath -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val before = fileHashes()
+
+    val month = "1995-03"
+    val delta = orders.filter(om === month)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+      .withColumn("om", om)
+    val affected = graft.sources.FileFormats.cowUpsertByPartition(
+      spark, out.toString, delta, "om", "o_orderkey")
+    assert(affected == Seq(month), s"expected one touched partition: $affected")
+
+    val after = fileHashes()
+    val touched = s"om=$month"
+    // untouched partitions: identical paths AND identical bytes
+    val beforeUntouched = before.filterNot(_._1.contains(touched))
+    val afterUntouched = after.filterNot(_._1.contains(touched))
+    assert(beforeUntouched == afterUntouched,
+      "untouched partition files must remain byte-identical")
+    // the touched partition was rewritten (different file set/bytes)
+    assert(before.keys.exists(_.contains(touched)))
+    assert(after.keys.exists(_.contains(touched)))
+    assert(before.filter(_._1.contains(touched)) !=
+      after.filter(_._1.contains(touched)))
+
+    // content equals the full-table merge semantics
+    val back = spark.read.parquet(out.toString)
+      .select($"o_orderkey", $"o_totalprice")
+    val expected = orders.select($"o_orderkey",
+      org.apache.spark.sql.functions.when(om === month, $"o_totalprice" + 1.0)
+        .otherwise($"o_totalprice").as("o_totalprice"))
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+  }
 }
