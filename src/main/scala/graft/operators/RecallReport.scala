@@ -119,6 +119,7 @@ object RecallReport {
     }
     val ann = Seq(
       "s13_recall_at10" -> annRecall(Relational13.s13(s, dir)),
+      "s13t_recall_at10" -> annRecall(Relational13.s13t(s, dir)),
       "s14_recall_at10" -> annRecall(Relational13.s14(s, dir)))
     (dedup ++ sim ++ q51 ++ ann).toMap
   }

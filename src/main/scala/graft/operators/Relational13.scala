@@ -336,6 +336,177 @@ object Relational13 {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- s13t: TRAINED PQ codebooks (integer Lloyd) -------------------
+
+  private val PQ_TRAIN_ITERS = 2
+  private val Q20L = 1048576L
+
+  /** Quantized subspace rows (vec_id, m, sq): every subspace
+    * coordinate snapped to the Q20 grid (round(v·2²⁰) — one IEEE
+    * step, bit-identical across engines), so EVERYTHING downstream —
+    * training, assignment, ADC — is exact long arithmetic. */
+  private[graft] def pqSubQ(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), mExp, col("embedding"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)),
+          x => round(x.cast("double") * Q20L).cast("long")).as("sq"))
+
+  private[graft] def isqdL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** [[PQ_TRAIN_ITERS]] rounds of per-subspace Lloyd on the Q20 grid:
+    * assignment is the exact-integer argmin with a (dist, code) total
+    * tie-break; the update divides per-position long sums with
+    * truncating integer division (`DIV` ≡ DuckDB `//` — both
+    * truncate toward zero, so the "mean" lands on the same grid
+    * point on every engine, ≤ one Q20 ulp ≈ 1e-6 from the true
+    * centroid — noise for clustering, gold for determinism); empty
+    * codes keep their previous centroid via the left-join coalesce.
+    * This is what the s13 Scaladoc calls out as the production path
+    * ("a trained-codebook run re-trains per corpus") made ORACLE-ABLE
+    * by the s14 fixed-point discipline — double-averaged centroids
+    * are not cross-engine bit-stable, Q20-summed ones are. Per-round
+    * snapshots are checkpointed and freed (lloydIterate/d09). */
+  private[graft] def pqTrainCodebook(sub: DataFrame): DataFrame = {
+    var cb = sub.filter(col("vec_id") < PQ_K)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sq").as("cq"))
+      .localCheckpoint()
+    for (_ <- 1 to PQ_TRAIN_ITERS) {
+      val asn = sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"),
+          isqdL(col("sq"), col("cq")).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      val upd = asn.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), expr("sv DIV n").as("q")))),
+          x => x.getField("q")).as("ncq"))
+      val next = cb.join(upd, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("ncq"), col("cq")).as("cq"))
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(cb)
+      cb = next
+    }
+    cb
+  }
+
+  /** s13's two-stage ADC retrieval with TRAINED codebooks: identical
+    * machinery, but the codebook is [[pqTrainCodebook]]'s integer
+    * Lloyd output instead of raw seed slices, and every distance is
+    * already a long on the Q20 grid (`adc_d2q` is in Q40 area units
+    * — the consumer rescales by 2⁻⁴⁰; no float, no round, no
+    * cross-engine gate anywhere). The point of the variant is
+    * MEASURED: Relational13Spec pins recall@10 of trained-vs-seed on
+    * this corpus, the lift a production PQ deployment pays two
+    * vocabulary-sized training rounds for. */
+  def s13t(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val sub = pqSubQ(e).localCheckpoint()
+    val cb = pqTrainCodebook(sub)
+    val codes = sub.join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m", $"code", isqdL($"sq", $"cq").as("d"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"))
+    val lut = sub.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"m", $"sq")
+      .join(broadcast(cb), Seq("m"))
+      .select($"q_id", $"m", $"code", isqdL($"sq", $"cq").as("ld2"))
+    val pool = udaf(graft.functions.GroupedTopK.TopDocs(PQ_POOL))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ld2").as("adc"))
+      .groupBy($"q_id")
+      .agg(pool(-$"adc", $"vec_id", lit(0L), lit(0L)).as("cand"))
+      .select($"q_id", posexplode($"cand").as(Seq("pos", "r")))
+      .select($"q_id", $"r.doc_id".as("neighbor_id"),
+        (-$"r.score_ppm").as("adc_d2q"),
+        ($"pos" + 1).cast("long").as("adc_rank"))
+    val qe = e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wR = Window.partitionBy($"q_id").orderBy($"exact_d2_micro", $"neighbor_id")
+    val out = adc.join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select($"q_id", $"neighbor_id", $"adc_rank", $"adc_d2q",
+        round(sqd($"q_emb", $"embedding") * 1e6).cast("long").as("exact_d2_micro"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter($"rank" <= PQ_TOPK)
+      .orderBy($"q_id", $"rank")
+    // `sub` stays checkpointed: the RETURNED frame still reads it
+    // (codes + lut), so freeing here would pull blocks out from under
+    // a lazy consumer (unlike s12, whose pageRankOver output is
+    // itself checkpointed). One corpus-sized snapshot, session-scoped;
+    // the per-round training snapshots above ARE freed.
+    out
+  }
+
+  private val s13tOracle: String = {
+    val isq = (a: String, b: String) =>
+      s"CAST(list_sum([($a[j] - $b[j]) * ($a[j] - $b[j]) for j in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
+    val iters = (1 to PQ_TRAIN_ITERS).map { i =>
+      s"""d$i AS (SELECT vec_id, sub.m AS m, code, ${isq("sq", "cq")} AS d
+         |  FROM sub JOIN cb${i - 1} ON sub.m = cb${i - 1}.m),
+         |a$i AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |  FROM d$i) WHERE rn = 1),
+         |u$i AS (SELECT a.m AS m, code, pos,
+         |    CAST(sum(sq[pos]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+         |  FROM a$i a JOIN sub ON sub.vec_id = a.vec_id AND sub.m = a.m
+         |  CROSS JOIN pp GROUP BY 1, 2, 3),
+         |n$i AS (SELECT m, code, list(sv // n ORDER BY pos) AS ncq
+         |  FROM u$i GROUP BY m, code),
+         |cb$i AS (SELECT p.m, p.code, coalesce(ncq, cq) AS cq
+         |  FROM cb${i - 1} p LEFT JOIN n$i ON n$i.m = p.m AND n$i.code = p.code)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cbN = s"cb$PQ_TRAIN_ITERS"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
+       |pp AS (SELECT CAST(unnest(range(1, ${PQ_SUB + 1})) AS BIGINT) AS pos),
+       |sub AS (SELECT vec_id, m,
+       |  [CAST(round(CAST(embedding[m*$PQ_SUB+i] AS DOUBLE) * $Q20L) AS BIGINT)
+       |    for i in range(1, ${PQ_SUB + 1})] AS sq
+       |  FROM e CROSS JOIN mm),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sq AS cq
+       |  FROM sub WHERE vec_id < $PQ_K),
+       |$iters,
+       |cd AS (SELECT vec_id, sub.m AS m, code, ${isq("sq", "cq")} AS d
+       |  FROM sub JOIN $cbN ON sub.m = $cbN.m),
+       |codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS q_id, q.m AS m, code, ${isq("q.sq", "cq")} AS ld2
+       |  FROM sub q JOIN $cbN ON q.m = $cbN.m WHERE q.vec_id < $PQ_NQ),
+       |adc AS (SELECT q_id, vec_id, CAST(sum(ld2) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |  WHERE vec_id <> q_id GROUP BY q_id, vec_id),
+       |rk AS (SELECT q_id, vec_id AS neighbor_id, adc AS adc_d2q,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+       |      AS BIGINT) AS adc_rank
+       |  FROM adc),
+       |ex AS (SELECT rk.q_id, rk.neighbor_id, adc_rank, adc_d2q,
+       |    CAST(round(list_sum([(CAST(q.embedding[i] AS DOUBLE) - CAST(n.embedding[i] AS DOUBLE))
+       |        * (CAST(q.embedding[i] AS DOUBLE) - CAST(n.embedding[i] AS DOUBLE))
+       |      for i in range(1, 65)]) * 1000000) AS BIGINT) AS exact_d2_micro
+       |  FROM rk JOIN e n ON n.vec_id = rk.neighbor_id
+       |    JOIN e q ON q.vec_id = rk.q_id
+       |  WHERE adc_rank <= $PQ_POOL),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY exact_d2_micro, neighbor_id) AS BIGINT) AS rank FROM ex)
+       |SELECT q_id, neighbor_id, adc_rank, adc_d2q, exact_d2_micro, rank
+       |FROM rr WHERE rank <= $PQ_TOPK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- e11: windowed trending top-k ---------------------------------
 
   private val E11_K = 3
@@ -552,6 +723,7 @@ object Relational13 {
     "x08_bottomk_quantiles" -> (x08 _),
     "s13_pq_adc_topk" -> (s13 _),
     "s14_ivf_pq" -> (s14 _),
+    "s13t_pq_trained" -> (s13t _),
     "e11_window_topk" -> (e11 _))
 
   val oracles: Map[String, String] = Map(
@@ -559,5 +731,6 @@ object Relational13 {
     "x08_bottomk_quantiles" -> x08Oracle,
     "s13_pq_adc_topk" -> s13Oracle,
     "s14_ivf_pq" -> s14Oracle,
+    "s13t_pq_trained" -> s13tOracle,
     "e11_window_topk" -> e11Oracle)
 }

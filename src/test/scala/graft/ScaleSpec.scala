@@ -58,7 +58,8 @@ class ScaleSpec extends SparkSpec {
       "s03_recall_cos0.45" -> 0.7857, "s03_truth_cos0.45" -> 14.0,
       "s03_recall_cos0.50" -> 1.0, "s03_truth_cos0.50" -> 1.0,
       "s03_candidate_fraction" -> 0.2371,
-      "s13_recall_at10" -> 0.6333, "s14_recall_at10" -> 0.5)
+      "s13_recall_at10" -> 0.6333, "s13t_recall_at10" -> 0.6333,
+      "s14_recall_at10" -> 0.5)
     assert(m == published,
       s"recall drifted from the published table:\n measured=$m\n published=$published")
   }
