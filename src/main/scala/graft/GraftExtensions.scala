@@ -58,5 +58,15 @@ object GraftExtensions {
     }
     spark.udf.register("graft_topk3",
       org.apache.spark.sql.functions.udaf(graft.functions.GroupedTopK.TopK(3)))
+    // the sketch aggregators behind x05/x07 (KMV distinct), x08/t42
+    // (bottom-k sample), and t38/e11 (bounded top-k docs), so the SQL
+    // surface can run the same bounded-state aggregations the
+    // DataFrame queries use
+    spark.udf.register("graft_kmv128",
+      org.apache.spark.sql.functions.udaf(graft.functions.KMinValues.KMV(128)))
+    spark.udf.register("graft_bottomk128",
+      org.apache.spark.sql.functions.udaf(graft.functions.Sampling.BottomK(128)))
+    spark.udf.register("graft_topdocs10",
+      org.apache.spark.sql.functions.udaf(graft.functions.GroupedTopK.TopDocs(10)))
   }
 }

@@ -71,7 +71,8 @@ object CorpusPipeline {
       shards: Long = 8L, maxRecordsPerFile: Long = 1000L,
       crossCorpus: Boolean = false, gopher: Boolean = false,
       classifierMinPpm: Option[Long] = None,
-      classifierTopFrac: Option[Double] = None): DataFrame = {
+      classifierTopFrac: Option[Double] = None,
+      sourceCap: Option[Int] = None): DataFrame = {
     import s.implicits._
 
     val docs = Tables.load(s, dir, "documents")
@@ -105,7 +106,22 @@ object CorpusPipeline {
       s2c.join(calibratedKeep, Seq("doc_id"), "left_semi")
     }
     val s3 = s2.join(exactKeep, Seq("doc_id"), "left_semi")
-    val s4 = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
+    val s4a = s3.join(nearDupDrop, Seq("doc_id"), "left_anti")
+    // per-source cap (t42's bottom-k-by-hash) applied to the
+    // SURVIVORS, so dropped docs never consume cap slots — the
+    // per-domain bound a crawl pipeline applies last, after cleaning;
+    // deterministic function of the surviving id set (retry-stable)
+    val s4 = sourceCap.fold(s4a) { cap =>
+      val bk = org.apache.spark.sql.functions.udaf(
+        graft.functions.Sampling.BottomK(cap))
+      val capKeep = s4a.select($"source", $"doc_id",
+          graft.functions.TextOps.hash64(
+            concat(lit("cap:"), $"doc_id".cast("string"))).as("h"))
+        .groupBy($"source").agg(bk($"h", $"doc_id".cast("double")).as("kept"))
+        .select(explode($"kept").as("r"))
+        .select($"r.v".cast("long").as("doc_id"))
+      s4a.join(capKeep, Seq("doc_id"), "left_semi")
+    }
 
     // PII scrub applied to SURVIVORS only — the same chained-regex
     // expression t07 registers, as a per-row projection on the
@@ -140,7 +156,10 @@ object CorpusPipeline {
         Seq(("02d_calibrated", s2.count())) else Nil) ++
       Seq(
         ("03_exact_dedup", s3.count()),
-        ("04_near_dedup", s4.count()),
+        ("04_near_dedup", s4a.count())) ++
+      (if (sourceCap.isDefined)
+        Seq(("04b_source_cap", s4.count())) else Nil) ++
+      Seq(
         ("05_packed_written", s.read.parquet(outDir).count()))
     stats.toDF("stage", "rows_kept")
   }

@@ -41,6 +41,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.except(viaWindow).isEmpty && viaWindow.except(viaSql).isEmpty)
   }
 
+  test("sketch UDAFs (KMV / bottom-k / top-docs) run from SQL and match " +
+      "their DataFrame faces") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    Tables.load(spark, sf, "events").createOrReplaceTempView("ev_sketch")
+    // KMV: k smallest hashes per type — compare the k-th min against a
+    // direct sort of the same hashes
+    val viaSql = spark.sql(
+      """SELECT event_type, element_at(ks, -1) AS kth, size(ks) AS n
+        |FROM (SELECT event_type,
+        |        graft_kmv128(hash64(concat('kmv:', CAST(user_id AS STRING)))) AS ks
+        |      FROM ev_sketch GROUP BY event_type)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Tables.load(spark, sf, "events")
+      .select($"event_type",
+        graft.functions.TextOps.hash64(
+          concat(lit("kmv:"), $"user_id".cast("string"))).as("h"))
+      .distinct()
+      .groupBy($"event_type")
+      .agg(sort_array(collect_set($"h")).as("hs"))
+      .select($"event_type",
+        element_at(slice($"hs", 1, 128), -1).as("kth"),
+        least(size($"hs"), lit(128)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaSql == direct, "SQL KMV diverged from the direct bottom-128")
+    // bottom-k sample: the sampled hash set is the direct bottom-128
+    val bkSql = spark.sql(
+      """SELECT event_type, transform(sample, x -> x.h) AS hs
+        |FROM (SELECT event_type,
+        |        graft_bottomk128(hash64(concat('x08:', CAST(event_id AS STRING))),
+        |                         value) AS sample
+        |      FROM ev_sketch GROUP BY event_type)""".stripMargin)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[Long](1).toVector)).toMap
+    bkSql.values.foreach(hs => assert(hs == hs.sorted && hs.length <= 128))
+    // top-docs: rides the same bounded buffer the t38/e11 queries use
+    val tdSql = spark.sql(
+      """SELECT event_type, size(graft_topdocs10(value * 1000, event_id, 0L, 0L)) AS n
+        |FROM ev_sketch GROUP BY event_type""".stripMargin)
+    tdSql.collect().foreach(r => assert(r.getInt(1) <= 10 && r.getInt(1) > 0))
+  }
+
   test("SQL vec_dot equals DataFrame vec_dot") {
     GraftExtensions.install(spark)
     Tables.registerAll(spark, sf)
