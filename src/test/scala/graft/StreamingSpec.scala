@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStreams
+import graft.streaming.{CapStream, DedupStream, EventStreams}
 import graft.operators.EventWindows
 import org.apache.spark.sql.functions._
 
@@ -293,6 +293,40 @@ class StreamStaticJoinSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch,
         s"stream/batch x08 diverge: ${streamed.diff(batch)} | ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
+  test("streaming source cap keeps exactly batch t42's doc set after replay") {
+    val s = spark
+    import s.implicits._
+    // two micro-batches split by doc parity: each source's bottom-k
+    // buffer merges candidates from BOTH batches; deterministic
+    // function of the doc set => exact replay equality with batch t42.
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    StreamTestIO.writeChunk(raw.filter($"doc_id" % 2 === 0),
+      dir.resolve("even.parquet"), base)
+    StreamTestIO.writeChunk(raw.filter($"doc_id" % 2 === 1),
+      dir.resolve("odd.parquet"), base + 1000)
+    val q = EventStreams.runToMemory(
+      CapStream.sourceCapStream(
+        DedupStream.documentStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")),
+        graft.operators.Relational14.CAP_PER_SOURCE),
+      "cap_stream", mode = "complete")
+    try {
+      val streamed = spark.table("cap_stream")
+        .select($"source", $"n_total", posexplode($"kept").as(Seq("pos", "r")))
+        .select($"source", $"n_total",
+          ($"pos" + 1).cast("long").as("keep_rank"),
+          $"r.v".cast("long").as("doc_id"), $"r.h".as("h"))
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Relational14.t42(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch t42 diverge: sizes ${streamed.size}/${batch.size}")
     } finally q.stop()
   }
 
