@@ -43,6 +43,24 @@ class Relational14Spec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("q58: aggregation on the bucket key is also exchange-free " +
+      "(the layout pays off beyond the join)") {
+    val (oTbl, _) = Relational14.bucketedTablePair(spark, sf)
+    val s = spark
+    import s.implicits._
+    val agg = spark.table(oTbl)
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("t"))
+    val plan = planOf(agg)
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n${plan.take(1500)}")
+    // the unbucketed control DOES shuffle for the same aggregation
+    val control = planOf(Tables.load(spark, sf, "orders")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("t")))
+    assert(control.contains("Exchange"))
+  }
+
   test("q58: result is layout-invariant (bucketed ≡ plain-parquet join)") {
     val s = spark
     import s.implicits._
