@@ -267,4 +267,32 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("transition fold is chunk-associative: any consecutive split of a " +
+      "user's sorted events emits the same transition sequence") {
+    import graft.streaming.TransitionStream
+    // events as (ts, event_id, type): ts/eid random, distinct eids make
+    // the (ts, eid) order total — the batch e12 ordering contract
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 50L), Gen.chooseNum(0, 4).map(i => s"t$i")))
+      .map(_.zipWithIndex.map { case ((ts, tp), i) => (ts, i.toLong, tp) })
+    check(Prop.forAll(evGen, Gen.chooseNum(0, 6)) { (evs, nCuts) =>
+      val sorted = evs.sortBy(r => (r._1, r._2))
+      val whole = TransitionStream.advance(7L, None, sorted)._2
+      // split into consecutive chunks at deterministic cut points
+      val cuts = if (sorted.isEmpty) Seq(0)
+        else (0 until nCuts).map(i => (i + 1) * sorted.length / (nCuts + 1))
+      val bounds = (Seq(0) ++ cuts ++ Seq(sorted.length)).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => sorted.slice(a, b) }
+      val (st, emitted) = chunks.foldLeft(
+        (Option.empty[graft.streaming.LastEvent],
+          Vector.empty[graft.streaming.TransRow])) {
+        case ((prev, acc), chunk) =>
+          val (next, out) = TransitionStream.advance(7L, prev, chunk)
+          (next, acc ++ out)
+      }
+      emitted == whole &&
+        st.map(_.event_id) == sorted.lastOption.map(_._2)
+    })
+  }
 }
