@@ -151,10 +151,131 @@ object Multimodal {
       .orderBy($"keep_id")
   }
 
+  // ---- m04/m05: perceptual content hash + near-dup media ------------
+
+  private[graft] val AHASH_BITS = 60  // d04's 60-bit convention: bit 59
+                                      // is the top bit both engines can
+                                      // shift into without overflow
+  private val AHASH_HAMMING_MAX = 13  // planted near-dups land ≤ 13;
+                                      // the background ramps from 14
+                                      // (measured at sf0.001 and 0.01)
+  private val AHASH_BANDS = 15        // 15 bands × 4 bits: pigeonhole
+                                      // guarantees a clean band ≤ 14
+                                      // bits; 4-bit keys are coarse —
+                                      // at corpus scale pair with a
+                                      // bucket cap (the d02 maxBucket
+                                      // trade), candidates stay cheap
+
+  /** 60-bit average-hash of a decoded media payload: the byte stream
+    * splits into [[AHASH_BITS]] segments (byte i → segment
+    * ⌊i·60/len⌋), and bit k is set iff segment k's mean exceeds the
+    * global mean — compared CROSS-MULTIPLIED (segSum·len >
+    * total·segCnt), so the whole hash is exact integer arithmetic
+    * with no division, identical on any engine. This is aHash
+    * (average hash) in its 1-D form: the perceptual-dedup primitive
+    * that survives container re-encoding and small payload edits,
+    * where m03's md5 flips on any byte. */
+  private[graft] def aHash(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if (len <= 0) return 0L
+    val segSum = new Array[Long](AHASH_BITS)
+    val segCnt = new Array[Long](AHASH_BITS)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val v = bytes(off + i) & 0xff
+      val k = (i.toLong * AHASH_BITS / len).toInt
+      segSum(k) += v; segCnt(k) += 1; total += v
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < AHASH_BITS) {
+      if (segSum(k) * len > total * segCnt(k)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Per-blob perceptual hash: decode the container (real header
+    * parse — the payload location comes from the PNG IDAT / WAV data
+    * / MP4 mdat walk, never from knowing how the fixture was built),
+    * then [[aHash]] the payload bytes. The oracle recomputes the
+    * same hash from the payload SOURCE (the document text bytes, all
+    * ASCII here) — so a hash match proves the decode handed the
+    * exact payload slice AND the segment/threshold arithmetic is
+    * engine-portable. Shape: one mapPartitions decode pass (codec
+    * reuse per partition, blobs never shuffle — only the 8-byte hash
+    * leaves the scan). */
+  def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"doc_id", $"content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val d = MediaCodec.decode(bytes)
+          (id, d.kind, d.payloadLen.toLong,
+            aHash(bytes, d.payloadOff, d.payloadLen))
+        }
+      }
+      .toDF("doc_id", "kind", "n_bytes", "ahash")
+      .orderBy($"doc_id")
+  }
+
+  /** Perceptual near-dup media pairs: [[m04]] hashes banded into
+    * [[AHASH_BANDS]] 4-bit keys, bucket-join candidates (the d04
+    * machinery — no all-pairs join), exact hamming ≤
+    * [[AHASH_HAMMING_MAX]] verification on the candidates. Catches
+    * payloads that md5-dedup (m03) can never match: re-encoded or
+    * lightly edited media whose byte streams differ but whose
+    * content profile is the same. */
+  def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeKernels.pair_expand
+    val h = m04(s, dir).select($"doc_id", $"ahash")
+    val bands = h.select($"doc_id", $"ahash",
+        explode(sequence(lit(0), lit(AHASH_BANDS - 1))).as("band"))
+      .select($"doc_id", $"ahash", $"band",
+        expr("(ahash >> (4 * band)) & 15").as("key"))
+    bands
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list(struct($"doc_id", $"ahash"))).as("members"))
+      .filter(size($"members") > 1)
+      .select(pair_expand($"members").as(Seq("pa", "pb")))
+      .select($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"),
+        bit_count($"pa.ahash".bitwiseXOR($"pb.ahash")).cast("long").as("hamming"))
+      .filter($"hamming" <= AHASH_HAMMING_MAX)
+      .groupBy($"a_id", $"b_id").agg(min($"hamming").as("hamming"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val aHashCtes =
+    s"""d AS (SELECT doc_id, text, length(text) AS n,
+       |  CASE WHEN source IN ('src0','src1','src2') THEN 'png'
+       |       WHEN source IN ('src3','src4') THEN 'wav'
+       |       ELSE 'mp4' END AS kind
+       |  FROM documents),
+       |v AS (SELECT doc_id, n,
+       |    CAST(((i - 1) * $AHASH_BITS) // n AS BIGINT) AS k,
+       |    CAST(ascii(text[CAST(i AS INT)]) AS BIGINT) AS val
+       |  FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM d)),
+       |seg AS (SELECT doc_id, k, CAST(sum(val) AS BIGINT) AS ss,
+       |    CAST(count(*) AS BIGINT) AS sc
+       |  FROM v GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(val) AS BIGINT) AS ts,
+       |    CAST(max(n) AS BIGINT) AS n
+       |  FROM v GROUP BY 1),
+       |hash AS (SELECT seg.doc_id AS doc_id,
+       |    CAST(sum(CASE WHEN ss * n > ts * sc
+       |      THEN (CAST(1 AS BIGINT) << CAST(k AS BIGINT)) ELSE 0 END)
+       |      AS BIGINT) AS ahash
+       |  FROM seg JOIN tot ON tot.doc_id = seg.doc_id GROUP BY 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_blob_dedup" -> (m03 _),
+    "m04_media_ahash" -> (m04 _),
+    "m05_media_neardup" -> (m05 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +315,25 @@ object Multimodal {
         |        ELSE 'v' END AS mm
         |  FROM documents)
         |GROUP BY digest, mm ORDER BY keep_id""".stripMargin,
+    // the decode→aHash round trip: payload bytes ARE the (ASCII) text
+    // bytes, so the oracle recomputes the exact segment/threshold
+    // arithmetic from text — a hash match proves both the payload
+    // slice and the integer aHash are engine-portable
+    "m04_media_ahash" ->
+      s"""WITH $aHashCtes
+         |SELECT d.doc_id AS doc_id, kind,
+         |  CAST(n AS BIGINT) AS n_bytes,
+         |  coalesce(ahash, 0) AS ahash
+         |FROM d LEFT JOIN hash ON hash.doc_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // all-pairs truth over the same hash table (the banded Spark plan
+    // must lose nothing at hamming ≤ 13: 15 bands × 4 bits pigeonhole)
+    "m05_media_neardup" ->
+      s"""WITH $aHashCtes
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 13
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -190,4 +190,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("MapPartitions"),
       s"frame sampling must not touch blob bytes:\n$plan")
   }
+  test("aHash survives container re-encoding: the same payload hashes " +
+      "identically out of PNG, WAV, and MP4 wrappers") {
+    import graft.functions.MediaCodec
+    val payload = ("the quick brown fox jumps over the lazy dog " * 8)
+      .getBytes("UTF-8")
+    val containers = Seq(
+      MediaCodec.writePng(64, 48, payload),
+      MediaCodec.writeWav(8000, 1, payload),
+      MediaCodec.writeMp4(64, 48, 2, payload))
+    val hashes = containers.map { bytes =>
+      val d = MediaCodec.decode(bytes)
+      Multimodal.aHash(bytes, d.payloadOff, d.payloadLen)
+    }
+    assert(hashes.distinct.length == 1,
+      s"re-encoded payload must hash identically: $hashes")
+    assert(hashes.head != 0L)
+    // md5 of the CONTAINERS differs — exactly the gap m04 closes vs m03
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = containers.map(b => md.digest(b).toSeq)
+    assert(digests.distinct.length == 3)
+    // a small payload edit moves the hash only slightly (perceptual):
+    val edited = payload.clone(); edited(10) = 'X'.toByte
+    val pe = MediaCodec.writePng(64, 48, edited)
+    val de = MediaCodec.decode(pe)
+    val he = Multimodal.aHash(pe, de.payloadOff, de.payloadLen)
+    assert(java.lang.Long.bitCount(hashes.head ^ he) <= 13,
+      "a one-byte edit must stay within the near-dup radius")
+  }
 }
