@@ -159,12 +159,28 @@ object Multimodal {
   private val AHASH_HAMMING_MAX = 13  // planted near-dups land ≤ 13;
                                       // the background ramps from 14
                                       // (measured at sf0.001 and 0.01)
-  private val AHASH_BANDS = 15        // 15 bands × 4 bits: pigeonhole
-                                      // guarantees a clean band ≤ 14
-                                      // bits; 4-bit keys are coarse —
-                                      // at corpus scale pair with a
-                                      // bucket cap (the d02 maxBucket
-                                      // trade), candidates stay cheap
+  // Multi-index hamming banding (Norouzi et al., "Fast Search in
+  // Hamming Space with Multi-Index Hashing", CVPR 2012): 5 disjoint
+  // bands of 12 bits with radius-1 multi-probe. The algebra, proved
+  // in two steps so the registered plan is EXACT at the threshold:
+  //   (1) pigeonhole — if every band of a pair differed in ≥ 3 bits,
+  //       total hamming ≥ 5·3 = 15 > 13; so hamming ≤ 13 ⇒ some band
+  //       differs in ≤ ⌊13/5⌋ = 2 bits.
+  //   (2) ball intersection — each doc emits, per band, the 13 keys
+  //       at hamming ≤ 1 from its 12-bit band value; two radius-1
+  //       balls intersect iff the band values differ in ≤ 2 bits
+  //       (≤ 2: flip one differing bit to build a common key;
+  //       > 2: triangle inequality forbids a common key). So every
+  //       true pair shares ≥ 1 bucket, and the exact bit_count
+  //       verification makes the result identical to all-pairs.
+  // vs the r11 design (15 bands × 4-bit keys = 16 possible buckets
+  // per band, a structural n/16 occupancy at ANY corpus size): keys
+  // are 4096-valued, so bucket sizes track the hash distribution
+  // (≈ 13n/4096 per band under a uniform-hash adversary, 20× below
+  // the old structural floor — measured in ScaleSpec) at the cost of
+  // 65 emitted probe rows/doc instead of 15.
+  private[graft] val AHASH_BANDS = 5
+  private[graft] val AHASH_BAND_BITS = 12 // 5 × 12 = AHASH_BITS
 
   /** 60-bit average-hash of a decoded media payload: the byte stream
     * splits into [[AHASH_BITS]] segments (byte i → segment
@@ -221,29 +237,66 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** Perceptual near-dup media pairs: [[m04]] hashes banded into
-    * [[AHASH_BANDS]] 4-bit keys, bucket-join candidates (the d04
-    * machinery — no all-pairs join), exact hamming ≤
-    * [[AHASH_HAMMING_MAX]] verification on the candidates. Catches
-    * payloads that md5-dedup (m03) can never match: re-encoded or
-    * lightly edited media whose byte streams differ but whose
-    * content profile is the same. */
-  def m05(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.NativeKernels.pair_expand
-    val h = m04(s, dir).select($"doc_id", $"ahash")
+  /** Banded candidate pairs over a (doc_id, ahash) frame — the m05
+    * kernel, factored out so ScaleSpec can drive it with an
+    * adversarial (uniform-hash) corpus. Each doc emits 13 radius-1
+    * probe keys per band (see the band-algebra note at
+    * [[AHASH_BANDS]]); buckets over cap (when given) are dropped
+    * whole, the d02/d03/d04 `maxBucket` skew trade — NOTE capping can
+    * break the exactness guarantee, so the registered m05 is
+    * uncapped and the recall under a cap is measured (SCALING.md
+    * Recall report). Emits verified pairs (a_id < b_id, exact
+    * hamming ≤ [[AHASH_HAMMING_MAX]]), unordered and undeduped
+    * across buckets — callers dedup with a groupBy. */
+  /** The probe-bucket stage of [[aHashCandidatePairs]], exposed so
+    * ScaleSpec can measure bucket-size distributions directly.
+    * Emits (band, key, members) for buckets of ≥ 2 members. */
+  private[graft] def aHashProbeBuckets(h: DataFrame): DataFrame = {
+    import h.sparkSession.implicits._
+    val keyMask = (1 << AHASH_BAND_BITS) - 1
     val bands = h.select($"doc_id", $"ahash",
         explode(sequence(lit(0), lit(AHASH_BANDS - 1))).as("band"))
       .select($"doc_id", $"ahash", $"band",
-        expr("(ahash >> (4 * band)) & 15").as("key"))
+        expr(s"(ahash >> ($AHASH_BAND_BITS * band)) & $keyMask").as("bkey"))
+    // radius-1 multi-probe: flip = -1 emits the band value itself,
+    // flip = j the value with bit j toggled (13 probe rows per band)
     bands
+      .select($"doc_id", $"ahash", $"band", $"bkey",
+        explode(array((-1 until AHASH_BAND_BITS).map(lit(_)): _*)).as("flip"))
+      .select($"doc_id", $"ahash", $"band",
+        expr("CASE WHEN flip = -1 THEN bkey " +
+          "ELSE bkey ^ shiftleft(CAST(1 AS BIGINT), flip) END").as("key"))
       .groupBy($"band", $"key")
       .agg(sort_array(collect_list(struct($"doc_id", $"ahash"))).as("members"))
       .filter(size($"members") > 1)
+  }
+
+  private[graft] def aHashCandidatePairs(
+      h: DataFrame, maxBucket: Option[Int]): DataFrame = {
+    import h.sparkSession.implicits._
+    import graft.functions.NativeKernels.pair_expand
+    val buckets = aHashProbeBuckets(h)
+    val capped = maxBucket.fold(buckets)(m =>
+      buckets.filter(size($"members") <= m))
+    capped
       .select(pair_expand($"members").as(Seq("pa", "pb")))
       .select($"pa.doc_id".as("a_id"), $"pb.doc_id".as("b_id"),
         bit_count($"pa.ahash".bitwiseXOR($"pb.ahash")).cast("long").as("hamming"))
       .filter($"hamming" <= AHASH_HAMMING_MAX)
+  }
+
+  /** Perceptual near-dup media pairs: [[m04]] hashes banded into
+    * [[AHASH_BANDS]] 12-bit keys with radius-1 multi-probe (the
+    * exact-at-threshold algebra at [[AHASH_BANDS]] — no all-pairs
+    * join), exact hamming ≤ [[AHASH_HAMMING_MAX]] verification on
+    * the candidates. Catches payloads that md5-dedup (m03) can never
+    * match: re-encoded or lightly edited media whose byte streams
+    * differ but whose content profile is the same. */
+  def m05(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
+    import s.implicits._
+    val h = m04(s, dir).select($"doc_id", $"ahash")
+    aHashCandidatePairs(h, maxBucket)
       .groupBy($"a_id", $"b_id").agg(min($"hamming").as("hamming"))
       .orderBy($"a_id", $"b_id")
   }
@@ -275,7 +328,7 @@ object Multimodal {
     "m02_frame_sample" -> (m02 _),
     "m03_blob_dedup" -> (m03 _),
     "m04_media_ahash" -> (m04 _),
-    "m05_media_neardup" -> (m05 _),
+    "m05_media_neardup" -> ((s, d) => m05(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,7 +380,8 @@ object Multimodal {
          |FROM d LEFT JOIN hash ON hash.doc_id = d.doc_id
          |ORDER BY doc_id""".stripMargin,
     // all-pairs truth over the same hash table (the banded Spark plan
-    // must lose nothing at hamming ≤ 13: 15 bands × 4 bits pigeonhole)
+    // must lose nothing at hamming ≤ 13: 5 bands × 12 bits, pigeonhole
+    // to a ≤2-bit band + radius-1 probe balls that meet at distance 2)
     "m05_media_neardup" ->
       s"""WITH $aHashCtes
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

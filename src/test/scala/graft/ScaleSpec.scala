@@ -52,6 +52,7 @@ class ScaleSpec extends SparkSpec {
       "d03_recall_cap16" -> 1.0, "d03_recall_cap64" -> 1.0,
       "d11_recall_cap16" -> 1.0, "d11_recall_cap64" -> 1.0,
       "d12_recall_cap16" -> 1.0, "d12_recall_cap64" -> 1.0,
+      "m05_recall_cap16" -> 1.0, "m05_recall_cap64" -> 1.0,
       "q51_answered_fraction" -> 0.048, "q51_match_rate" -> 1.0,
       "q51_answered" -> 12.0,
       "s03_recall_cos0.40" -> 0.6780, "s03_truth_cos0.40" -> 59.0,
@@ -179,6 +180,52 @@ class ScaleSpec extends SparkSpec {
         s"${(gotPairs -- planted).size} spurious")
     got.foreach(r => assert(r.getDouble(2) == 0.6308,
       s"capped jaccard must be the predicted 41/65: $r"))
+  }
+
+  test("m05 adversarial uniform-hash corpus: bucket sizes are data-sized, " +
+      "not structural, and the cap keeps planted recall") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // 8192 base docs with uniform 60-bit hashes (xxhash64 — the
+    // WORST case for banding: no cluster structure to exploit) plus
+    // 200 planted twins at hamming exactly 13 (mask 0x1111111111111:
+    // 13 set bits, 3/3/3/3/1 across the five 12-bit bands — the
+    // clean-≤2-bit band is band 4 at distance 1). The r11 design
+    // (4-bit keys) put n/16 = 512+ docs in EVERY bucket here by
+    // construction; the 12-bit multi-probe keys should land near the
+    // uniform expectation 13n/4096 ≈ 26.
+    val N = 8192
+    val P = 200
+    val mask60 = (1L << 60) - 1
+    val h = s.range(N + P).select($"id".as("doc_id"),
+      expr(s"""CASE WHEN id < $N THEN xxhash64(id) & ${mask60}L
+        ELSE (xxhash64(id - $N) & ${mask60}L) ^ ${0x1111111111111L}L
+        END""").as("ahash"))
+    val sizes = Multimodal.aHashProbeBuckets(h)
+      .select(size($"members").as("n")).collect().map(_.getInt(0))
+    val maxB = sizes.max
+    val meanB = sizes.sum.toDouble / sizes.length
+    assert(maxB < (N + P) / 16,
+      s"max bucket $maxB must beat the old 4-bit structural floor " +
+        s"${(N + P) / 16}")
+    assert(maxB <= 128 && meanB <= 40,
+      s"uniform-hash buckets should track 13n/4096 ≈ 26: " +
+        s"max=$maxB mean=$meanB")
+    // capped run: every planted twin must survive (their clean-band
+    // buckets are expectation-sized, nothing near the cap)
+    val planted = (0 until P).map(i => (i.toLong, (N + i).toLong)).toSet
+    val got = Multimodal.aHashCandidatePairs(h, maxBucket = Some(128))
+      .select($"a_id", $"b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = planted -- got
+    assert(missed.isEmpty,
+      s"cap 128 lost ${missed.size}/${planted.size} planted twins")
+    // containment: the cap only removes pairs, never invents them
+    val uncapped = Multimodal.aHashCandidatePairs(h, None)
+      .select($"a_id", $"b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(uncapped))
   }
 
   test("t38 stop-term: bounded top-k equals the window form when df = corpus size") {
