@@ -90,6 +90,7 @@ object Relational14 {
   // ---- q58: bucketed co-located join --------------------------------
 
   private[graft] val Q58_BUCKETS = 8
+  private[graft] val Q58_INGEST_TASKS = 4
 
   private val bktCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
@@ -104,12 +105,18 @@ object Relational14 {
     * (BucketedJoinSpec asserts zero exchanges under the join) — paid
     * once at ingest, amortized over every downstream join/aggregate
     * on the key, exactly how a 100 TB warehouse lays out its largest
-    * facts. The single-task write yields one file per bucket (so the
-    * within-bucket sort is also usable); a production multi-task
-    * ingest writes one file per (task, bucket) and keeps the
-    * exchange elimination, which is the dominant win. Tables are
-    * EXTERNAL at a temp path removed on JVM exit; metadata lives in
-    * the session catalog. */
+    * facts. The ingest is the production MULTI-TASK form: each of
+    * [[Q58_INGEST_TASKS]] round-robin write tasks emits one file per
+    * bucket it holds rows for (so a bucket is [tasks] files, written
+    * in parallel — at 100 TB the write parallelism IS the cluster,
+    * never a `repartition(1)` funnel). Consequence, asserted in
+    * Relational14Spec: the exchange elimination (the dominant,
+    * data-sized win) is layout-metadata and survives any task count,
+    * while the within-bucket sort is only PER FILE — Spark declares
+    * a read-side ordering solely in the one-file-per-bucket case, so
+    * the join plans a (bucket-local, memory-sized) Sort and ZERO
+    * exchanges. Tables are EXTERNAL at a temp path removed on JVM
+    * exit; metadata lives in the session catalog. */
   def bucketedTablePair(s: SparkSession, dir: String): (String, String) =
     bktCache.getOrElseUpdate((s, dir), {
       val tag = java.security.MessageDigest.getInstance("MD5")
@@ -123,11 +130,16 @@ object Relational14 {
       }))
       val oTbl = s"graft_bkt_orders_$tag"
       val lTbl = s"graft_bkt_lineitem_$tag"
-      t(s, dir, "orders").repartition(1)
+      // round-robin (NOT hash-by-key) across the ingest tasks: key
+      // hashing would route bucket b's rows to task b % tasks and
+      // collapse back to one file per bucket — round-robin is the
+      // shape a real parallel ingest has, every task holding rows of
+      // every bucket
+      t(s, dir, "orders").repartition(Q58_INGEST_TASKS)
         .write.format("parquet").option("path", s"$out/orders")
         .bucketBy(Q58_BUCKETS, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(oTbl)
-      t(s, dir, "lineitem").repartition(1)
+      t(s, dir, "lineitem").repartition(Q58_INGEST_TASKS)
         .write.format("parquet").option("path", s"$out/lineitem")
         .bucketBy(Q58_BUCKETS, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(lTbl)

@@ -61,6 +61,54 @@ class Relational14Spec extends SparkSpec {
     assert(control.contains("Exchange"))
   }
 
+  test("q58: the ingest is genuinely multi-task — several files per " +
+      "bucket, each file internally sorted on the bucket key") {
+    val (oTbl, _) = Relational14.bucketedTablePair(spark, sf)
+    // bucket id is encoded in the file name: part-<task>-<uuid>_<bucket>
+    val bucketOf = "_(\\d{5})\\.".r
+    val files = spark.table(oTbl).inputFiles
+    val byBucket = files.groupBy(f =>
+      bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(
+        fail(s"bucketed file without a bucket suffix: $f")))
+    assert(byBucket.size == Relational14.Q58_BUCKETS)
+    // ≥ 2 write tasks contributed to at least one bucket (at this SF
+    // every task holds rows of every bucket, so in practice all 8)
+    assert(byBucket.values.count(_.length >= 2) == Relational14.Q58_BUCKETS,
+      s"expected one file per (task, bucket): " +
+        s"${byBucket.view.mapValues(_.length).toMap}")
+    assert(files.length ==
+      Relational14.Q58_BUCKETS * Relational14.Q58_INGEST_TASKS)
+    // sortBy holds PER FILE (the property a later compaction or a
+    // merge-reader can rely on); the cross-file bucket order is
+    // correctly absent — the join test below shows Spark planning a
+    // bucket-local Sort but no Exchange
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("o_orderkey")
+        .collect().map(_.getLong(0))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+        s"file $f is not sorted on o_orderkey")
+    }
+  }
+
+  test("q58: with multiple files per bucket the join plans a bucket-" +
+      "local Sort (read-side order is declared absent) and still no Exchange") {
+    val (oTbl, lTbl) = Relational14.bucketedTablePair(spark, sf)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val o = spark.table(oTbl)
+      val l = spark.table(lTbl)
+      val plan = planOf(
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_quantity")))
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"))
+      assert(plan.contains("Sort "),
+        s"multi-file buckets cannot declare a read ordering, so the " +
+          s"SMJ must sort bucket-locally:\n${plan.take(1500)}")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q58: result is layout-invariant (bucketed ≡ plain-parquet join)") {
     val s = spark
     import s.implicits._
