@@ -142,6 +142,9 @@ object Bench {
         operators.Relational4.materializedLabels(spark, sfDir).count()
         operators.Relational4.materializedEmbLabels(spark, sfDir).count()
         operators.Relational7.materializedCrossPairs(spark, sfDir).count()
+        // trained-PQ lifecycle: training (2 integer-Lloyd rounds) is
+        // paid HERE once, so s13tm's reps price pure serving
+        operators.Relational13.materializedTrainedPQ(spark, sfDir)._2.count()
         true
       }
       catch { case e: Throwable =>

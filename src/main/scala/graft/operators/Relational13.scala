@@ -172,12 +172,56 @@ object Relational13 {
        |FROM sq JOIN fx ON sq.event_type = fx.event_type
        |ORDER BY sq.event_type""".stripMargin
 
+  /** [[x08]] as SQL TEXT through the [[graft.GraftExtensions]]
+    * surface (VERDICT r11 #5): the same bottom-k sample + exact rider,
+    * but the sketch aggregation is the registered `graft_bottomk128`
+    * SQL UDAF and the salt hash is the registered `hash64` kernel —
+    * so the SQL face itself is oracle-gated (same DuckDB oracle as
+    * x08), not just transitively spec-matched against the DataFrame
+    * face. The temp view is namespaced (`graft_events`) to keep the
+    * session catalog clean. */
+  def x08s(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    t(s, dir, "events").createOrReplaceTempView("graft_events")
+    s.sql(s"""
+      |WITH ev AS (
+      |  SELECT event_type, event_id, value,
+      |         hash64(concat('x08:', CAST(event_id AS STRING))) AS h
+      |  FROM graft_events),
+      |samp AS (
+      |  SELECT event_type,
+      |         array_sort(transform(graft_bottomk128(h, value), x -> x.v)) AS vals
+      |  FROM ev GROUP BY event_type),
+      |sq AS (
+      |  SELECT event_type, CAST(size(vals) AS BIGINT) AS n_sample,
+      |         element_at(vals, CAST(floor(CAST(size(vals) - 1 AS DOUBLE) * 0.5D) AS INT) + 1) AS p50_est,
+      |         element_at(vals, CAST(floor(CAST(size(vals) - 1 AS DOUBLE) * 0.9D) AS INT) + 1) AS p90_est,
+      |         element_at(vals, CAST(floor(CAST(size(vals) - 1 AS DOUBLE) * 0.99D) AS INT) + 1) AS p99_est
+      |  FROM samp),
+      |fr AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(1) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |fx AS (
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+      |         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5D) AS INT) + 1 THEN value END) AS p50_exact,
+      |         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9D) AS INT) + 1 THEN value END) AS p90_exact,
+      |         max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99D) AS INT) + 1 THEN value END) AS p99_exact
+      |  FROM fr GROUP BY event_type)
+      |SELECT sq.event_type, n_sample, p50_est, p90_est, p99_est,
+      |       n_total, p50_exact, p90_exact, p99_exact
+      |FROM sq JOIN fx ON sq.event_type = fx.event_type
+      |ORDER BY sq.event_type
+      |""".stripMargin)
+  }
+
   // ---- s13: product-quantization ANN (ADC) --------------------------
 
   private val PQ_M = 4       // subspaces
   private val PQ_SUB = 16    // dims per subspace (4 × 16 = DIM 64)
   private val PQ_K = 8       // codes per subspace (seeds = first 8 vectors)
-  private val PQ_NQ = 3      // query vectors: vec_id < 3
+  private[graft] val PQ_NQ = 3      // query vectors: vec_id < 3
   private val PQ_POOL = 50   // ADC candidate pool fed to the exact rerank
   private val PQ_TOPK = 10
 
@@ -252,8 +296,14 @@ object Relational13 {
   /** Query distance LUT: (q_id, m, code, ld2) — micro-quantized
     * subspace distances, M·K rows per query. */
   private def pqLut(e: DataFrame, cb: DataFrame): DataFrame =
-    e.filter(col("vec_id") < PQ_NQ)
-      .select(col("vec_id").as("q_id"), mExp, col("embedding"))
+    pqLutFor(e.filter(col("vec_id") < PQ_NQ)
+      .select(col("vec_id").as("q_id"), col("embedding")), cb)
+
+  /** [[pqLut]] for an arbitrary (q_id, embedding) query frame — the
+    * serving-path form (streaming queries arrive outside the corpus
+    * id filter). */
+  private[graft] def pqLutFor(q: DataFrame, cb: DataFrame): DataFrame =
+    q.select(col("q_id"), mExp, col("embedding"))
       .select(col("q_id"), col("m"),
         slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("qvec"))
       .join(broadcast(cb), Seq("m"))
@@ -411,6 +461,46 @@ object Relational13 {
     val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
     val sub = pqSubQ(e).localCheckpoint()
     val cb = pqTrainCodebook(sub)
+    s13tServe(e, sub, cb)
+  }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Frozen trained-PQ state — (quantized subspaces, trained
+    * codebook), trained ONCE per (session, dir); the d06m/s12m
+    * materialization convention applied to the ANN index lifecycle,
+    * so [[s13tm]] prices SERVING separately from the training run
+    * (VERDICT r11 #6). Both frames are localCheckpoints: corpus-sized
+    * `sub` and the K·M-row codebook. */
+  def materializedTrainedPQ(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((s, dir), {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val sub = pqSubQ(e).localCheckpoint()
+      (sub, pqTrainCodebook(sub))
+    })
+
+  /** [[s13t]] from the frozen codebook: only codes/LUT/ADC/rerank run
+    * per call — the serving cost a deployed PQ index pays per query
+    * batch, with training amortized into the one-time materialization
+    * (the q51m/t29m convention). Output is identical to [[s13t]]
+    * (same oracle) because training is deterministic: same corpus,
+    * same integer Lloyd, same codebook. */
+  def s13tm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val (sub, cb) = materializedTrainedPQ(s, dir)
+    s13tServe(e, sub, cb)
+  }
+
+  /** The serving tail shared by [[s13t]] and [[s13tm]]: PQ codes +
+    * query LUT from a given codebook, integer ADC pool, exact
+    * rerank. */
+  private def s13tServe(e: DataFrame, sub: DataFrame, cb: DataFrame)
+      : DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val codes = sub.join(broadcast(cb), Seq("m"))
       .select($"vec_id", $"m", $"code", isqdL($"sq", $"cq").as("d"))
       .groupBy($"vec_id", $"m")
@@ -584,7 +674,22 @@ object Relational13 {
     * downstream is s13's bounded machinery on the restricted
     * candidate set. Recall decomposes as router recall × PQ-pool
     * recall, both measured in the spec. */
-  def s14(s: SparkSession, dir: String): DataFrame = {
+  /** The FROZEN serving index for [[s14]] and the streaming face
+    * ([[graft.streaming.AnnStream]]): corpus embeddings, Q20 cell
+    * centroids, PQ codebook, and the cell-joined PQ codes — built
+    * once per corpus; queries only read it. */
+  private[graft] case class IvfIndex(
+      e: DataFrame, cent: DataFrame, cb: DataFrame, codes: DataFrame)
+
+  // integer routing: Σ(qq−cq)² over longs
+  private def isqdRoute(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+      (acc, d) => acc + d)
+
+  private def q20(v: Column): Column =
+    transform(v, x => round(x.cast("double") * Q20).cast("long"))
+
+  private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     import s.implicits._
     val e0 = t(s, dir, "embeddings")
     val e = e0.select($"vec_id", $"embedding")
@@ -595,35 +700,42 @@ object Relational13 {
       .groupBy($"cell")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => round(x.getField("c") * Q20).cast("long")).as("cq"))
-    // integer routing: Σ(qq−cq)² over longs
-    val isqd = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
-        (acc, d) => acc + d)
-    val vqq = e.select($"vec_id",
-      transform($"embedding",
-        x => round(x.cast("double") * Q20).cast("long")).as("qq"))
     // inverted-file build: every vector to its nearest centroid —
     // min(struct) argmin (an aggregate, not a rank window; s08)
-    val asn = vqq.crossJoin(broadcast(cent))
-      .select($"vec_id", $"cell", isqd($"qq", $"cq").as("rdist"))
+    val asn = e.select($"vec_id", q20($"embedding").as("qq"))
+      .crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell", isqdRoute($"qq", $"cq").as("rdist"))
       .groupBy($"vec_id")
       .agg(min(struct($"rdist", $"cell")).as("best"))
       .select($"vec_id", $"best.cell".as("cell"))
-    // probe cut: the query's IVF_PROBE nearest cells
-    val wP = Window.partitionBy($"q_id").orderBy($"rdist", $"cell")
-    val probes = vqq.filter($"vec_id" < PQ_NQ)
-      .select($"vec_id".as("q_id"), $"qq")
-      .crossJoin(broadcast(cent))
-      .select($"q_id", $"cell", isqd($"qq", $"cq").as("rdist"))
-      .withColumn("prn", row_number().over(wP))
-      .filter($"prn" <= IVF_PROBE)
-      .select($"q_id", $"cell")
-    // ADC over probed-cell members only: s13's codes/LUT, restricted
     val cb = pqCodebook(e)
-    val codes = pqCodes(e, cb).join(asn, Seq("vec_id"))
-    val lut = pqLut(e, cb)
+    IvfIndex(e, cent, cb, pqCodes(e, cb).join(asn, Seq("vec_id")))
+  }
+
+  /** Integer-routed probe cut for a (q_id, embedding) query frame:
+    * each query's [[IVF_PROBE]] nearest cells by exact long
+    * arithmetic on the Q20 grid. */
+  private[graft] def ivfRoute(cent: DataFrame, q: DataFrame): DataFrame = {
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("cell"))
+    q.select(col("q_id"), q20(col("embedding")).as("qq"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cell"), isqdRoute(col("qq"), col("cq")).as("rdist"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= IVF_PROBE)
+      .select(col("q_id"), col("cell"))
+  }
+
+  /** ADC over the probed cells + exact full-dim rerank — the s14
+    * tail for an arbitrary query frame against a frozen index. The
+    * streaming face calls exactly this per refresh, which is what
+    * makes stream ≡ batch parity bit-exact. */
+  private[graft] def ivfServe(ix: IvfIndex, q: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val s = ix.e.sparkSession
+    import s.implicits._
+    val lut = pqLutFor(q, ix.cb)
     val pool = udaf(graft.functions.GroupedTopK.TopDocs(IVF_POOL))
-    val adc = codes.join(broadcast(probes), Seq("cell"))
+    val adc = ix.codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id", $"cell")
@@ -633,16 +745,23 @@ object Relational13 {
       .select($"q_id", posexplode($"cand").as(Seq("pos", "r")))
       .select($"q_id", $"r.doc_id".as("neighbor_id"),
         (-$"r.score_ppm").as("adc_d2_micro"), $"r.tf".cast("int").as("cell"))
-    val qe = e.filter($"vec_id" < PQ_NQ)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val qe = q.select($"q_id", $"embedding".as("q_emb"))
     val wR = Window.partitionBy($"q_id").orderBy($"exact_d2_micro", $"neighbor_id")
-    adc.join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    adc.join(ix.e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .join(broadcast(qe), Seq("q_id"))
       .select($"q_id", $"neighbor_id", $"cell", $"adc_d2_micro",
         round(sqd($"q_emb", $"embedding") * 1e6).cast("long").as("exact_d2_micro"))
       .withColumn("rank", row_number().over(wR).cast("long"))
       .filter($"rank" <= PQ_TOPK)
       .orderBy($"q_id", $"rank")
+  }
+
+  def s14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = ivfIndex(s, dir)
+    val q = ix.e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding")
+    ivfServe(ix, q, ivfRoute(ix.cent, q))
   }
 
   private val s14Oracle = {
@@ -721,16 +840,20 @@ object Relational13 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_incremental_rollup" -> (q57 _),
     "x08_bottomk_quantiles" -> (x08 _),
+    "x08s_bottomk_sql" -> (x08s _),
     "s13_pq_adc_topk" -> (s13 _),
     "s14_ivf_pq" -> (s14 _),
     "s13t_pq_trained" -> (s13t _),
+    "s13tm_pq_trained_serving" -> (s13tm _),
     "e11_window_topk" -> (e11 _))
 
   val oracles: Map[String, String] = Map(
     "q57_incremental_rollup" -> q57Oracle,
     "x08_bottomk_quantiles" -> x08Oracle,
+    "x08s_bottomk_sql" -> x08Oracle,
     "s13_pq_adc_topk" -> s13Oracle,
     "s14_ivf_pq" -> s14Oracle,
     "s13t_pq_trained" -> s13tOracle,
+    "s13tm_pq_trained_serving" -> s13tOracle,
     "e11_window_topk" -> e11Oracle)
 }

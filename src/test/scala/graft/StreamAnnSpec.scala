@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.{AnnStream, EventStreams}
+import graft.operators.Relational13
+
+/** Streaming ANN serving vs batch s14: queries arrive one per
+  * micro-batch WITH deliberate re-deliveries (each chunk repeats the
+  * previous query — the source-replay case), the replay guard must
+  * admit each q_id exactly once, and the trigger-side serve over the
+  * frozen IVF-PQ index must reproduce batch s14 row for row — on
+  * both state APIs. */
+class StreamAnnSpec extends SparkSpec {
+  test("streaming query admission + frozen-index serve equal batch s14") {
+    val s = spark
+    import s.implicits._
+    val embs = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    // chunk i carries query i plus a REPLAY of query i-1
+    (0 until Relational13.PQ_NQ).foreach { i =>
+      val chunk = embs.filter($"vec_id" === i)
+        .unionAll(embs.filter($"vec_id" === i - 1))
+      StreamTestIO.writeChunk(chunk, dir.resolve(s"c$i.parquet"),
+        base + i * 1000)
+    }
+    val batch = Relational13.s14(spark, sf).collect().map(_.toSeq).toSeq
+
+    val q = EventStreams.runToMemory(
+      AnnStream.admittedOnce(
+        AnnStream.queryStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "ann_stream", mode = "append")
+    try {
+      val admitted = spark.table("ann_stream")
+      // at-most-once: every query admitted exactly once despite the
+      // re-deliveries (5 arrivals, 3 admissions)
+      val ids = admitted.select($"q_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until Relational13.PQ_NQ).toSeq,
+        s"replay guard must admit each query once: ${ids.toSeq}")
+      val served = AnnStream.serveRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch,
+        s"streamed serve diverged from batch s14: sizes " +
+          s"${served.size}/${batch.size}, first diff " +
+          s"${served.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+
+    // the transformWithState face (ValueState flag on RocksDB)
+    StreamTestIO.withRocksDB(spark) {
+      val q2 = EventStreams.runToMemory(
+        AnnStream.admittedOnceTws(
+          AnnStream.queryStream(spark, dir.toString,
+            Map("maxFilesPerTrigger" -> "1"))).toDF(),
+        "ann_stream_tws", mode = "append")
+      try {
+        val admitted = spark.table("ann_stream_tws")
+        val ids = admitted.select($"q_id").collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == (0L until Relational13.PQ_NQ).toSeq)
+        val served = AnnStream.serveRefresh(spark, sf, admitted)
+          .collect().map(_.toSeq).toSeq
+        assert(served == batch,
+          s"tws serve diverged from batch s14: sizes ${served.size}/${batch.size}")
+      } finally q2.stop()
+    }
+  }
+}
