@@ -145,6 +145,8 @@ object Bench {
         // trained-PQ lifecycle: training (2 integer-Lloyd rounds) is
         // paid HERE once, so s13tm's reps price pure serving
         operators.Relational13.materializedTrainedPQ(spark, sfDir)._2.count()
+        // exact-substring span table (d17m/d18m serving forms)
+        operators.Relational15.materializedSpans(spark, sfDir).count()
         true
       }
       catch { case e: Throwable =>

@@ -397,6 +397,40 @@ object NativeKernels {
       copy(child = c)
   }
 
+  /** Positional word n-gram hash sequence: element i = hash64 of the
+    * n-gram starting at token i, NON-distinct, in position order — so
+    * `posexplode` recovers (start-token-index, gram-hash) pairs. The
+    * positional counterpart of [[WordShingles]] (which dedups, losing
+    * positions) and the front half of [[WinnowedFingerprints]] without
+    * the window-min selection; exact-substring span dedup (d17, after
+    * Lee et al. 2021 §4.1's "deduplicate exact substrings" at n-gram
+    * granularity) needs the positions to merge hit runs into spans.
+    * Documents with fewer than n tokens emit an empty array. */
+  case class GramHashSeq(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeKernels.expectString(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = normTokens(v.toString)
+      val m = toks.length - n + 1
+      if (m <= 0) return new GenericArrayData(new Array[Any](0))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = md5Hash64(md, sb.toString.getBytes("UTF-8"))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): GramHashSeq =
+      copy(child = c)
+  }
+
   /** Generator: all ordered pairs (i < j) of an array column's
     * elements, as rows (a_id, b_id) of the element type. The native
     * form of the LSH bucket pair expansion — the composed nested
@@ -471,4 +505,6 @@ object NativeKernels {
   def pair_expand(c: Column): Column = col(PairExpand(ex(c)))
   def winnowed_fingerprints(c: Column, k: Int, w: Int): Column =
     col(WinnowedFingerprints(ex(c.cast("string")), k, w))
+  def gram_hash_seq(c: Column, n: Int): Column =
+    col(GramHashSeq(ex(c.cast("string")), n))
 }

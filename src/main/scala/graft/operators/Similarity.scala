@@ -516,6 +516,121 @@ object Similarity {
        |    AS mean_silhouette
        |FROM w WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---- s17: MMR diversified re-rank ---------------------------------
+
+  private val MMR_CAND = 16 // candidate pool per query (stage-1 top-N)
+  private val MMR_K = 5     // diversified selections per query
+  // λ = 0.5: score = 0.5·rel − 0.5·max-sim-to-selected, literal halves
+  // so the double arithmetic is one multiply + one subtract per side
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    * — the diversified-retrieval tail every serving stack bolts onto
+    * its ANN stage: from each query's top-[[MMR_CAND]] cosine
+    * candidates, greedily select [[MMR_K]] maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`.
+    *
+    * Determinism: greedy selection is inherently sequential, so the
+    * oracle is the UNROLLED form — [[MMR_K]] generated CTE steps
+    * (the s12 unrolled-PageRank convention), each computing the same
+    * fold-left double dots, the same `0.5·rel − 0.5·ms`, and the
+    * same (score DESC, vec_id) argmax as the Spark loop — bit-equal
+    * doubles end to end, so the selected SET and ORDER hash-match.
+    *
+    * Scale: the corpus appears ONLY in stage 1 (s01's broadcast-query
+    * scan); the MMR loop runs on NQ·[[MMR_CAND]] rows — a few
+    * kilobytes — through K tiny self-joins (selected side ≤ K rows
+    * per query, broadcast). At a billion vectors the stage-1 pool
+    * comes from s14's IVF-PQ serving path instead and the re-rank
+    * cost is unchanged: MMR is O(K·N) per query AFTER retrieval,
+    * embarrassingly parallel across queries. */
+  def s17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val wCand = Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id")
+    val cand = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"embedding", $"nrm",
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("rel"))
+      .withColumn("rnk", row_number().over(wCand))
+      .filter($"rnk" <= MMR_CAND).drop("rnk")
+      .localCheckpoint() // K tiny joins ride this NQ·N-row frame
+    val wPick = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    var selected = cand
+      .withColumn("score", lit(0.5) * $"rel")
+      .withColumn("r", row_number().over(wPick)).filter($"r" === 1)
+      .select($"q_id", $"vec_id", $"embedding", $"nrm", $"score",
+        lit(1L).as("sel_rank"))
+    for (k <- 2 to MMR_K) {
+      val sel = selected.select($"q_id".as("s_q"), $"vec_id".as("s_vid"),
+        $"embedding".as("s_emb"), $"nrm".as("s_nrm"))
+      val scored = cand
+        .join(selected.select($"q_id".as("a_q"), $"vec_id".as("a_vid")),
+          $"q_id" === $"a_q" && $"vec_id" === $"a_vid", "left_anti")
+        .join(broadcast(sel), $"q_id" === $"s_q")
+        .groupBy($"q_id", $"vec_id")
+        .agg(first($"rel").as("rel"), first($"embedding").as("emb2"),
+          first($"nrm").as("nrm2"),
+          max(dot($"embedding", $"s_emb") / ($"nrm" * $"s_nrm")).as("ms"))
+        .withColumn("score", lit(0.5) * $"rel" - lit(0.5) * $"ms")
+      val pick = scored
+        .withColumn("r", row_number().over(wPick)).filter($"r" === 1)
+        .select($"q_id", $"vec_id", $"emb2".as("embedding"),
+          $"nrm2".as("nrm"), $"score", lit(k.toLong).as("sel_rank"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select($"q_id", $"vec_id".as("neighbor_id"), $"sel_rank",
+        round($"score", 4).as("mmr"))
+      .orderBy($"q_id", $"sel_rank")
+  }
+
+  // lazy: references sqlNormE, declared later in the object body
+  private lazy val s17Oracle: String = {
+    def dotOf(a: String, b: String) =
+      s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in range(1, ${DIM + 1})])"
+    val steps = (2 to MMR_K).map { k =>
+      s"""ms$k AS (SELECT c.q_id, c.vec_id,
+         |  any_value(c.embedding) AS embedding, any_value(c.nrm) AS nrm,
+         |  any_value(c.rel) AS rel,
+         |  max(${dotOf("c", "s")} / (c.nrm * s.nrm)) AS ms
+         |  FROM cand c JOIN all${k - 1} s ON c.q_id = s.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${k - 1} x
+         |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.q_id, c.vec_id),
+         |sel$k AS (SELECT q_id, vec_id, embedding, nrm, score,
+         |  CAST($k AS BIGINT) AS sel_rank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS r
+         |    FROM (SELECT q_id, vec_id, embedding, nrm,
+         |      0.5 * rel - 0.5 * ms AS score FROM ms$k))
+         |  WHERE r = 1),
+         |all$k AS (SELECT * FROM all${k - 1} UNION ALL SELECT * FROM sel$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id < $NQUERIES),
+       |scored0 AS (SELECT q_id, e.vec_id, e.embedding, e.nrm,
+       |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS rel
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, vec_id, embedding, nrm, rel FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rnk FROM scored0)
+       |  WHERE rnk <= $MMR_CAND),
+       |sel1 AS (SELECT q_id, vec_id, embedding, nrm, score,
+       |  CAST(1 AS BIGINT) AS sel_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS r
+       |    FROM (SELECT q_id, vec_id, embedding, nrm, 0.5 * rel AS score
+       |      FROM cand))
+       |  WHERE r = 1),
+       |all1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, vec_id AS neighbor_id, sel_rank, round(score, 4) AS mmr
+       |FROM all$MMR_K ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   private val RP_OUT = 16
 
   /** Deterministic ±1 Johnson-Lindenstrauss projection matrix:
@@ -817,6 +932,7 @@ object Similarity {
     "s07_kmeans_step" -> (s07 _),
     "s09_random_projection" -> (s09 _),
     "s10_silhouette" -> (s10 _),
+    "s17_mmr_rerank" -> (s17 _),
     "d08_semantic_clusters" -> (d08 _),
   )
 
@@ -940,6 +1056,7 @@ object Similarity {
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s17_mmr_rerank" -> s17Oracle,
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,
     "s10_silhouette" -> s10Oracle,
