@@ -145,8 +145,10 @@ object Bench {
         // trained-PQ lifecycle: training (2 integer-Lloyd rounds) is
         // paid HERE once, so s13tm's reps price pure serving
         operators.Relational13.materializedTrainedPQ(spark, sfDir)._2.count()
-        // exact-substring span table (d17m/d18m serving forms)
+        // exact-substring span table (d17m/d18m serving forms) and
+        // the d19 old-corpus gram-count ingest state
         operators.Relational15.materializedSpans(spark, sfDir).count()
+        operators.Relational15.materializedGramCounts(spark, sfDir).count()
         true
       }
       catch { case e: Throwable =>

@@ -66,13 +66,19 @@ object CorpusPipeline {
     * mixture t14/t23 then measure. A percentile needs the per-source
     * rank, so unlike the per-row ppm gate this one is a verdict join
     * (the honest cost of calibration; the t40 frame is computed once
-    * and its keep set is an id set like every other verdict). */
+    * and its keep set is an id set like every other verdict). With
+    * `spanCut = true` the d18 exact-substring cut (Lee et al. 2021
+    * boilerplate removal) rewrites the survivors' text against the
+    * materialized corpus-wide span table before the scrub — the one
+    * stage that EDITS text rather than dropping rows (docs the cut
+    * empties are dropped). */
   def curate(s: SparkSession, dir: String, outDir: String,
       shards: Long = 8L, maxRecordsPerFile: Long = 1000L,
       crossCorpus: Boolean = false, gopher: Boolean = false,
       classifierMinPpm: Option[Long] = None,
       classifierTopFrac: Option[Double] = None,
-      sourceCap: Option[Int] = None): DataFrame = {
+      sourceCap: Option[Int] = None,
+      spanCut: Boolean = false): DataFrame = {
     import s.implicits._
 
     val docs = Tables.load(s, dir, "documents")
@@ -123,10 +129,19 @@ object CorpusPipeline {
       s4a.join(capKeep, Seq("doc_id"), "left_semi")
     }
 
+    // exact-substring span cut (d18's Lee-et-al boilerplate removal)
+    // applied to the SURVIVORS against the materialized corpus-wide
+    // span table — text is replaced by the cut token stream and docs
+    // left empty by the cut are dropped (nothing left to train on)
+    val s4c = if (spanCut)
+      Relational15.applySpanCut(s, dir,
+        s4.select($"doc_id", $"text", $"lang", $"source"))
+    else s4
+
     // PII scrub applied to SURVIVORS only — the same chained-regex
     // expression t07 registers, as a per-row projection on the
     // filtered corpus (no join, no wasted regex over dropped docs)
-    val clean = s4.select($"doc_id", $"lang", $"source",
+    val clean = s4c.select($"doc_id", $"lang", $"source",
       Curation.scrubExpr($"text").as("clean_text"))
 
     // sharded packing (t13's running-sum window over the survivors)
@@ -159,6 +174,8 @@ object CorpusPipeline {
         ("04_near_dedup", s4a.count())) ++
       (if (sourceCap.isDefined)
         Seq(("04b_source_cap", s4.count())) else Nil) ++
+      (if (spanCut)
+        Seq(("04c_span_cut", s4c.count())) else Nil) ++
       Seq(
         ("05_packed_written", s.read.parquet(outDir).count()))
     stats.toDF("stage", "rows_kept")

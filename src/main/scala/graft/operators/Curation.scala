@@ -26,7 +26,7 @@ object Curation {
     * waste). Chained regexp_replace — order matters (emails before
     * phones so digit runs inside addresses are gone first) and is
     * identical in the oracle. */
-  private[operators] def scrubExpr(text: org.apache.spark.sql.Column)
+  private[graft] def scrubExpr(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(

@@ -301,6 +301,53 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Frame-level perceptual near-dup across VIDEOS — the temporal
+    * composition of the media tier: m02's sampled frame indices (≤ 3
+    * per video), each frame's 256-byte payload slice aHashed in the
+    * SAME decode pass (one container walk per blob; only 8-byte
+    * per-frame hashes leave the scan), m05's exact-at-threshold
+    * multi-index banding over the frame hashes, then an aggregate to
+    * video pairs (shared-frame count + closest frame distance). This
+    * catches re-cut/re-encoded footage sharing content m03's
+    * container md5 and even m05's whole-payload hash miss — a video
+    * pair surfaces if ANY sampled frame pair is within hamming ≤
+    * [[AHASH_HAMMING_MAX]]. Frame ids pack as doc_id·4 + frame_idx
+    * (frame_idx ≤ 2), so the pair kernel is reused verbatim; the
+    * first groupBy dedups multi-bucket emissions at FRAME grain, the
+    * second aggregates to videos — candidate generation stays
+    * banded, never all-pairs (same plan family PlanAuditSpec sweeps).
+    * Oracle: all-pairs truth over the same per-frame hash arithmetic
+    * recomputed from the payload source text in SQL. */
+  def m06(s: SparkSession, dir: String, maxBucket: Option[Int] = None)
+      : DataFrame = {
+    import s.implicits._
+    val fh = mediaTable(s, dir)
+      .filter($"meta.mime" === "video/mp4")
+      .select($"doc_id", $"content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val d = MediaCodec.decode(bytes)
+          val nFrames = math.min(d.payloadLen / 256, 2) + 1
+          (0 until nFrames).map { f =>
+            val off = d.payloadOff + f * 256
+            val len = math.min(256, d.payloadLen - f * 256)
+            (id * 4 + f, aHash(bytes, off, len))
+          }
+        }
+      }.toDF("doc_id", "ahash") // frame id plays doc_id for the kernel
+    aHashCandidatePairs(fh, maxBucket)
+      .groupBy($"a_id", $"b_id").agg(min($"hamming").as("hamming"))
+      .select(expr("a_id div 4").as("a_vid"),
+        expr("b_id div 4").as("b_vid"), $"hamming")
+      .filter($"a_vid" =!= $"b_vid")
+      .groupBy($"a_vid", $"b_vid")
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min($"hamming").as("min_hamming"))
+      .select($"a_vid".as("a_id"), $"b_vid".as("b_id"),
+        $"n_frame_pairs", $"min_hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
   private val aHashCtes =
     s"""d AS (SELECT doc_id, text, length(text) AS n,
        |  CASE WHEN source IN ('src0','src1','src2') THEN 'png'
@@ -329,6 +376,7 @@ object Multimodal {
     "m03_blob_dedup" -> (m03 _),
     "m04_media_ahash" -> (m04 _),
     "m05_media_neardup" -> ((s, d) => m05(s, d)),
+    "m06_frame_neardup" -> ((s, d) => m06(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +437,38 @@ object Multimodal {
          |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 13
          |ORDER BY a_id, b_id""".stripMargin,
+    // all-pairs truth over the per-frame hashes: frame slices are
+    // 256-byte payload windows (payload bytes ARE the text bytes),
+    // hashed with the identical segment/threshold arithmetic, video
+    // pairs aggregated exactly like the banded Spark plan
+    "m06_frame_neardup" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+         |fr AS (SELECT doc_id, text, n,
+         |  unnest(range(0, least(n // 256, 2) + 1)) AS fi FROM d),
+         |fs AS (SELECT doc_id * 4 + fi AS fid,
+         |  text[CAST(fi*256+1 AS INT):CAST((fi+1)*256 AS INT)] AS sub FROM fr),
+         |fl AS (SELECT fid, sub, length(sub) AS len FROM fs),
+         |v AS (SELECT fid, len, ((i - 1) * $AHASH_BITS) // len AS k,
+         |    CAST(ascii(sub[CAST(i AS INT)]) AS BIGINT) AS val
+         |  FROM (SELECT fid, sub, len, unnest(range(1, len + 1)) AS i FROM fl)),
+         |seg AS (SELECT fid, k, CAST(sum(val) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS sc FROM v GROUP BY 1, 2),
+         |tot AS (SELECT fid, CAST(sum(val) AS BIGINT) AS ts,
+         |    CAST(max(len) AS BIGINT) AS len FROM v GROUP BY 1),
+         |h0 AS (SELECT seg.fid AS fid,
+         |    CAST(sum(CASE WHEN ss * len > ts * sc
+         |      THEN (CAST(1 AS BIGINT) << CAST(k AS BIGINT)) ELSE 0 END)
+         |      AS BIGINT) AS h
+         |  FROM seg JOIN tot ON tot.fid = seg.fid GROUP BY 1),
+         |fh AS (SELECT fl.fid AS fid, CAST(coalesce(h0.h, 0) AS BIGINT) AS h
+         |  FROM fl LEFT JOIN h0 ON h0.fid = fl.fid),
+         |p AS (SELECT a.fid // 4 AS a_id, b.fid // 4 AS b_id,
+         |    bit_count(xor(a.h, b.h)) AS hamming
+         |  FROM fh a JOIN fh b ON a.fid // 4 < b.fid // 4
+         |  WHERE bit_count(xor(a.h, b.h)) <= $AHASH_HAMMING_MAX)
+         |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_frame_pairs,
+         |  CAST(min(hamming) AS BIGINT) AS min_hamming
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

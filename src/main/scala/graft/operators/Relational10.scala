@@ -265,7 +265,7 @@ object Relational10 {
 
   private val INC_FOLDS = 10L // "new batch" = salted fold 0 (~10%)
 
-  private def isNewDoc(c: Column): Column =
+  private[operators] def isNewDoc(c: Column): Column =
     pmod(graft.functions.TextOps.hash64(
       concat(lit("inc:"), c.cast("string"))), lit(INC_FOLDS)) === 0L
 

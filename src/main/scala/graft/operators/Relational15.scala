@@ -67,13 +67,19 @@ object Relational15 {
     * ~tokens-per-doc rows wide and 16 bytes narrow, which at 100 TB
     * is the same scan-shaped pass every shingle operator (d02/t15)
     * already survives. */
-  def d17(s: SparkSession, dir: String): DataFrame = {
+  /** Positional gram rows (doc_id, pos, gh) — one fused kernel pass. */
+  private def posGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select($"doc_id", posexplode(gram_hash_seq($"text", D17_W)))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("gh"))
-    val dup = g.groupBy($"gh").agg(count(lit(1)).as("m")).filter($"m" > 1)
-    val hits = g.join(dup.select($"gh"), Seq("gh"))
+  }
+
+  /** Stage 3 shared by d17/d19: per-doc interval merge of hit
+    * positions into maximal spans. */
+  private def mergeSpans(hits: DataFrame): DataFrame = {
+    val s = hits.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val prevEnd = max($"pos" + D17_W)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -90,15 +96,28 @@ object Relational15 {
       .orderBy($"doc_id", $"span_start")
   }
 
-  private val d17Oracle = {
+  def d17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = posGrams(s, dir)
+    val dup = g.groupBy($"gh").agg(count(lit(1)).as("m")).filter($"m" > 1)
+    mergeSpans(g.join(dup.select($"gh"), Seq("gh")))
+  }
+
+  /** Full-recompute span oracle; `restrict` filters the HIT rows to a
+    * doc subset AFTER the (always-global) dup-gram count — d17 passes
+    * none, d19 passes the new-batch fold (its incremental contract IS
+    * "full recompute restricted to the new batch", the d14 oracle
+    * discipline). */
+  private def spanOracle(restrict: Option[String]): String = {
     val gram = (0 until D17_W).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    val where = restrict.fold("")(r => s" WHERE $r")
     s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
        |g0 AS (SELECT doc_id, t,
        |  unnest(range(1, greatest(len(t) - ${D17_W - 2}, 1))) AS i FROM docs),
        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
        |  ${sqlHash64(s"($gram)")} AS gh FROM g0),
        |cnt AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
-       |h AS (SELECT doc_id, pos FROM g JOIN cnt USING (gh)),
+       |h AS (SELECT doc_id, pos FROM g JOIN cnt USING (gh)$where),
        |m AS (SELECT doc_id, pos, CASE WHEN
        |    max(pos + $D17_W) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -115,6 +134,51 @@ object Relational15 {
        |FROM sp GROUP BY doc_id, span_id
        |ORDER BY doc_id, span_start""".stripMargin
   }
+
+  private val d17Oracle = spanOracle(None)
+
+  // ---- d19: incremental substring spans (ingest shape) --------------
+
+  /** Round-(N−1) state of the incremental substring-dedup pipeline:
+    * gram-hash occurrence counts of the OLD (already-ingested) corpus
+    * — the inverted count table a 100 TB pipeline materializes
+    * alongside its corpus. Built once per (session, dir); counts form
+    * a commutative monoid, so state ⊕ new-batch counts ≡ full
+    * recompute (the q57/d14 merge-algebra discipline,
+    * property-checked in Relational15Spec). */
+  def materializedGramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational4.materialized("d19_old_gram_counts", s, dir)(
+      posGrams(s, dir).filter(!Relational10.isNewDoc($"doc_id"))
+        .groupBy($"gh").agg(count(lit(1)).as("m_old"))
+        .localCheckpoint())
+  }
+
+  /** Incremental d17 — the 100 TB ingest shape: the d14 fold marks a
+    * deterministic ~10% of docs as the newly ingested batch; the gram
+    * KERNEL touches ONLY that batch, the batch's counts join the
+    * materialized old-corpus count state, and a gram is duplicated
+    * iff `m_old + m_new > 1` — exactly the global count, so the new
+    * docs' spans are BIT-IDENTICAL to a full d17 recompute restricted
+    * to the batch (the oracle IS that restriction of the
+    * full-recompute SQL — any drift in the incremental algebra breaks
+    * the hash). The increment therefore costs one new-batch kernel
+    * pass + a batch-grams × state join, never a corpus re-scan; state
+    * update is count addition (associative, chainable). `stateIn`
+    * lets a spec feed explicit round-(N−1) state. */
+  def d19(s: SparkSession, dir: String,
+      stateIn: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val gNew = posGrams(s, dir).filter(Relational10.isNewDoc($"doc_id"))
+    val oldCounts = stateIn.getOrElse(materializedGramCounts(s, dir))
+    val dup = gNew.groupBy($"gh").agg(count(lit(1)).as("m_new"))
+      .join(oldCounts, Seq("gh"), "left")
+      .filter(coalesce($"m_old", lit(0L)) + $"m_new" > 1)
+    mergeSpans(gNew.join(dup.select($"gh"), Seq("gh")))
+  }
+
+  private val d19Oracle = spanOracle(Some(
+    s"${sqlHash64("concat('inc:', CAST(doc_id AS VARCHAR))")} % 10 = 0"))
 
   // ---- d18: apply the span cut --------------------------------------
 
@@ -170,6 +234,34 @@ object Relational15 {
   /** d18 from the span cache — one doc-keyed join + per-row cut. */
   def d18m(s: SparkSession, dir: String): DataFrame =
     d18(s, dir, Some(materializedSpans(s, dir)))
+
+  /** The d18 cut applied to an arbitrary `(doc_id, …, text)` frame
+    * against the materialized span table — the capstone-stage form
+    * ([[CorpusPipeline.curate]]`(spanCut = true)`): `text` is
+    * replaced by the span-cut token stream (normalized whitespace,
+    * the dedup family's canonical form) and docs whose every token
+    * sat in a duplicated span are DROPPED (nothing left to train
+    * on). Pure per-row array algebra after one doc-keyed left join —
+    * the d18 plan shape. */
+  def applySpanCut(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val spans = materializedSpans(s, dir).groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_end")).as("spans"))
+    val others = docs.columns.filter(c => c != "doc_id" && c != "text")
+      .map(col).toSeq
+    docs.join(spans, Seq("doc_id"), "left")
+      .select((Seq($"doc_id",
+        graft.functions.TextOps.tokens($"text").as("toks"),
+        coalesce($"spans", array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans")) ++ others): _*)
+      .select((Seq($"doc_id",
+        filter($"toks", (tok, i) =>
+          !exists($"spans", sp =>
+            i.cast("long") >= sp("span_start") && i.cast("long") < sp("span_end")))
+          .as("kept")) ++ others): _*)
+      .filter(size($"kept") > 0)
+      .select((Seq($"doc_id", concat_ws(" ", $"kept").as("text")) ++ others): _*)
+  }
 
   private val d18Oracle = {
     val gram = (0 until D17_W).map(k => s"t[i+$k]").mkString(" || ' ' || ")
@@ -351,6 +443,7 @@ object Relational15 {
     "d17m_spans_materialized" -> ((s, d) => d17m(s, d)),
     "d18_span_cut" -> ((s, d) => d18(s, d)),
     "d18m_cut_materialized" -> ((s, d) => d18m(s, d)),
+    "d19_incremental_spans" -> ((s, d) => d19(s, d)),
     "q60_dpp_join" -> (q60 _),
     "e13_guarded_conversion" -> (e13 _),
   )
@@ -360,6 +453,7 @@ object Relational15 {
     "d17m_spans_materialized" -> d17Oracle,
     "d18_span_cut" -> d18Oracle,
     "d18m_cut_materialized" -> d18Oracle,
+    "d19_incremental_spans" -> d19Oracle,
     "q60_dpp_join" -> q60Oracle,
     "e13_guarded_conversion" -> e13Oracle,
   )

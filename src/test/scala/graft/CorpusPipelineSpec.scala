@@ -206,4 +206,32 @@ class CorpusPipelineSpec extends SparkSpec {
     val unc = uncapped // stats frame of the uncapped run (forces it ran)
     assert(unc.count() > 0)
   }
+
+  test("curate with spanCut writes d18's cut text and drops fully-cut docs") {
+    val s = spark
+    import s.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-curated-span").toString
+    val stats = CorpusPipeline.curate(s, sf, outDir, shards = 4L,
+      maxRecordsPerFile = 100L, spanCut = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.contains("04c_span_cut"))
+    assert(stats("04c_span_cut") <= stats("04_near_dedup"))
+    assert(stats("05_packed_written") == stats("04c_span_cut"))
+    val out = s.read.parquet(outDir).cache()
+    try {
+      // every written doc's text equals d18's clean_text for it,
+      // scrubbed — the capstone stage IS the registered operator
+      val d18 = graft.operators.Relational15.d18(s, sf)
+        .select($"doc_id", Curation.scrubExpr($"clean_text").as("want"))
+      val mismatches = out.join(d18, Seq("doc_id"))
+        .filter($"clean_text" =!= $"want").count()
+      assert(mismatches == 0, "written text must be the d18 cut (scrubbed)")
+      // no doc that the cut emptied survives
+      val empties = graft.operators.Relational15.d18(s, sf)
+        .filter($"n_kept" === 0L).select($"doc_id")
+      assert(out.join(empties, Seq("doc_id"), "left_semi").isEmpty,
+        "fully-cut docs must be dropped")
+      assert(out.count() > 0)
+    } finally { out.unpersist(); () }
+  }
 }

@@ -218,4 +218,37 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hashes.head ^ he) <= 13,
       "a one-byte edit must stay within the near-dup radius")
   }
+
+  test("m06: banded frame near-dup equals the all-pairs truth over frame hashes") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    // brute force: per-video sampled frame slices of the raw text
+    // bytes (the payload), hashed with the same kernel, all pairs
+    val vids = graft.Tables.load(spark, sf, "documents")
+      .filter("source NOT IN ('src0','src1','src2','src3','src4')")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val frames = vids.flatMap { case (id, b) =>
+      val nFrames = math.min(b.length / 256, 2) + 1
+      (0 until nFrames).map { f =>
+        val len = math.min(256, b.length - f * 256)
+        (id, Multimodal.aHash(b, f * 256, len))
+      }
+    }
+    val want = (for {
+      i <- frames.indices; j <- frames.indices
+      if frames(i)._1 < frames(j)._1
+      h = java.lang.Long.bitCount(frames(i)._2 ^ frames(j)._2)
+      if h <= 13
+    } yield (frames(i)._1, frames(j)._1, h))
+      .groupBy(p => (p._1, p._2)).toSeq
+      .map { case ((a, b), ps) =>
+        (a, b, ps.length.toLong, ps.map(_._3).min.toLong) }
+      .sortBy(p => (p._1, p._2))
+    val got = Multimodal.m06(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty, "m06 must be non-vacuous at sf0.001")
+    assert(got == want)
+  }
 }

@@ -130,6 +130,41 @@ class Relational15Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("d19: incremental spans are bit-identical to full recompute on the new batch") {
+    val s = spark
+    import s.implicits._
+    val fold = pmod(graft.functions.TextOps.hash64(
+      concat(lit("inc:"), $"doc_id".cast("string"))), lit(10L)) === 0L
+    val want = operators.Relational15.d17(spark, sf)
+      .filter(fold)
+      .orderBy($"doc_id", $"span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = operators.Relational15.d19(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "the new batch must carry spans at sf0.001")
+    assert(got == want)
+  }
+
+  test("d19: gram-count state is a chainable monoid (state + batch = full corpus)") {
+    val s = spark
+    import s.implicits._
+    // old-state counts ⊕ new-batch counts must equal the full-corpus
+    // gram counts — the associativity that makes increments chainable
+    val g = Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        explode(graft.functions.NativeKernels.gram_hash_seq($"text", 8)).as("gh"))
+    val fold = pmod(graft.functions.TextOps.hash64(
+      concat(lit("inc:"), $"doc_id".cast("string"))), lit(10L)) === 0L
+    val merged = operators.Relational15.materializedGramCounts(spark, sf)
+      .withColumnRenamed("m_old", "m")
+      .union(g.filter(fold).groupBy($"gh").agg(count(lit(1)).as("m")))
+      .groupBy($"gh").agg(sum($"m").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = g.groupBy($"gh").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == full)
+  }
+
   test("d17m/d18m: materialized forms equal the fresh builds row for row") {
     assert(operators.Relational15.d17m(spark, sf).collect().toSeq ==
       operators.Relational15.d17(spark, sf).collect().toSeq)

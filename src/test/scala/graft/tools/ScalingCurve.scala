@@ -20,7 +20,10 @@ object ScalingCurve {
     "w01_tumbling_window", "x02_bloom_prune",
     "e06_funnel", "e07_retention",                 // single-key staged aggs
     "t24_shingle_novelty", "d13_dup_chunks",       // dictionary join / hash agg
-    "s08_kmeans_assign", "q52_token_deciles")      // broadcast argmin / global ntile
+    "s08_kmeans_assign", "q52_token_deciles",      // broadcast argmin / global ntile
+    "d17_dup_spans", "d19_incremental_spans",      // substring spans: full / ingest
+    "e13_guarded_conversion", "s17_mmr_rerank",    // CEP window / serving re-rank
+    "t38_bm25_retrieval", "m05_media_neardup")     // bounded top-k / media banding
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
