@@ -46,9 +46,10 @@ object RecallReport {
     val d03u = pairSet(Dedup.d03(s, dir))
     val d11u = pairSet(Relational7.d11(s, dir), "cand_id", "ref_id")
     val d12u = pairSet(Relational7.d12(s, dir))
-    // m05's uncapped form is EXACT vs all-pairs (the band algebra at
-    // Multimodal.AHASH_BANDS), so uncapped m05 IS the truth set here
+    // m05/m06's uncapped forms are EXACT vs all-pairs (the band
+    // algebra at Multimodal.AHASH_BANDS), so they ARE the truth sets
     val m05u = pairSet(Multimodal.m05(s, dir))
+    val m06u = pairSet(Multimodal.m06(s, dir))
     val caps = Seq(16, 64)
     val dedup = caps.flatMap { m =>
       Seq(
@@ -59,7 +60,9 @@ object RecallReport {
         s"d12_recall_cap$m" -> r4(recall(
           pairSet(Relational7.d12(s, dir, Some(m))), d12u)),
         s"m05_recall_cap$m" -> r4(recall(
-          pairSet(Multimodal.m05(s, dir, Some(m))), m05u)))
+          pairSet(Multimodal.m05(s, dir, Some(m))), m05u)),
+        s"m06_recall_cap$m" -> r4(recall(
+          pairSet(Multimodal.m06(s, dir, Some(m))), m06u)))
     }
     // q51: the blocked best-match vs the unblocked argmin over the
     // full cand × ref cross product (same prefix, same tie-break).

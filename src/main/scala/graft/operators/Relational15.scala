@@ -66,8 +66,11 @@ object Relational15 {
     * corpus-sized). No collect, no cross join; the gram table is
     * ~tokens-per-doc rows wide and 16 bytes narrow, which at 100 TB
     * is the same scan-shaped pass every shingle operator (d02/t15)
-    * already survives. */
-  /** Positional gram rows (doc_id, pos, gh) — one fused kernel pass. */
+    * already survives. The fresh-build form evaluates the kernel
+    * once per plan branch (count side + join side); [[d17m]] reads
+    * the materialized span table instead.
+    *
+    * Positional gram rows (doc_id, pos, gh) — one fused kernel pass. */
   private def posGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")

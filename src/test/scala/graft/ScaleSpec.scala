@@ -53,6 +53,7 @@ class ScaleSpec extends SparkSpec {
       "d11_recall_cap16" -> 1.0, "d11_recall_cap64" -> 1.0,
       "d12_recall_cap16" -> 1.0, "d12_recall_cap64" -> 1.0,
       "m05_recall_cap16" -> 1.0, "m05_recall_cap64" -> 1.0,
+      "m06_recall_cap16" -> 1.0, "m06_recall_cap64" -> 1.0,
       "q51_answered_fraction" -> 0.048, "q51_match_rate" -> 1.0,
       "q51_answered" -> 12.0,
       "s03_recall_cos0.40" -> 0.6780, "s03_truth_cos0.40" -> 59.0,
