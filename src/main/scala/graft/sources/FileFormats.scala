@@ -131,6 +131,54 @@ object FileFormats {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Parquet part-files under `base`, recursively (the unit the
+    * compactor and the specs count). */
+  def listPartFiles(base: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else if (f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(base)
+  }
+
+  /** Small-file compaction for a hive-partitioned parquet layout —
+    * the maintenance job every streaming/incremental ingest owes its
+    * readers: micro-batches and per-task writers leave hundreds of
+    * tiny files per partition, and at 100 TB the scan cost is then
+    * dominated by file-open/footer-read round trips (object-store
+    * GETs), not bytes. One pass: read with partition discovery,
+    * `repartitionByRange(partCol, sortCol)` — ONE range exchange,
+    * and unlike `repartition(partCol)` it splits a giant partition
+    * across tasks by `sortCol` range instead of pinning it to one
+    * straggler task — then a local sort and a partitioned write with
+    * `maxRecordsPerFile` bounding the upper end. Output: ~one file
+    * per (partition ∩ range-split), each internally sorted by
+    * `sortCol` so row-group min-max stats stay narrow (the q58/q54
+    * layout discipline survives compaction). Stages to a temp dir
+    * and swaps by rename, the COW convention above. Returns
+    * (files before, files after). */
+  def compactPartitioned(spark: SparkSession, basePath: String,
+      partCol: String, sortCol: String,
+      maxRecordsPerFile: Long): (Long, Long) = {
+    val base = new java.io.File(basePath)
+    val before = listPartFiles(base).size.toLong
+    val compacted = spark.read.parquet(basePath)
+      .repartitionByRange(col(partCol), col(sortCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+    val tmp = new java.io.File(s"${base.getParent}/_compact_tmp_${base.getName}")
+    compacted.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol)
+      .parquet(tmp.toString)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(base)
+    java.nio.file.Files.move(tmp.toPath, base.toPath)
+    (before, listPartFiles(base).size.toLong)
+  }
+
   /** Copy-on-write partition upsert — the Delta/Iceberg MERGE shape
     * on a plain hive-partitioned parquet layout: rewrite ONLY the
     * partitions the delta touches (base rows whose key the delta
