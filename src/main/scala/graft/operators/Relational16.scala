@@ -17,6 +17,10 @@ import graft.functions.NativeKernels.word_tokens
   *    file sharing ([[graft.sources.SnapshotTable]]); the query reads
   *    BOTH versions of an upserted table in one plan, something q59's
   *    in-place COW physically cannot do;
+  *  - q63: MANIFEST-STATS FILE PRUNING — per-file min/max stats ride
+  *    in the manifest, so a key-range scan drops dead files in one
+  *    driver-side metadata read (Iceberg scan planning; the level
+  *    above q56's parquet-footer skipping);
   *  - x09: mergeable HLL sketch SHARDS — per-month DataSketches HLL
   *    states re-aggregated to quarters without rescanning rows (the
   *    sketch-table pattern: x01 proved the one-shot estimate, this
@@ -104,9 +108,12 @@ object Relational16 {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Orders as a [[graft.sources.SnapshotTable]]: v1 = the base
-    * table, v2 = a COW upsert re-pricing every [[Q62_MONTH]] order
-    * (+2). Both versions stay readable — v2's manifest shares every
-    * untouched partition's files with v1's by reference (SnapshotSpec
+    * table range-partitioned 8 ways on the order key before the
+    * partitioned write (so every data file covers one month × one
+    * narrow key range — the layout that makes manifest stats bite),
+    * v2 = a COW upsert re-pricing every [[Q62_MONTH]] order (+2).
+    * Both versions stay readable — v2's manifest shares every
+    * untouched partition's files with v1's by reference (the spec
     * proves the sharing). Cached per (session, dir). */
   private[graft] def snapshotOrdersPath(s: SparkSession, dir: String): String =
     snapCache.getOrElseUpdate((s, dir), {
@@ -114,11 +121,13 @@ object Relational16 {
       val out = java.nio.file.Files.createTempDirectory("graft-snap")
       rmOnExit(out)
       val base = t(s, dir, "orders").withColumn("om", om($"o_orderdate"))
-      graft.sources.SnapshotTable.init(s, base, out.toString, "om")
+        .repartitionByRange(8, $"o_orderkey")
+      graft.sources.SnapshotTable.init(
+        s, base, out.toString, "om", "o_orderkey")
       val delta = base.filter($"om" === Q62_MONTH)
         .withColumn("o_totalprice", $"o_totalprice" + 2.0)
       graft.sources.SnapshotTable.upsertPartition(
-        s, out.toString, delta, "om", "o_orderkey")
+        s, out.toString, delta, "om", "o_orderkey", "o_orderkey")
       out.toString
     })
 
@@ -154,6 +163,42 @@ object Relational16 {
        |      THEN 2 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT)
        |  FROM m GROUP BY om)
        |ORDER BY version, om""".stripMargin
+
+  // ---- q63: manifest-stats file pruning ----------------------------
+
+  private[graft] val Q63_LO = 100L
+  private[graft] val Q63_HI = 600L
+
+  /** Key-range economics over the snapshot table, planned from
+    * MANIFEST STATS: [[graft.sources.SnapshotTable.readVersionPruned]]
+    * drops every file whose [min, max] misses
+    * [[Q63_LO]]..[[Q63_HI]] before Spark lists or opens anything —
+    * file skipping decided in one driver-side metadata read, no
+    * parquet footers touched (q56 proved footer-level skipping; this
+    * is the level ABOVE it, where Iceberg/Delta plan their scans).
+    * Runs against v2, so pruning composes with time travel; the
+    * oracle states the re-priced truth over the key range, which a
+    * stats bug in either direction (pruning a live file, or stats
+    * that lie) breaks. The spec asserts the skip rate itself. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapshotOrdersPath(s, dir)
+    val (df, _, _) = graft.sources.SnapshotTable.readVersionPruned(
+      s, path, 2, "o_orderkey", Q63_LO, Q63_HI)
+    df.groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q63Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice +
+       |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '$Q62_MONTH'
+       |    THEN 2 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders WHERE o_orderkey BETWEEN $Q63_LO AND $Q63_HI
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- x09: mergeable HLL sketch shards ----------------------------
 
@@ -268,6 +313,7 @@ object Relational16 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_compaction" -> (q61 _),
     "q62_time_travel" -> (q62 _),
+    "q63_manifest_prune" -> (q63 _),
     "x09_hll_shards" -> (x09 _),
     "t43_dsir_weights" -> (t43 _),
   )
@@ -275,6 +321,7 @@ object Relational16 {
   val oracles: Map[String, String] = Map(
     "q61_compaction" -> q61Oracle,
     "q62_time_travel" -> q62Oracle,
+    "q63_manifest_prune" -> q63Oracle,
     "x09_hll_shards" -> x09Oracle,
     "t43_dsir_weights" -> t43Oracle,
   )

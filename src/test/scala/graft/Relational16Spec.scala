@@ -51,18 +51,52 @@ class Relational16Spec extends SparkSpec {
     val v1 = sources.SnapshotTable.manifest(path, 1).toSet
     val v2 = sources.SnapshotTable.manifest(path, 2).toSet
     val touched = s"om=${operators.Relational16.Q62_MONTH}"
-    // every v1 file outside the touched partition carries over verbatim
-    assert(v1.filterNot(_.startsWith(touched)) == v2.filterNot(_.startsWith(touched)))
+    // every v1 file outside the touched partition carries over
+    // verbatim — stats and all
+    assert(v1.filterNot(_.rel.startsWith(touched)) ==
+      v2.filterNot(_.rel.startsWith(touched)))
     // the touched partition was fully replaced with commit-2 files
-    assert(v2.filter(_.startsWith(touched)).forall(_.split("/").last.startsWith("c2-")))
+    assert(v2.filter(_.rel.startsWith(touched))
+      .forall(_.rel.split("/").last.startsWith("c2-")))
     assert((v1 & v2).nonEmpty && v1 != v2)
   }
 
   test("q62: v1 files all still exist on disk after the v2 commit") {
     val path = operators.Relational16.snapshotOrdersPath(spark, sf)
-    sources.SnapshotTable.manifest(path, 1).foreach { f =>
-      assert(new java.io.File(s"$path/files/$f").isFile, s"missing $f")
+    sources.SnapshotTable.manifest(path, 1).foreach { e =>
+      assert(new java.io.File(s"$path/files/${e.rel}").isFile,
+        s"missing ${e.rel}")
     }
+  }
+
+  test("q62: manifest stats are honest per-file min/max/rowcounts") {
+    val path = operators.Relational16.snapshotOrdersPath(spark, sf)
+    val entries = sources.SnapshotTable.manifest(path, 2)
+    assert(entries.size >= 100, "range×month layout should fan out files")
+    // spot-check a sample against the actual file contents
+    entries.take(20).foreach { e =>
+      val r = spark.read.parquet(s"$path/files/${e.rel}")
+        .agg(min($"o_orderkey"), max($"o_orderkey"), count(lit(1)))
+        .collect()(0)
+      assert(r.getLong(0) == e.min && r.getLong(1) == e.max &&
+        r.getLong(2) == e.rows, s"stats lie for ${e.rel}")
+    }
+  }
+
+  // ---- q63: manifest-stats pruning ---------------------------------
+
+  test("q63: stats pruning skips most files and loses no rows") {
+    val path = operators.Relational16.snapshotOrdersPath(spark, sf)
+    val (lo, hi) = (operators.Relational16.Q63_LO, operators.Relational16.Q63_HI)
+    val (pruned, live, total) = sources.SnapshotTable.readVersionPruned(
+      spark, path, 2, "o_orderkey", lo, hi)
+    assert(live < total / 2, s"should skip most files: $live of $total read")
+    val want = sources.SnapshotTable.readVersion(spark, path, 2)
+      .filter($"o_orderkey".between(lo, hi))
+      .agg(count(lit(1)), sum($"o_orderkey")).collect()(0)
+    val got = pruned.agg(count(lit(1)), sum($"o_orderkey")).collect()(0)
+    assert(got == want)
+    assert(got.getLong(0) > 0, "range must be non-vacuous")
   }
 
   test("q62: time-travel read of v1 equals the pre-upsert table") {
