@@ -43,7 +43,7 @@ object Relational15 {
     * character granularity on web-scale corpora; the synthetic docs
     * are short, so 8 keeps the operator non-vacuous at every SF while
     * the algebra (and the plan) is width-independent. */
-  private val D17_W = 8
+  private[graft] val D17_W = 8
 
   /** Maximal duplicated token spans per document. Three stages:
     *
@@ -80,7 +80,7 @@ object Relational15 {
 
   /** Stage 3 shared by d17/d19: per-doc interval merge of hit
     * positions into maximal spans. */
-  private def mergeSpans(hits: DataFrame): DataFrame = {
+  private[graft] def mergeSpans(hits: DataFrame): DataFrame = {
     val s = hits.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
