@@ -254,14 +254,20 @@ object Relational16 {
     * weight is how a pretraining pipeline tilts a raw crawl toward
     * a target domain with two cheap counting passes.
     *
-    * Shape: ONE tokenize pass feeds the per-(doc, bucket) counts;
-    * the target and raw bucket tables derive from THAT aggregate
-    * (not a rescan, the t18 lesson), collapse to ≤ 256 rows, and
+    * Shape: ONE tokenize pass feeds the per-(doc, bucket) counts,
+    * which are `localCheckpoint`ed (the t39 convention — the three
+    * consumers project different column sets, so ReusedExchange can
+    * never unify them and the un-checkpointed plan re-tokenizes the
+    * corpus three times; measured via `PlanAudit exec:` before the
+    * fix: 3 scans, 0 reused exchanges). The target and raw bucket
+    * tables derive from THAT frame, collapse to ≤ 256 rows, and
     * come back as a broadcast — so the corpus is scanned once, and
     * the weight join adds zero data-sized shuffles beyond the
-    * (doc, bucket) aggregate. At 100 TB the bucket table is the
-    * reusable artifact: score any new corpus against frozen
-    * target/raw tables without touching the old data.
+    * (doc, bucket) aggregate. At 100 TB the checkpointed frame is
+    * ~#docs·min(doclen, 256) rows of integers (orders of magnitude
+    * under the token stream), and the bucket table is the reusable
+    * artifact: score any new corpus against frozen target/raw
+    * tables without touching the old data.
     *
     * Determinism: bucket counts are exact integers; the four ln
     * terms are ln of exact-integer doubles (the t18 discipline) and
@@ -273,6 +279,7 @@ object Relational16 {
       .select($"doc_id", $"lang", pmod(hash64($"tok"), lit(DSIR_B)).as("b"))
     val db = feat.groupBy($"doc_id", $"b")
       .agg(count(lit(1)).as("m"), max($"lang").as("lang")) // doc -> lang
+      .localCheckpoint()
     val buckets = db.groupBy($"b").agg(
       sum($"m").as("r"),
       sum(when($"lang" === "en", $"m").otherwise(0L)).as("tc"))
