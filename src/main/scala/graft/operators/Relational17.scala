@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Seventeenth tranche — the DELETE and CHANGE-CAPTURE faces of the
+  * snapshot table (tranche 16 built versions and stats; this is what
+  * a 100 TB lakehouse does with them between full rewrites):
+  *
+  *  - q64: MERGE-ON-READ equality deletes — dropping a customer
+  *    cohort (the GDPR erasure shape) costs one key-sized delete
+  *    file, zero data-file rewrites; readers subtract the keys at
+  *    scan time under Iceberg's sequence-number rule
+  *    ([[SnapshotTable.commitDeletes]]/[[SnapshotTable.readVersionMor]]);
+  *  - q65: snapshot CDC — the row-level changelog between two
+  *    versions planned from the MANIFEST DIFF, so files shared by
+  *    both versions are read only where a newly-committed delete
+  *    mask (stats-pruned) can reach them; partition-rewrite
+  *    carry-over rows are suppressed by pre/post image comparison
+  *    ([[SnapshotTable.changesBetween]] — the downstream-incremental
+  *    feed d14/d19 would consume at 100 TB).
+  *
+  * The reference has no table format at all (it PATCHes rows at a
+  * remote API one HTTP call at a time,
+  * `/root/reference/src/Datalake2Anomali.py:246-253`); these extend
+  * the SURVEY §7.2 lakehouse tier (q56-q63).
+  *
+  * Fixture: the tranche-16 snapshot table gains two more versions —
+  * v3 = delete every order of the `custkey % 10 == 7` cohort
+  * (merge-on-read, one delete file), v4 = a COW rewrite of the
+  * [[M4]] partition that re-prices keys ≡ 0 (mod 5) by +5 and
+  * inserts clones of keys ≡ 1 (mod 5) under fresh key ids — so the
+  * v2→v4 changelog exercises all three change types at once:
+  * updates (the re-price), inserts (the clones), deletes (the
+  * cohort, surfaced both from the rewritten partition's pre/post
+  * diff and from the mask walk over shared files).
+  */
+object Relational17 {
+
+  private[graft] val COHORT = 7L     // deleted customers: custkey % 10
+  private[graft] val M4 = "1997-03"  // the v4 rewritten month
+  private[graft] val KEY_SHIFT = 100000000L
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Tranche-16's snapshot table extended to v3 (MOR cohort delete)
+    * and v4 (partial COW re-price + inserts). q62/q63 pin versions
+    * 1-2 and are untouched by the extension. */
+  private[graft] def snapV4(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val path = Relational16.snapshotOrdersPath(s, dir)
+      if (SnapshotTable.currentVersion(path) < 3) {
+        val cohort = graft.Tables.load(s, dir, "orders")
+          .filter(pmod($"o_custkey", lit(10)) === COHORT)
+          .select($"o_orderkey")
+        SnapshotTable.commitDeletes(s, path, cohort, "o_orderkey")
+        val visible = SnapshotTable.readVersionMor(s, path, 3, "o_orderkey")
+          .filter($"om" === M4)
+        val reprice = visible
+          .filter(pmod($"o_orderkey", lit(5)) === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 5.0)
+        val clones = visible
+          .filter(pmod($"o_orderkey", lit(5)) === 1)
+          .withColumn("o_orderkey", $"o_orderkey" + KEY_SHIFT)
+          .withColumn("o_totalprice", $"o_totalprice" + 11.0)
+        SnapshotTable.upsertPartition(s, path,
+          reprice.unionByName(clones), "om", "o_orderkey", "o_orderkey")
+      }
+      path
+    })
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** Monthly order economics at v3, MERGE-ON-READ: every data file
+    * is v2's by reference (the spec proves byte-identical manifests
+    * on the data side); the cohort's rows vanish via one broadcast
+    * anti-join against the key-sized delete file. The oracle states
+    * the v2 re-price minus the cohort — a mask leak in either
+    * direction (masking too much, or resurrecting a key) breaks the
+    * hash. */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    SnapshotTable.readVersionMor(s, path, 3, "o_orderkey")
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q64Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice +
+       |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '${Relational16.Q62_MONTH}'
+       |    THEN 2 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders WHERE o_custkey % 10 <> $COHORT
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The v2 → v4 row-level changelog, summarized per change type
+    * (count + signed cents impact). All three types surface in one
+    * scan plan: `update` = the [[M4]] re-price (post−pre cents),
+    * `insert` = the cloned keys (post cents), `delete` = the cohort
+    * (−pre cents) — cohort rows inside the rewritten partition fall
+    * out of the pre/post full-outer join, cohort rows everywhere
+    * else out of the delete-mask walk over shared files; the ~4/5 of
+    * the rewritten partition that merely got re-materialized is
+    * carry-over and must appear NOWHERE. The oracle restates each
+    * class from the raw table. */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    SnapshotTable.changesBetween(s, path, 2, 4, "o_orderkey")
+      .select($"change_type",
+        (coalesce(cents($"post.o_totalprice"), lit(0L)) -
+          coalesce(cents($"pre.o_totalprice"), lit(0L))).as("dc"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"), sum($"dc").as("cents_delta"))
+      .orderBy($"change_type")
+  }
+
+  private val q65Oracle = {
+    val q62m = Relational16.Q62_MONTH
+    s"""WITH v2 AS (SELECT o_orderkey, o_custkey,
+       |    o_totalprice + CASE WHEN strftime(o_orderdate, '%Y-%m') = '$q62m'
+       |      THEN 2 ELSE 0 END AS p,
+       |    strftime(o_orderdate, '%Y-%m') AS om
+       |  FROM orders)
+       |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dc) AS BIGINT) AS cents_delta
+       |FROM (
+       |  SELECT 'delete' AS change_type,
+       |    -CAST(round(p * 100) AS BIGINT) AS dc
+       |  FROM v2 WHERE o_custkey % 10 = $COHORT
+       |  UNION ALL
+       |  SELECT 'update',
+       |    CAST(round((p + 5) * 100) AS BIGINT)
+       |      - CAST(round(p * 100) AS BIGINT)
+       |  FROM v2 WHERE om = '$M4' AND o_custkey % 10 <> $COHORT
+       |    AND o_orderkey % 5 = 0
+       |  UNION ALL
+       |  SELECT 'insert', CAST(round((p + 11) * 100) AS BIGINT)
+       |  FROM v2 WHERE om = '$M4' AND o_custkey % 10 <> $COHORT
+       |    AND o_orderkey % 5 = 1)
+       |GROUP BY change_type ORDER BY change_type""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_mor_delete" -> (q64 _),
+    "q65_snapshot_cdc" -> (q65 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q64_mor_delete" -> q64Oracle,
+    "q65_snapshot_cdc" -> q65Oracle,
+  )
+}

@@ -62,13 +62,25 @@ object SnapshotTable {
   private def manifestFile(path: String, v: Int) =
     Paths.get(s"$path/manifests/v$v.txt")
 
-  /** Manifest entries of version `v`. */
-  def manifest(path: String, v: Int): Seq[FileEntry] =
+  private def readManifestLines(path: String, v: Int): Seq[Array[String]] =
     Files.readAllLines(manifestFile(path, v), StandardCharsets.UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty).map { line =>
-        val p = line.split("\t")
-        FileEntry(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
-      }
+      .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t"))
+
+  /** DATA-file entries of version `v` (delete files excluded). */
+  def manifest(path: String, v: Int): Seq[FileEntry] =
+    readManifestLines(path, v).collect {
+      case p if p(0) != "D" => FileEntry(p(0), p(1).toLong, p(2).toLong,
+        p(3).toLong)
+    }
+
+  /** EQUALITY-DELETE file entries of version `v` (min/max/rows are
+    * stats on the deleted KEYS — they prune which data files a
+    * delete can touch, the same way data stats prune scans). */
+  def deleteManifest(path: String, v: Int): Seq[FileEntry] =
+    readManifestLines(path, v).collect {
+      case p if p(0) == "D" => FileEntry(p(1), p(2).toLong, p(3).toLong,
+        p(4).toLong)
+    }
 
   /** Latest committed version (0 if none). */
   def currentVersion(path: String): Int = {
@@ -119,15 +131,29 @@ object SnapshotTable {
     moved.sortBy(_.rel)
   }
 
-  private def commitManifest(path: String, v: Int,
-      files: Seq[FileEntry]): Unit = {
+  private def commitManifest(path: String, v: Int, files: Seq[FileEntry],
+      deletes: Seq[FileEntry] = Nil): Unit = {
     val target = manifestFile(path, v)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".v$v.tmp")
-    val body = files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}")
+    val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
+      deletes.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}"))
       .mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Commit sequence of a manifest entry, parsed from the immutable
+    * `c<commit>-<uuid>` file-name tag [[stageFiles]] writes. Deletes
+    * apply only to data files with a STRICTLY LOWER sequence
+    * (Iceberg's sequence-number rule): a key re-inserted by a later
+    * commit is not masked by an older delete, and a partition
+    * rewrite (which applies the masks while merging) emits files
+    * whose higher sequence ends the masks' reach — no resurrection,
+    * no double-delete. */
+  private[graft] def seqOf(e: FileEntry): Int = {
+    val name = e.rel.substring(e.rel.lastIndexOf('/') + 1)
+    name.stripPrefix("c").takeWhile(_.isDigit).toInt
   }
 
   /** Initial commit: all of `df` becomes version 1. `statsCol` is the
@@ -153,14 +179,18 @@ object SnapshotTable {
     val affected = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(r => s"$partCol=${r.getString(0)}").toSet
     val prev = manifest(path, v)
+    val dels = deleteManifest(path, v)
     val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
     require(replaced.nonEmpty, "delta touches no existing partition")
-    val base = readFiles(spark, path, replaced.map(_.rel))
+    // the rewrite applies any delete masks whose sequence reaches the
+    // rewritten files, so the merged output is the VISIBLE rows; the
+    // new files' higher sequence then ends those masks' reach
+    val base = visibleRows(spark, path, replaced, dels, keyCol)
     val merged = base
       .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(delta)
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1)
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel))
+    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
     v + 1
   }
 
@@ -192,5 +222,171 @@ object SnapshotTable {
       if (live.isEmpty) readFiles(spark, path, all.map(_.rel)).filter(lit(false))
       else readFiles(spark, path, live.map(_.rel)).filter(pred)
     (df, live.size, all.size)
+  }
+
+  // ---- merge-on-read equality deletes ------------------------------
+
+  /** DELETE commit, merge-on-read: the keys to delete land as ONE
+    * tiny parquet of `keyCol` values under `files/_delete/`; every
+    * data file of the current version carries over BY REFERENCE.
+    * This is the GDPR/right-to-be-forgotten economics at 100 TB —
+    * deleting a key cohort costs a key-sized write, not a table
+    * rewrite; readers subtract the keys at scan time
+    * ([[readVersionMor]]) and the next partition rewrite
+    * ([[upsertPartition]]) folds the mask into the data for the
+    * partitions it touches. Manifest `D` lines carry min/max/rows of
+    * the DELETED KEYS, so scans and CDC can prune which data files a
+    * delete can even touch. */
+  def commitDeletes(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Int = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    val commit = v + 1
+    val stage = new File(s"$path/_stage_$commit")
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val stats = spark.read.parquet(stage.toString)
+      .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"),
+        count(lit(1))).collect()(0)
+    val destDir = new File(s"${filesDir(path)}/_delete")
+    destDir.mkdirs()
+    val entries = FileFormats.listPartFiles(stage).map { f =>
+      val name = s"c$commit-${f.getName.stripPrefix("part-")}"
+      Files.move(f.toPath, new File(destDir, name).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      FileEntry(s"_delete/$name", stats.getLong(0), stats.getLong(1),
+        stats.getLong(2))
+    }
+    def rm(f: File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(stage)
+    commitManifest(path, commit, manifest(path, v),
+      deleteManifest(path, v) ++ entries)
+    commit
+  }
+
+  /** Deleted keys of the given delete entries, as a one-column
+    * (`keyCol`) frame. Read WITHOUT `basePath`: `_delete/` is not a
+    * partition directory (the underscore keeps directory-listing
+    * readers away from it, the `_delta_log` convention). */
+  private def deleteKeysDf(spark: SparkSession, path: String,
+      dels: Seq[FileEntry], keyCol: String): DataFrame =
+    spark.read.parquet(dels.map(e => s"${filesDir(path)}/${e.rel}"): _*)
+      .toDF(keyCol)
+
+  /** Rows of `data` files visible under the `dels` masks: each
+    * delete applies only to data files with a strictly lower commit
+    * sequence ([[seqOf]]), so the files group by sequence and each
+    * group anti-joins the (broadcast — key-sized) union of the
+    * masks that reach it. Commit count bounds the group count, so
+    * this adds a handful of broadcast anti-joins, never a shuffle
+    * of the data. */
+  private def visibleRows(spark: SparkSession, path: String,
+      data: Seq[FileEntry], dels: Seq[FileEntry],
+      keyCol: String): DataFrame = {
+    val live = dels.filter(_.rows > 0)
+    if (data.isEmpty) {
+      // schema-stable empty frame: all files, impossible filter
+      readFiles(spark, path, manifest(path, currentVersion(path)).map(_.rel))
+        .filter(lit(false))
+    } else if (live.isEmpty) readFiles(spark, path, data.map(_.rel))
+    else data.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, group) =>
+      val masks = live.filter(d => seqOf(d) > s)
+      val df = readFiles(spark, path, group.map(_.rel))
+      if (masks.isEmpty) df
+      else df.join(
+        broadcast(deleteKeysDf(spark, path, masks, keyCol)),
+        Seq(keyCol), "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Read version `v` MERGE-ON-READ: data files minus the manifest's
+    * equality-delete masks (sequence-scoped, see [[seqOf]]). */
+  def readVersionMor(spark: SparkSession, path: String, v: Int,
+      keyCol: String): DataFrame =
+    visibleRows(spark, path, manifest(path, v), deleteManifest(path, v),
+      keyCol)
+
+  // ---- snapshot CDC: changes between versions ----------------------
+
+  /** Row-level changelog v1 → v2, planned from the MANIFEST DIFF:
+    * data files shared by both manifests are never read (at 100 TB a
+    * daily commit touches a sliver of the table — the diff is why
+    * CDC costs commit-sized, not table-sized, IO). Three row
+    * sources:
+    *
+    *  - pre  = visible rows of files ONLY IN v1 (rewritten away),
+    *  - post = visible rows of files ONLY IN v2 (newly written),
+    *  - newly-committed delete masks applied to SHARED files — those
+    *    pruned by the masks' key-range stats first — surface as
+    *    deletes (Iceberg's changelog scan does exactly this walk).
+    *
+    * pre FULL-OUTER post on `keyCol` then classifies: key only in
+    * post → `insert`, only in pre → `delete`, both with any column
+    * changed → `update`; both and BYTE-EQUAL → carry-over (a
+    * partition rewrite re-materializes untouched neighbours of the
+    * changed rows — emitting them would be false updates), dropped.
+    * Returns `change_type, <keyCol>, pre, post` with pre/post as
+    * full-row structs (null on the absent side). */
+  def changesBetween(spark: SparkSession, path: String, v1: Int, v2: Int,
+      keyCol: String): DataFrame =
+    changesBetweenCounted(spark, path, v1, v2, keyCol)._1
+
+  /** [[changesBetween]] plus the shared-file walk's scan economics:
+    * (changelog, shared files the new delete masks actually hit
+    * after seq + key-range-stats pruning, shared files total) — so
+    * specs can assert the "shared files are read only where a mask
+    * can reach" claim the same way `readVersionPruned` exposes its
+    * skip rate. */
+  def changesBetweenCounted(spark: SparkSession, path: String, v1: Int,
+      v2: Int, keyCol: String): (DataFrame, Int, Int) = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
+    val (m1, m2) = (manifest(path, v1), manifest(path, v2))
+    val (d1, d2) = (deleteManifest(path, v1), deleteManifest(path, v2))
+    val r1 = m1.map(_.rel).toSet
+    val r2 = m2.map(_.rel).toSet
+    val removed = m1.filterNot(e => r2(e.rel))
+    val added = m2.filterNot(e => r1(e.rel))
+    val shared = m1.filter(e => r2(e.rel))
+    val newDels = {
+      val old = d1.map(_.rel).toSet
+      d2.filterNot(e => old(e.rel)).filter(_.rows > 0)
+    }
+    val pre = visibleRows(spark, path, removed, d1, keyCol)
+    val post = visibleRows(spark, path, added, d2, keyCol)
+    val cols = pre.columns.toSeq
+    def img(df: DataFrame, side: String) =
+      df.select(col(keyCol).as(s"k_$side"),
+        struct(cols.map(col): _*).as(side))
+    val joined = img(pre, "pre").join(img(post, "post"),
+      col("k_pre") === col("k_post"), "full_outer")
+    val classified = joined.select(
+      when(col("k_pre").isNull, lit("insert"))
+        .when(col("k_post").isNull, lit("delete"))
+        .when(col("pre") =!= col("post"), lit("update"))
+        .as("change_type"),
+      coalesce(col("k_pre"), col("k_post")).as(keyCol),
+      col("pre"), col("post"))
+      .filter(col("change_type").isNotNull) // carry-over rows drop
+    if (newDels.isEmpty) (classified, 0, shared.size)
+    else {
+      // masks newly committed in (v1, v2] reach shared files with a
+      // lower sequence AND a stats overlap with the deleted keys
+      val lo = newDels.map(_.min).min
+      val hi = newDels.map(_.max).max
+      val maxSeq = newDels.map(seqOf).max
+      val hit = shared.filter(e =>
+        seqOf(e) < maxSeq && e.max >= lo && e.min <= hi)
+      val masked =
+        if (hit.isEmpty) classified.filter(lit(false))
+        else readFiles(spark, path, hit.map(_.rel))
+          .join(broadcast(deleteKeysDf(spark, path, newDels, keyCol)),
+            Seq(keyCol), "left_semi")
+          .select(lit("delete").as("change_type"), col(keyCol),
+            struct(cols.map(col): _*).as("pre"),
+            lit(null).cast(classified.schema("post").dataType).as("post"))
+      (classified.unionByName(masked), hit.size, shared.size)
+    }
   }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Tranche-17: merge-on-read equality deletes (q64) and snapshot CDC
+  * (q65). The DuckDB gate checks row content; these tests check what
+  * content can't see — which files a commit wrote or shared, the
+  * sequence-number rule, carry-over suppression, and the CDC walk's
+  * scan economics. */
+class Relational17Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture = operators.Relational17.snapV4(spark, sf)
+
+  // ---- q64: merge-on-read delete -----------------------------------
+
+  test("q64: the delete commit shares every data file with v2 by reference") {
+    val path = fixture
+    assert(SnapshotTable.manifest(path, 3) == SnapshotTable.manifest(path, 2),
+      "v3 must not rewrite, add, or drop any data file")
+    assert(SnapshotTable.deleteManifest(path, 2).isEmpty)
+    assert(SnapshotTable.deleteManifest(path, 3).size == 1,
+      "one key-sized delete file")
+  }
+
+  test("q64: MOR read subtracts exactly the cohort; v2 stays intact") {
+    val path = fixture
+    val orders = Tables.load(spark, sf, "orders")
+    val total = orders.count()
+    val cohort = orders
+      .filter(pmod($"o_custkey", lit(10)) === operators.Relational17.COHORT)
+      .count()
+    assert(cohort > 0, "fixture needs a non-empty cohort")
+    assert(SnapshotTable.readVersionMor(spark, path, 3, "o_orderkey")
+      .count() == total - cohort)
+    // time travel is immune to the later delete
+    assert(SnapshotTable.readVersion(spark, path, 2).count() == total)
+  }
+
+  test("sequence rule: a re-inserted key is not masked by an older delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    val base = (1L to 10L).toDF("k")
+      .withColumn("p", lit("a")).withColumn("v", lit(1L))
+    SnapshotTable.init(spark, base, dir, "p", "k")
+    SnapshotTable.commitDeletes(spark, dir, Seq(3L).toDF("k"), "k")
+    assert(SnapshotTable.readVersionMor(spark, dir, 2, "k")
+      .filter($"k" === 3).count() == 0, "v2 must hide the deleted key")
+    val reinsert = Seq((3L, "a", 2L)).toDF("k", "p", "v")
+    val v3 = SnapshotTable.upsertPartition(spark, dir, reinsert, "p", "k", "k")
+    val row = SnapshotTable.readVersionMor(spark, dir, v3, "k")
+      .filter($"k" === 3).select($"v").collect()
+    assert(row.map(_.getLong(0)).toSeq == Seq(2L),
+      "the re-inserted key must be visible with its NEW value")
+    // the rewrite folded the mask into the data: the new files hold
+    // no masked row, so the delete file no longer changes anything
+    assert(SnapshotTable.readVersion(spark, dir, v3).count() ==
+      SnapshotTable.readVersionMor(spark, dir, v3, "k").count())
+  }
+
+  // ---- q65: snapshot CDC -------------------------------------------
+
+  test("q65: change-type totals match the raw-data truth") {
+    val path = fixture
+    val orders = Tables.load(spark, sf, "orders")
+    val m4 = orders.filter(
+      date_format($"o_orderdate", "yyyy-MM") === operators.Relational17.M4)
+    val nCohort = orders
+      .filter(pmod($"o_custkey", lit(10)) === operators.Relational17.COHORT)
+      .count()
+    val nUpd = m4.filter(pmod($"o_custkey", lit(10)) =!=
+        operators.Relational17.COHORT)
+      .filter(pmod($"o_orderkey", lit(5)) === 0).count()
+    val nIns = m4.filter(pmod($"o_custkey", lit(10)) =!=
+        operators.Relational17.COHORT)
+      .filter(pmod($"o_orderkey", lit(5)) === 1).count()
+    val got = SnapshotTable.changesBetween(spark, path, 2, 4, "o_orderkey")
+      .groupBy($"change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("delete" -> nCohort, "update" -> nUpd,
+      "insert" -> nIns))
+  }
+
+  test("q65: carry-over rows are suppressed (no self-identical update)") {
+    val path = fixture
+    val changes = SnapshotTable.changesBetween(spark, path, 2, 4, "o_orderkey")
+    assert(changes.filter($"change_type" === "update" &&
+      $"pre" === $"post").count() == 0)
+    // every update genuinely re-priced by +5
+    val badUpd = changes.filter($"change_type" === "update")
+      .filter(round(($"post.o_totalprice" - $"pre.o_totalprice") * 100)
+        =!= 500)
+      .count()
+    assert(badUpd == 0)
+  }
+
+  test("q65: a delete-only diff reads no data-side pre/post files") {
+    val path = fixture
+    // v2 -> v3 is purely a mask commit: data manifests identical
+    val (df, hit, shared) =
+      SnapshotTable.changesBetweenCounted(spark, path, 2, 3, "o_orderkey")
+    assert(shared == SnapshotTable.manifest(path, 2).size)
+    assert(hit <= shared)
+    val types = df.groupBy($"change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCohort = Tables.load(spark, sf, "orders")
+      .filter(pmod($"o_custkey", lit(10)) === operators.Relational17.COHORT)
+      .count()
+    assert(types == Map("delete" -> nCohort))
+  }
+
+  test("CDC mask walk prunes shared files by the delete keys' range stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    // 8 partitions of 10 keys each -> 8 data files with disjoint
+    // [min, max] key ranges in the manifest
+    val base = (0L until 80L).toDF("k")
+      .withColumn("p", ($"k" / 10).cast("long").cast("string"))
+      .withColumn("v", $"k" * 2)
+    SnapshotTable.init(spark, base, dir, "p", "k")
+    // narrow delete: keys 22..24 live in one partition's range
+    SnapshotTable.commitDeletes(spark, dir, (22L to 24L).toDF("k"), "k")
+    val (df, hit, shared) =
+      SnapshotTable.changesBetweenCounted(spark, dir, 1, 2, "k")
+    assert(shared >= 8, s"expected >=8 shared files, got $shared")
+    assert(hit < shared && hit >= 1,
+      s"stats should prune the walk: hit=$hit shared=$shared")
+    assert(df.count() == 3 &&
+      df.filter($"change_type" === "delete").count() == 3)
+  }
+}
