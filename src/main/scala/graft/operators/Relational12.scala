@@ -113,7 +113,7 @@ object Relational12 {
       .orderBy($"term", $"rank")
   }
 
-  private val t38Oracle =
+  private[operators] val t38Oracle =
     s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |terms AS (SELECT doc_id, unnest(tk) AS term FROM d),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps.{hash64, sqlHash64}
+import graft.functions.NativeKernels.word_tokens
+
+/** Eighteenth tranche — evaluation and graph-structure shapes:
+  *
+  *  - t44: RETRIEVAL RANKING METRICS (hits, MRR, nDCG) over the t38
+  *    BM25 ranking — the eval harness a retrieval stack runs before
+  *    trusting an index at 100 TB. Deciding "is this index good
+  *    enough to serve" is itself a pipeline stage (TREC-style
+  *    qrels → per-query metrics), and the engine computes it from
+  *    the ranked table in one small aggregate;
+  *  - s18: TRIANGLE COUNT + global clustering coefficient over the
+  *    t41 word co-occurrence graph via DEGREE-ORDERED edge
+  *    orientation (Chiba–Nishizeki / the MapReduce formulation of
+  *    Suri & Vassilvitskii 2011) — wedge checks bounded by O(m^1.5)
+  *    regardless of skew, the structure signal (how clustered is
+  *    this corpus' co-occurrence graph) next to t41's centrality.
+  *
+  * The reference ships neither (IOC ETL bridge,
+  * `/root/reference/src/Datalake2Anomali.py:1-449`); they extend the
+  * SURVEY §7.2 retrieval/graph tiers alongside tranches 1-17.
+  */
+object Relational18 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- t44: retrieval ranking metrics ------------------------------
+
+  /** Integer discount weights W(r) = ⌊10⁶ / log2(r + 1)⌋ for ranks
+    * 1..5 — PRECOMPUTED LITERALS shared verbatim by the Spark plan
+    * and the generated oracle SQL, so no engine ever evaluates a
+    * logarithm (the t32/s09 fixed-point discipline applied to nDCG:
+    * a float log2 plus round() would gate the hash on ulp agreement
+    * between two math libraries). */
+  private[graft] val NDCG_W = Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+
+  /** Graded relevance for (query-term, doc): `hash64(term#doc) % 4`
+    * ∈ {0..3} — synthetic-but-deterministic qrels (the fixture
+    * convention: the METRIC machinery is the operator under test;
+    * a real deployment swaps in a judged qrels table without
+    * touching the plan shape). Gain is the standard 2^rel − 1. */
+  private def rel(term: Column, doc: Column): Column =
+    pmod(hash64(concat(term, lit("#"), doc.cast("string"))), lit(4L))
+
+  /** Per-query ranking quality of the t38 BM25 top-5: relevant hits,
+    * MRR, and graded nDCG@5, all in exact integer fixed point
+    * (`rr_ppm` = ⌊10⁶/first-relevant-rank⌋, `ndcg_ppm` =
+    * ⌊10⁶·DCG/IDCG⌋ with the [[NDCG_W]] literal discounts; IDCG
+    * re-ranks the retrieved pool by gain — the within-list nDCG
+    * variant, so the metric scores ORDERING quality and is
+    * computable without a corpus-wide relevant-set scan). One extra
+    * aggregate + two ≤5-row-per-query windows on top of the ranked
+    * table: at 100 TB evaluation costs what the ranking it audits
+    * costs, nothing more. */
+  def t44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = Relational12.t38(s, dir)
+      .select($"term", $"doc_id", $"rank")
+      .withColumn("rel", rel($"term", $"doc_id"))
+      // 2^rel − 1 as a literal lookup (same table as the oracle CASE)
+      .withColumn("gain", element_at(
+        array(lit(0L), lit(1L), lit(3L), lit(7L)), ($"rel" + 1).cast("int")))
+    val w = array(NDCG_W.map(lit): _*)
+    val ideal = Window.partitionBy($"term")
+      .orderBy($"gain".desc, $"doc_id")
+    ranked
+      .withColumn("w", element_at(w, $"rank".cast("int")))
+      .withColumn("iw", element_at(w, row_number().over(ideal)))
+      .groupBy($"term")
+      .agg(
+        sum(when($"rel" > 0, 1L).otherwise(0L)).as("n_rel"),
+        coalesce(max(when($"rel" > 0, expr("1000000 div rank"))), lit(0L))
+          .as("rr_ppm"),
+        sum($"gain" * $"w").as("dcg"),
+        sum($"gain" * $"iw").as("idcg"))
+      .withColumn("ndcg_ppm",
+        when($"idcg" > 0, expr("(dcg * 1000000) div idcg")).otherwise(0L))
+      .orderBy($"term")
+  }
+
+  private lazy val t44Oracle = {
+    val wCase = NDCG_W.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""WITH base AS (${Relational12.t38Oracle}),
+       |g AS (SELECT term, doc_id, rank,
+       |    ${sqlHash64("concat(term, '#', CAST(doc_id AS VARCHAR))")} % 4
+       |      AS rel
+       |  FROM base),
+       |g2 AS (SELECT term, doc_id, rank, rel,
+       |    CAST(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+       |      ELSE 7 END AS BIGINT) AS gain,
+       |    CAST(CASE rank $wCase END AS BIGINT) AS w
+       |  FROM g),
+       |g3 AS (SELECT *, CAST(CASE row_number() OVER (PARTITION BY term
+       |      ORDER BY gain DESC, doc_id) $wCase END AS BIGINT) AS iw
+       |  FROM g2)
+       |SELECT term,
+       |  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |  CAST(coalesce(max(CASE WHEN rel > 0 THEN 1000000 // rank END), 0)
+       |    AS BIGINT) AS rr_ppm,
+       |  CAST(sum(gain * w) AS BIGINT) AS dcg,
+       |  CAST(sum(gain * iw) AS BIGINT) AS idcg,
+       |  CAST(CASE WHEN sum(gain * iw) > 0
+       |    THEN (sum(gain * w) * 1000000) // sum(gain * iw)
+       |    ELSE 0 END AS BIGINT) AS ndcg_ppm
+       |FROM g3 GROUP BY term ORDER BY term""".stripMargin
+  }
+
+  // ---- s18: triangle count via degree-ordered orientation ----------
+
+  private val TRI_MIN_SUPPORT = 5L
+
+  /** Triangle count and global clustering coefficient of the word
+    * co-occurrence graph (nodes = words, undirected edges = t41's
+    * support-≥[[TRI_MIN_SUPPORT]] corpus bigrams, self-loops
+    * dropped).
+    *
+    * The naive adjacency self-join explodes on hubs (a stop-word
+    * co-occurring with half the vocabulary contributes deg² wedge
+    * candidates). Degree-ordered ORIENTATION is the classic fix:
+    * orient every edge from the (degree, id)-smaller endpoint to the
+    * larger, so out-degree is bounded by O(√m) for EVERY node —
+    * including hubs — and each triangle is generated exactly once as
+    * a wedge at its smallest vertex plus one closing-edge hash
+    * lookup: O(m^1.5) wedge checks total, independent of skew. The
+    * same orientation trick is what keeps the d02/m05 bucket family
+    * sub-quadratic: bound the per-key fan-out structurally, then
+    * join.
+    *
+    * Output is one row of exact integers: nodes, edges, wedges
+    * (Σ deg·(deg−1)/2), triangles, and the global clustering
+    * coefficient ⌊10⁶·3Δ/wedges⌋ in ppm (single integer division —
+    * no float gate). The oracle restates the whole derivation from
+    * the raw bigrams in SQL.
+    *
+    * At 100 TB: the graph is vocabulary-sized (the t41 argument), the
+    * corpus appears only in the one bigram count; on a graph that is
+    * ITSELF huge the plan still holds — degree table, orientation,
+    * and the two joins are all equi-joins on node/edge keys, with the
+    * ordinal rank the only vocabulary-sized window (swap for
+    * zipWithIndex at billion-node scale, same semantics). */
+  def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = greatest(size($"tk") - 1, lit(0))
+    val und = t(s, dir, "documents")
+      .select(word_tokens($"text").as("tk"))
+      .select(explode_outer(zip_with(
+        slice($"tk", lit(1), n1), slice($"tk", lit(2), n1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter($"p".isNotNull)
+      .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= TRI_MIN_SUPPORT)
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint() // 3 consumers (deg ×2 via union, wedges) — the t43 lesson
+    val deg = und.select($"u".as("w")).unionAll(und.select($"v".as("w")))
+      .groupBy($"w").agg(count(lit(1)).as("deg"))
+    // total order on nodes: (degree, word) rank — hubs sort LAST so
+    // orientation points into them, never out of them
+    val ord = deg.withColumn("ord",
+      row_number().over(Window.orderBy($"deg", $"w")).cast("long"))
+    val o = und
+      .join(ord.select($"w".as("u"), $"ord".as("ou")), Seq("u"))
+      .join(ord.select($"w".as("v"), $"ord".as("ov")), Seq("v"))
+      .select(least($"ou", $"ov").as("src"), greatest($"ou", $"ov").as("dst"))
+    val wedges = o.as("e1").join(o.as("e2"), Seq("src"))
+      .filter($"e1.dst" < $"e2.dst")
+      .select($"e1.dst".as("src"), $"e2.dst".as("dst"))
+    val tri = wedges.join(o, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_tri"))
+    val gstats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+    gstats.crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_tri",
+        when($"n_wedges" > 0, expr("(3 * n_tri * 1000000) div n_wedges"))
+          .otherwise(0L).as("gcc_ppm"))
+  }
+
+  private val s18Oracle =
+    s"""WITH d AS (SELECT ${graft.functions.TextOps.sqlTokens("text")} AS tk
+       |  FROM documents),
+       |big AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM (SELECT unnest([{'a': tk[i], 'b': tk[i+1]}
+       |      for i in range(1, len(tk))]) AS p FROM d)
+       |  GROUP BY p.a, p.b),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM big WHERE n_ab >= $TRI_MIN_SUPPORT AND a <> b),
+       |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS w FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY w),
+       |ord AS (SELECT w, deg,
+       |    CAST(row_number() OVER (ORDER BY deg, w) AS BIGINT) AS ord
+       |  FROM deg),
+       |o AS (SELECT least(ou.ord, ov.ord) AS src,
+       |    greatest(ou.ord, ov.ord) AS dst
+       |  FROM und JOIN ord ou ON ou.w = und.u JOIN ord ov ON ov.w = und.v),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+       |  FROM (SELECT e1.dst AS src, e2.dst AS dst
+       |      FROM o e1 JOIN o e2 USING (src) WHERE e1.dst < e2.dst) wd
+       |  WHERE EXISTS (SELECT 1 FROM o
+       |    WHERE o.src = wd.src AND o.dst = wd.dst)),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg)
+       |SELECT n_nodes, n_edges, n_wedges, n_tri,
+       |  CAST(CASE WHEN n_wedges > 0
+       |    THEN (3 * n_tri * 1000000) // n_wedges
+       |    ELSE 0 END AS BIGINT) AS gcc_ppm
+       |FROM g CROSS JOIN tri""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_ranking_metrics" -> (t44 _),
+    "s18_triangle_count" -> (s18 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t44_ranking_metrics" -> t44Oracle,
+    "s18_triangle_count" -> s18Oracle,
+  )
+}
