@@ -123,11 +123,12 @@ object Relational16 {
       val base = t(s, dir, "orders").withColumn("om", om($"o_orderdate"))
         .repartitionByRange(8, $"o_orderkey")
       graft.sources.SnapshotTable.init(
-        s, base, out.toString, "om", "o_orderkey")
+        s, base, out.toString, "om", "o_orderkey", Some("o_custkey"))
       val delta = base.filter($"om" === Q62_MONTH)
         .withColumn("o_totalprice", $"o_totalprice" + 2.0)
       graft.sources.SnapshotTable.upsertPartition(
-        s, out.toString, delta, "om", "o_orderkey", "o_orderkey")
+        s, out.toString, delta, "om", "o_orderkey", "o_orderkey",
+        Some("o_custkey"))
       out.toString
     })
 

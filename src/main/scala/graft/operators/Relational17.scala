@@ -67,7 +67,8 @@ object Relational17 {
           .withColumn("o_orderkey", $"o_orderkey" + KEY_SHIFT)
           .withColumn("o_totalprice", $"o_totalprice" + 11.0)
         SnapshotTable.upsertPartition(s, path,
-          reprice.unionByName(clones), "om", "o_orderkey", "o_orderkey")
+          reprice.unionByName(clones), "om", "o_orderkey", "o_orderkey",
+          Some("o_custkey"))
       }
       path
     })
@@ -148,13 +149,48 @@ object Relational17 {
        |GROUP BY change_type ORDER BY change_type""".stripMargin
   }
 
+  /** Point lookup by a SCATTERED key, planned from the manifests'
+    * per-file BLOOM index: every order of one customer (the probe is
+    * min(o_custkey), derived deterministically so it exists at every
+    * SF). The fixture's month × key-range layout makes o_custkey
+    * orthogonal to both the partition and the stats column — min/max
+    * covers the probe in EVERY file, so range stats skip nothing and
+    * only the bloom's "certainly not here" answers can prune
+    * ([[SnapshotTable.readVersionBloomPruned]]; skip rate
+    * spec-asserted). Blooms only prune — the row filter still
+    * decides membership, so a false positive costs a redundant read,
+    * never a wrong row; no-false-negative is the spec's other half.
+    * Runs against v2 so the lookup composes with time travel. */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    val probe = graft.Tables.load(s, dir, "orders")
+      .agg(min($"o_custkey")).collect()(0).getLong(0)
+    val (df, _, _) = SnapshotTable.readVersionBloomPruned(
+      s, path, 2, "o_custkey", probe)
+    df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"o_custkey")
+  }
+
+  private val q66Oracle =
+    s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice +
+       |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '${Relational16.Q62_MONTH}'
+       |    THEN 2 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders
+       |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
+    "q66_bloom_point_lookup" -> (q66 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q64_mor_delete" -> q64Oracle,
     "q65_snapshot_cdc" -> q65Oracle,
+    "q66_bloom_point_lookup" -> q66Oracle,
   )
 }

@@ -55,8 +55,15 @@ import org.apache.spark.sql.functions._
 object SnapshotTable {
 
   /** One manifest line: a data file and its stats on the table's
-    * declared stats column. */
-  case class FileEntry(rel: String, min: Long, max: Long, rows: Long)
+    * declared stats column, plus (optionally) a compact per-file
+    * BLOOM FILTER over a declared bloom column ([[BLOOM_BITS]] bits
+    * hex-encoded; empty = no bloom). Min/max stats prune RANGE
+    * predicates; the bloom prunes POINT lookups on a key that is
+    * scattered across every file (where min/max covers everything
+    * and skips nothing) — Iceberg's puffin blobs / Delta's bloom
+    * index, folded into the manifest line. */
+  case class FileEntry(rel: String, min: Long, max: Long, rows: Long,
+      bloom: String = "")
 
   private def filesDir(path: String) = s"$path/files"
   private def manifestFile(path: String, v: Int) =
@@ -70,7 +77,7 @@ object SnapshotTable {
   def manifest(path: String, v: Int): Seq[FileEntry] =
     readManifestLines(path, v).collect {
       case p if p(0) != "D" => FileEntry(p(0), p(1).toLong, p(2).toLong,
-        p(3).toLong)
+        p(3).toLong, if (p.length > 4 && p(4) != "-") p(4) else "")
     }
 
   /** EQUALITY-DELETE file entries of version `v` (min/max/rows are
@@ -97,7 +104,8 @@ object SnapshotTable {
     * part-files into the shared `files/` tree under commit-tagged
     * names. Returns the new files' manifest entries. */
   private def stageFiles(df: DataFrame, path: String, partCol: String,
-      statsCol: String, commit: Int): Seq[FileEntry] = {
+      statsCol: String, commit: Int,
+      bloomCol: Option[String] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
     val stage = new File(s"$path/_stage_$commit")
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
@@ -114,6 +122,8 @@ object SnapshotTable {
         local.getParentFile.getName + "/" + local.getName ->
           (r.getLong(1), r.getLong(2), r.getLong(3))
       }.toMap
+    val blooms = bloomCol.map(bloomsPerFile(spark, stage.toString, _))
+      .getOrElse(Map.empty[String, String])
     val moved = FileFormats.listPartFiles(stage).map { f =>
       val partDir = f.getParentFile.getName // partCol=value
       val destDir = new File(s"${filesDir(path)}/$partDir")
@@ -122,7 +132,8 @@ object SnapshotTable {
       val (mn, mx, rows) = stats(s"$partDir/${f.getName}")
       Files.move(f.toPath, new File(destDir, name).toPath,
         StandardCopyOption.ATOMIC_MOVE)
-      FileEntry(s"$partDir/$name", mn, mx, rows)
+      FileEntry(s"$partDir/$name", mn, mx, rows,
+        blooms.getOrElse(s"$partDir/${f.getName}", ""))
     }
     def rm(f: File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
@@ -131,12 +142,101 @@ object SnapshotTable {
     moved.sortBy(_.rel)
   }
 
+  // ---- per-file bloom index ----------------------------------------
+
+  /** Bloom geometry: [[BLOOM_BITS]]-bit filters, [[BLOOM_K]] hash
+    * probes per value. 8192 bits = 1 KB per file in the manifest —
+    * metadata-sized; with ~1k distinct keys per file the false-hit
+    * rate is ~3%, and false POSITIVES only cost a redundant file
+    * read (membership is still decided by the row filter — the
+    * stats-prune contract). */
+  val BLOOM_BITS = 8192
+  val BLOOM_K = 3
+
+  /** The md5-derived 64-bit hash the engine uses everywhere
+    * ([[graft.functions.TextOps.hash64]]), computed JVM-side so the
+    * DRIVER can probe a manifest bloom without a Spark job. */
+  private def jvmHash64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private def bloomPositions(value: Long): Seq[Int] =
+    (0 until BLOOM_K).map(i =>
+      (jvmHash64(s"$i:$value") % BLOOM_BITS).toInt)
+
+  /** Does the hex-encoded bloom possibly contain `value`? Empty
+    * bloom = no index = conservative yes. */
+  def bloomMightContain(hex: String, value: Long): Boolean =
+    hex.isEmpty || bloomPositions(value).forall { p =>
+      val nibble = Integer.parseInt(hex.charAt(p / 4).toString, 16)
+      (nibble & (1 << (p % 4))) != 0
+    }
+
+  /** One distributed aggregation building every staged file's bloom:
+    * each row explodes to its [[BLOOM_K]] bit positions, positions
+    * group to (file, word) bit_or partials, and the driver assembles
+    * [[BLOOM_BITS]]/4 hex chars per file (bit i ⇔ hex nibble i/4,
+    * bit i%4 — LITTLE-endian nibbles so probe math is index-only).
+    * The collect is (#files · 128) rows — layout-sized. The row→
+    * position hash is the Spark-side twin of [[jvmHash64]]
+    * (both are md5 first-15-hex; spec-pinned equal). */
+  private def bloomsPerFile(spark: SparkSession, stagePath: String,
+      bloomCol: String): Map[String, String] = {
+    val probes = (0 until BLOOM_K).map(i =>
+      pmod(graft.functions.TextOps.hash64(
+        concat(lit(s"$i:"), col(bloomCol).cast("string"))),
+        lit(BLOOM_BITS.toLong)))
+    val words = spark.read.parquet(stagePath)
+      .select(input_file_name().as("f"),
+        explode(array(probes: _*)).as("p"))
+      .select(col("f"), (col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+          .as("m"))
+      .groupBy(col("f"), col("w")).agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    words.groupBy(r => r.getString(0)).map { case (f, rs) =>
+      val buf = new Array[Long](BLOOM_BITS / 64)
+      rs.foreach(r => buf(r.getInt(1)) = r.getLong(2))
+      val hex = new StringBuilder(BLOOM_BITS / 4)
+      var i = 0
+      while (i < BLOOM_BITS / 4) {
+        val nib = ((buf(i / 16) >>> ((i % 16) * 4)) & 0xfL).toInt
+        hex.append(Integer.toHexString(nib))
+        i += 1
+      }
+      val local = new File(new java.net.URI(f).getPath)
+      (local.getParentFile.getName + "/" + local.getName) -> hex.toString
+    }
+  }
+
+  /** Read version `v` restricted to files whose BLOOM possibly
+    * contains `key` — the point-lookup planner: a key scattered
+    * across the whole table defeats min/max range stats (every file's
+    * range covers it), but each file's bloom answers "certainly not
+    * here" for all but the handful of files actually holding the key
+    * (plus ~3% false hits). Returns (frame, files read, files in
+    * manifest); files without a bloom are read conservatively. */
+  def readVersionBloomPruned(spark: SparkSession, path: String, v: Int,
+      bloomCol: String, key: Long): (DataFrame, Int, Int) = {
+    val all = manifest(path, v)
+    val live = all.filter(e => bloomMightContain(e.bloom, key))
+    val df =
+      if (live.isEmpty) readFiles(spark, path, all.map(_.rel)).filter(lit(false))
+      else readFiles(spark, path, live.map(_.rel))
+        .filter(col(bloomCol) === key)
+    (df, live.size, all.size)
+  }
+
   private def commitManifest(path: String, v: Int, files: Seq[FileEntry],
       deletes: Seq[FileEntry] = Nil): Unit = {
     val target = manifestFile(path, v)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".v$v.tmp")
-    val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
+    val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}\t" +
+      (if (e.bloom.isEmpty) "-" else e.bloom)) ++
       deletes.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}"))
       .mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -160,9 +260,11 @@ object SnapshotTable {
     * table's declared stats column (long-valued), tracked per file in
     * every manifest. */
   def init(spark: SparkSession, df: DataFrame, path: String,
-      partCol: String, statsCol: String): Int = {
+      partCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Int = {
     require(currentVersion(path) == 0, s"$path already has commits")
-    commitManifest(path, 1, stageFiles(df, path, partCol, statsCol, 1))
+    commitManifest(path, 1,
+      stageFiles(df, path, partCol, statsCol, 1, bloomCol))
     1
   }
 
@@ -171,7 +273,8 @@ object SnapshotTable {
     * carry over by reference (stats included). Returns the new
     * version. */
   def upsertPartition(spark: SparkSession, path: String, delta: DataFrame,
-      partCol: String, keyCol: String, statsCol: String): Int = {
+      partCol: String, keyCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Int = {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     // layout-sized by design: partition values are the directory
@@ -189,7 +292,8 @@ object SnapshotTable {
     val merged = base
       .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(delta)
-    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1)
+    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+      bloomCol)
     commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
     v + 1
   }

@@ -110,6 +110,35 @@ class Relational17Spec extends SparkSpec {
     assert(types == Map("delete" -> nCohort))
   }
 
+  test("q66: bloom prunes the point lookup; no false negatives") {
+    val path = fixture
+    // every data file carries a bloom (init and upserts all passed
+    // the bloom column)
+    assert(SnapshotTable.manifest(path, 2).forall(_.bloom.nonEmpty))
+    val probe = Tables.load(spark, sf, "orders")
+      .agg(min($"o_custkey")).collect()(0).getLong(0)
+    val (df, hit, total) = SnapshotTable.readVersionBloomPruned(
+      spark, path, 2, "o_custkey", probe)
+    assert(total > 20, s"fixture should be many-filed, got $total")
+    assert(hit < total / 4,
+      s"bloom should skip most files: hit=$hit total=$total")
+    // no false negative: the pruned read returns exactly the rows a
+    // full scan filters to
+    val want = SnapshotTable.readVersion(spark, path, 2)
+      .filter($"o_custkey" === probe).count()
+    assert(want > 0 && df.count() == want)
+  }
+
+  test("q66: a key absent from the table prunes to (almost) nothing") {
+    val path = fixture
+    // no order has a negative custkey; hex-probe positions are still
+    // well-defined, so only false positives can survive
+    val (_, hit, total) = SnapshotTable.readVersionBloomPruned(
+      spark, path, 2, "o_custkey", -987654321L)
+    assert(hit <= total / 10,
+      s"absent key should prune nearly everything: hit=$hit total=$total")
+  }
+
   test("CDC mask walk prunes shared files by the delete keys' range stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     // 8 partitions of 10 keys each -> 8 data files with disjoint
