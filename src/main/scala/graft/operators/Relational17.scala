@@ -69,6 +69,10 @@ object Relational17 {
         SnapshotTable.upsertPartition(s, path,
           reprice.unionByName(clones), "om", "o_orderkey", "o_orderkey",
           Some("o_custkey"))
+        // v5: compaction — folds the cohort mask into the data and
+        // collapses the 8-files-per-month ingest layout
+        SnapshotTable.compactCommit(s, path, "om", "o_orderkey",
+          "o_orderkey", Some("o_custkey"))
       }
       path
     })
@@ -182,15 +186,54 @@ object Relational17 {
        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Monthly economics AFTER compaction (v5): the maintenance pass
+    * must be invisible to content — same truth as reading v4
+    * merge-on-read, now from ~one sorted file per month with the
+    * cohort mask FOLDED IN and dropped from the manifest (the spec
+    * asserts the file-count collapse, the empty delete manifest, the
+    * per-file sort, and that v3/v4 time travel still works). The
+    * oracle restates the v4 visible state from the raw table:
+    * re-price (v2) minus cohort (v3) with the [[M4]] re-price and
+    * clone inserts (v4). */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    SnapshotTable.readVersionMor(s, path, 5, "o_orderkey")
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q67Oracle = {
+    val q62m = Relational16.Q62_MONTH
+    s"""WITH v2 AS (SELECT o_orderkey, o_custkey,
+       |    o_totalprice + CASE WHEN strftime(o_orderdate, '%Y-%m') = '$q62m'
+       |      THEN 2 ELSE 0 END AS p,
+       |    strftime(o_orderdate, '%Y-%m') AS om
+       |  FROM orders),
+       |vis AS (SELECT om, o_orderkey, p FROM v2
+       |  WHERE o_custkey % 10 <> $COHORT),
+       |v4 AS (
+       |  SELECT om, CASE WHEN om = '$M4' AND o_orderkey % 5 = 0
+       |    THEN p + 5 ELSE p END AS p FROM vis
+       |  UNION ALL
+       |  SELECT om, p + 11 FROM vis WHERE om = '$M4' AND o_orderkey % 5 = 1)
+       |SELECT om, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM v4 GROUP BY om ORDER BY om""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
     "q66_bloom_point_lookup" -> (q66 _),
+    "q67_compacted_mor" -> (q67 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q64_mor_delete" -> q64Oracle,
     "q65_snapshot_cdc" -> q65Oracle,
     "q66_bloom_point_lookup" -> q66Oracle,
+    "q67_compacted_mor" -> q67Oracle,
   )
 }

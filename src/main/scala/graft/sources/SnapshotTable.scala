@@ -412,6 +412,48 @@ object SnapshotTable {
     visibleRows(spark, path, manifest(path, v), deleteManifest(path, v),
       keyCol)
 
+  /** COMPACTION commit (Iceberg's `rewrite_data_files` + Delta's
+    * OPTIMIZE, on this manifest format): partitions fragmented past
+    * one file — or reachable by any live delete mask — are rewritten
+    * as their VISIBLE rows, one hash task per partition value with an
+    * in-task (partition, stats) sort so each partition collapses to
+    * ~one internally-sorted file; every other partition's files (and
+    * their stats/blooms) carry over by reference. Delete masks whose
+    * reach ends with the rewrite (no surviving lower-sequence file
+    * their key range can touch) are DROPPED from the new manifest —
+    * the mask's lifecycle ends here, which is what keeps MOR read
+    * cost from accreting forever. Content-invariant by construction
+    * (the rewrite materializes exactly [[readVersionMor]]'s rows);
+    * historical versions stay readable since no old file is deleted.
+    * Returns the new version. */
+  def compactCommit(spark: SparkSession, path: String, partCol: String,
+      keyCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Int = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    val data = manifest(path, v)
+    val dels = deleteManifest(path, v).filter(_.rows > 0)
+    def maskReaches(e: FileEntry): Boolean = dels.exists(d =>
+      seqOf(d) > seqOf(e) && d.max >= e.min && d.min <= e.max)
+    val byPart = data.groupBy(_.rel.split("/").head)
+    val rewriteParts = byPart.collect {
+      case (p, fs) if fs.size > 1 || fs.exists(maskReaches) => p
+    }.toSet
+    val (replaced, kept) =
+      data.partition(e => rewriteParts(e.rel.split("/").head))
+    if (replaced.isEmpty) return v // nothing fragmented, no-op
+    val merged =
+      visibleRows(spark, path, replaced, dels, keyCol)
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(statsCol))
+    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+      bloomCol)
+    val liveDels = dels.filter(d => kept.exists(e =>
+      seqOf(e) < seqOf(d) && d.max >= e.min && d.min <= e.max))
+    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), liveDels)
+    v + 1
+  }
+
   // ---- snapshot CDC: changes between versions ----------------------
 
   /** Row-level changelog v1 → v2, planned from the MANIFEST DIFF:

@@ -110,6 +110,44 @@ class Relational17Spec extends SparkSpec {
     assert(types == Map("delete" -> nCohort))
   }
 
+  test("q67: compaction collapses files, folds masks, keeps history") {
+    val path = fixture
+    val m4 = SnapshotTable.manifest(path, 4)
+    val m5 = SnapshotTable.manifest(path, 5)
+    val parts = m5.map(_.rel.split("/").head).distinct
+    // one file per partition after compaction (was up to 8)
+    assert(m5.size == parts.size, s"${m5.size} files for ${parts.size} parts")
+    assert(m4.size > 4 * m5.size,
+      s"fragmented ${m4.size} should collapse past 4x vs ${m5.size}")
+    // the cohort mask's lifecycle ended: folded into data, dropped
+    assert(SnapshotTable.deleteManifest(path, 5).isEmpty)
+    // content invariance: v5 plain read == v4 merge-on-read
+    val v5 = SnapshotTable.readVersion(spark, path, 5)
+    val v4 = SnapshotTable.readVersionMor(spark, path, 4, "o_orderkey")
+    assert(v5.count() == v4.count())
+    assert(v5.agg(sum($"o_orderkey"),
+        sum(round($"o_totalprice" * 100).cast("long"))).collect()(0) ==
+      v4.agg(sum($"o_orderkey"),
+        sum(round($"o_totalprice" * 100).cast("long"))).collect()(0))
+    // time travel is untouched: v3 still hides the cohort
+    val cohort = Tables.load(spark, sf, "orders")
+      .filter(pmod($"o_custkey", lit(10)) === operators.Relational17.COHORT)
+      .count()
+    assert(SnapshotTable.readVersionMor(spark, path, 3, "o_orderkey")
+      .count() == Tables.load(spark, sf, "orders").count() - cohort)
+  }
+
+  test("q67: every compacted file is internally sorted by the stats column") {
+    val path = fixture
+    SnapshotTable.manifest(path, 5).filter(_.rel.contains("c5-")).foreach {
+      e =>
+        val keys = spark.read
+          .parquet(s"$path/files/${e.rel}")
+          .select($"o_orderkey").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted), s"unsorted ${e.rel}")
+    }
+  }
+
   test("q66: bloom prunes the point lookup; no false negatives") {
     val path = fixture
     // every data file carries a bloom (init and upserts all passed
