@@ -218,13 +218,86 @@ object Relational18 {
        |    ELSE 0 END AS BIGINT) AS gcc_ppm
        |FROM g CROSS JOIN tri""".stripMargin
 
+  // ---- x10: mergeable quantile-sketch shards -----------------------
+
+  private val X10_K = 128
+
+  /** Per-event-type value quantiles computed by MERGING per-(type,
+    * DAY) BottomK sketch states — x09's sketch-table pattern applied
+    * to quantiles: the event rows are touched once (the day sharding
+    * pass, ~31 shards per type on this corpus — `n_days` rides in
+    * the output so the shard structure is itself oracle-checked),
+    * after which any rollup period re-aggregates k-row sketch
+    * states. The merge operator IS the sketch aggregator re-applied
+    * (bottom-k of a union of bottom-k's equals bottom-k of the union
+    * — the property-tested [[graft.functions.Sampling.BottomK]]
+    * algebra), so the oracle states the result DIRECTLY over each
+    * type's raw rows: same fixed salt hash, same k, same lower order
+    * statistic — the hash compare PROVES merge ≡ direct, no
+    * error-bound trick needed (the x08 determinism argument,
+    * surviving a shard-merge round trip). Every output value appears
+    * verbatim in the input; no rounding gate anywhere.
+    *
+    * At 100 TB: day states are k·(hash, value) rows — a sketch TABLE
+    * maintained incrementally (the x05/x08 bounded-buffer shape); a
+    * month-to-date or trailing-90-day quantile is a merge over ≤ 90
+    * such states, never a rescan. */
+  def x10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select(
+      $"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+      hash64(concat(lit("x10:"), $"event_id".cast("string"))).as("h"),
+      $"value")
+    val bk = udaf(graft.functions.Sampling.BottomK(X10_K))
+    val shards = ev.groupBy($"event_type", $"day")
+      .agg(bk($"h", $"value").as("sample"))
+    val merged = shards
+      .select($"event_type", $"day", explode($"sample").as("s"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"),
+        bk($"s.h", $"s.v").as("sample"))
+      .select($"event_type", $"n_days",
+        array_sort(transform($"sample", x => x.getField("v"))).as("vals"))
+    def sidx(q: Double) =
+      (floor((size($"vals") - 1).cast("double") * lit(q)) + 1).cast("int")
+    merged.select($"event_type", $"n_days",
+        size($"vals").cast("long").as("n_sample"),
+        element_at($"vals", sidx(0.5)).as("p50_est"),
+        element_at($"vals", sidx(0.9)).as("p90_est"),
+        element_at($"vals", sidx(0.99)).as("p99_est"))
+      .orderBy($"event_type")
+  }
+
+  private val x10Oracle =
+    s"""WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    ${sqlHash64("concat('x10:', CAST(event_id AS VARCHAR))")} AS h,
+       |    value
+       |  FROM events),
+       |sk AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY h, value) AS hrn
+       |  FROM ev),
+       |nd AS (SELECT event_type,
+       |    CAST(count(DISTINCT day) AS BIGINT) AS n_days
+       |  FROM ev GROUP BY event_type),
+       |samp AS (SELECT event_type, list_sort(list(value)) AS vals
+       |  FROM sk WHERE hrn <= $X10_K GROUP BY event_type)
+       |SELECT samp.event_type, n_days, CAST(len(vals) AS BIGINT) AS n_sample,
+       |  vals[CAST(floor((len(vals)-1)*0.5) AS INT)+1] AS p50_est,
+       |  vals[CAST(floor((len(vals)-1)*0.9) AS INT)+1] AS p90_est,
+       |  vals[CAST(floor((len(vals)-1)*0.99) AS INT)+1] AS p99_est
+       |FROM samp JOIN nd ON samp.event_type = nd.event_type
+       |ORDER BY samp.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t44_ranking_metrics" -> (t44 _),
     "s18_triangle_count" -> (s18 _),
+    "x10_quantile_shards" -> (x10 _),
   )
 
   val oracles: Map[String, String] = Map(
     "t44_ranking_metrics" -> t44Oracle,
     "s18_triangle_count" -> s18Oracle,
+    "x10_quantile_shards" -> x10Oracle,
   )
 }

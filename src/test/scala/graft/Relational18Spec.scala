@@ -84,6 +84,39 @@ class Relational18Spec extends SparkSpec {
     assert(got.getLong(4) == expectGcc, "gcc_ppm")
   }
 
+  test("x10: shard-merge equals the direct bottom-k sketch per type") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.load(spark, sf, "events").select(
+      $"event_type",
+      functions.TextOps.hash64(
+        concat(lit("x10:"), $"event_id".cast("string"))).as("h"),
+      $"value")
+    // direct path: one bottom-k over each type's full row set
+    val direct = ev.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(r => (r._2, r._3)).sorted.take(128).map(_._2)
+          .sorted.toSeq
+      }
+    val got = operators.Relational18.x10(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == direct.keySet)
+    got.foreach { case (t, (nDays, nSample, p50, p90, p99)) =>
+      val vals = direct(t)
+      assert(nSample == vals.length.toLong, s"$t sample size")
+      def sx(q: Double) = vals(((vals.length - 1) * q).toInt)
+      assert((p50, p90, p99) == (sx(0.5), sx(0.9), sx(0.99)),
+        s"$t quantiles diverge from the direct sketch")
+      assert(nDays >= 1 && nDays <= 366)
+    }
+    // the sharded path's claim: >1 shard per type was actually merged
+    val nDaysTotal = got.values.map(_._1).max
+    assert(nDaysTotal > 1, "fixture must exercise a real merge")
+  }
+
   test("s18: degree-ordered orientation bounds every out-degree by sqrt(2m)") {
     // the skew claim: orient low->high (degree, id) and even the
     // biggest hub's out-degree is <= sqrt(2m), because each of its
