@@ -223,11 +223,48 @@ object Relational17 {
        |FROM v4 GROUP BY om ORDER BY om""".stripMargin
   }
 
+  /** CDC-DRIVEN incremental rollup — the changelog actually consumed:
+    * the frozen v2 monthly rollup (the q57 "state" role) is advanced
+    * to v4 truth by FOLDING IN [[SnapshotTable.changesBetween]]'s
+    * row-level changes (insert → +1/+cents, delete → −1/−cents,
+    * update → cents delta only), one tiny full-outer merge on the
+    * month key — and the oracle is the same DIRECT v4 restatement
+    * q67 uses, so the hash compare proves state ⊕ changelog ≡
+    * recompute. This is the consumption contract that makes q65 more
+    * than a report: at 100 TB the rollup never re-reads the table,
+    * it reads commit-sized changelogs (the d14/d19 ingest economics
+    * applied to aggregates; carry-over suppression in the changelog
+    * is what makes the fold correct — a false update would double-
+    * count its month). */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    val state = SnapshotTable.readVersion(s, path, 2)
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n0"), sum(cents($"o_totalprice")).as("c0"))
+    val delta = SnapshotTable.changesBetween(s, path, 2, 4, "o_orderkey")
+      .select(
+        coalesce($"post.om", $"pre.om").cast("string").as("om"),
+        when($"change_type" === "insert", 1L)
+          .when($"change_type" === "delete", -1L).otherwise(0L).as("dn"),
+        (coalesce(cents($"post.o_totalprice"), lit(0L)) -
+          coalesce(cents($"pre.o_totalprice"), lit(0L))).as("dc"))
+      .groupBy($"om").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+    state.join(delta, Seq("om"), "full_outer")
+      .select($"om",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+        (coalesce($"c0", lit(0L)) + coalesce($"dc", lit(0L)))
+          .as("sum_cents"))
+      .filter($"n" > 0)
+      .orderBy($"om")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
     "q66_bloom_point_lookup" -> (q66 _),
     "q67_compacted_mor" -> (q67 _),
+    "q69_cdc_incremental_rollup" -> (q69 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +272,8 @@ object Relational17 {
     "q65_snapshot_cdc" -> q65Oracle,
     "q66_bloom_point_lookup" -> q66Oracle,
     "q67_compacted_mor" -> q67Oracle,
+    // deliberately the DIRECT v4 restatement: the hash compare proves
+    // state ⊕ changelog ≡ recompute
+    "q69_cdc_incremental_rollup" -> q67Oracle,
   )
 }
