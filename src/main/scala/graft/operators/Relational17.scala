@@ -40,6 +40,7 @@ object Relational17 {
 
   private[graft] val COHORT = 7L     // deleted customers: custkey % 10
   private[graft] val M4 = "1997-03"  // the v4 rewritten month
+  private[graft] val M6 = "1995-09"  // the v6 schema-evolution month
   private[graft] val KEY_SHIFT = 100000000L
 
   private val cache =
@@ -72,6 +73,16 @@ object Relational17 {
         // v5: compaction — folds the cohort mask into the data and
         // collapses the 8-files-per-month ingest layout
         SnapshotTable.compactCommit(s, path, "om", "o_orderkey",
+          "o_orderkey", Some("o_custkey"))
+        // v6: SCHEMA EVOLUTION — the M6 partition rewrite carries a
+        // NEW column; every other partition's files never move, and
+        // v6's committed DDL null-fills them at read time
+        val m6 = SnapshotTable.readVersionMor(s, path, 5, "o_orderkey")
+          .filter($"om" === M6)
+          .withColumn("o_channel", element_at(
+            array(lit("web"), lit("store"), lit("app")),
+            (pmod($"o_orderkey", lit(3)) + 1).cast("int")))
+        SnapshotTable.upsertPartition(s, path, m6, "om", "o_orderkey",
           "o_orderkey", Some("o_custkey"))
       }
       path
@@ -259,11 +270,59 @@ object Relational17 {
       .orderBy($"om")
   }
 
+  /** Per-channel economics at v6, across the SCHEMA BOUNDARY: the
+    * `o_channel` column exists only in the [[M6]] partition's
+    * rewritten files; every other file predates the column and is
+    * null-filled by v6's committed DDL at read time (coalesced to
+    * 'none' so the group key needs no cross-engine null-ordering
+    * contract). The oracle restates channel assignment and the v4
+    * price state from the raw table — a reader that dropped the old
+    * files' rows, resurrected the phantom column at v5, or lost the
+    * new column's values breaks the hash. Schema evolution costs one
+    * partition rewrite + a DDL line, never a table rewrite. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    SnapshotTable.readVersion(s, path, 6)
+      .select(coalesce($"o_channel", lit("none")).as("o_channel"),
+        cents($"o_totalprice").as("c"))
+      .groupBy($"o_channel")
+      .agg(count(lit(1)).as("n"), sum($"c").as("sum_cents"))
+      .orderBy($"o_channel")
+  }
+
+  private val q68Oracle = {
+    val q62m = Relational16.Q62_MONTH
+    s"""WITH v2 AS (SELECT o_orderkey, o_custkey,
+       |    o_totalprice + CASE WHEN strftime(o_orderdate, '%Y-%m') = '$q62m'
+       |      THEN 2 ELSE 0 END AS p,
+       |    strftime(o_orderdate, '%Y-%m') AS om
+       |  FROM orders),
+       |vis AS (SELECT om, o_orderkey, p FROM v2
+       |  WHERE o_custkey % 10 <> $COHORT),
+       |v4 AS (
+       |  SELECT om, o_orderkey,
+       |    CASE WHEN om = '$M4' AND o_orderkey % 5 = 0
+       |      THEN p + 5 ELSE p END AS p FROM vis
+       |  UNION ALL
+       |  SELECT om, o_orderkey + $KEY_SHIFT, p + 11 FROM vis
+       |  WHERE om = '$M4' AND o_orderkey % 5 = 1),
+       |ch AS (SELECT CASE WHEN om = '$M6'
+       |    THEN CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'store'
+       |      ELSE 'app' END
+       |    ELSE 'none' END AS o_channel, p
+       |  FROM v4)
+       |SELECT o_channel, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM ch GROUP BY o_channel ORDER BY o_channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
     "q66_bloom_point_lookup" -> (q66 _),
     "q67_compacted_mor" -> (q67 _),
+    "q68_schema_evolution" -> (q68 _),
     "q69_cdc_incremental_rollup" -> (q69 _),
   )
 
@@ -272,6 +331,7 @@ object Relational17 {
     "q65_snapshot_cdc" -> q65Oracle,
     "q66_bloom_point_lookup" -> q66Oracle,
     "q67_compacted_mor" -> q67Oracle,
+    "q68_schema_evolution" -> q68Oracle,
     // deliberately the DIRECT v4 restatement: the hash compare proves
     // state ⊕ changelog ≡ recompute
     "q69_cdc_incremental_rollup" -> q67Oracle,

@@ -68,6 +68,30 @@ object SnapshotTable {
   private def filesDir(path: String) = s"$path/files"
   private def manifestFile(path: String, v: Int) =
     Paths.get(s"$path/manifests/v$v.txt")
+  private def schemaFile(path: String, v: Int) =
+    Paths.get(s"$path/manifests/v$v.schema.txt")
+
+  /** The DDL schema COMMITTED with version `v` (None for manifests
+    * written before schema tracking — readers fall back to parquet
+    * inference). Schema rides with the version, not the files: this
+    * is what makes SCHEMA EVOLUTION work — a column added at v(N)
+    * exists in v(N)'s DDL, so files written before v(N) read with
+    * the column null-filled, while a v(N−1) time-travel read uses
+    * v(N−1)'s DDL and never sees the phantom column. */
+  def versionSchema(path: String, v: Int): Option[String] = {
+    val f = schemaFile(path, v)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def commitSchema(path: String, v: Int, ddl: String): Unit = {
+    val target = schemaFile(path, v)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".v$v.schema.tmp")
+    Files.write(tmp, ddl.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private def readManifestLines(path: String, v: Int): Seq[Array[String]] =
     Files.readAllLines(manifestFile(path, v), StandardCharsets.UTF_8)
@@ -94,8 +118,10 @@ object SnapshotTable {
     val dir = new File(s"$path/manifests")
     if (!dir.isDirectory) 0
     else Option(dir.listFiles).toSeq.flatten
-      .map(_.getName).collect { case s if s.startsWith("v") =>
-        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .map(_.getName).collect {
+        case s if s.matches("v\\d+\\.txt") =>
+          s.stripPrefix("v").stripSuffix(".txt").toInt
+      }
       .foldLeft(0)(math.max)
   }
 
@@ -265,6 +291,7 @@ object SnapshotTable {
     require(currentVersion(path) == 0, s"$path already has commits")
     commitManifest(path, 1,
       stageFiles(df, path, partCol, statsCol, 1, bloomCol))
+    commitSchema(path, 1, df.schema.toDDL)
     1
   }
 
@@ -288,27 +315,36 @@ object SnapshotTable {
     // the rewrite applies any delete masks whose sequence reaches the
     // rewritten files, so the merged output is the VISIBLE rows; the
     // new files' higher sequence then ends those masks' reach
-    val base = visibleRows(spark, path, replaced, dels, keyCol)
+    val base = visibleRows(spark, path, replaced, dels, keyCol,
+      versionSchema(path, v))
+    // allowMissingColumns = SCHEMA EVOLUTION: a delta carrying a new
+    // column null-fills the rewritten base rows; files outside the
+    // touched partitions never move, and v(N)'s committed DDL
+    // null-fills them at read time
     val merged = base
       .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(delta)
+      .unionByName(delta, allowMissingColumns = true)
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
       bloomCol)
     commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
+    commitSchema(path, v + 1, merged.schema.toDDL)
     v + 1
   }
 
   private def readFiles(spark: SparkSession, path: String,
-      rel: Seq[String]): DataFrame =
-    spark.read.option("basePath", filesDir(path))
-      .parquet(rel.map(f => s"${filesDir(path)}/$f"): _*)
+      rel: Seq[String], schema: Option[String] = None): DataFrame = {
+    val r0 = spark.read.option("basePath", filesDir(path))
+    val r = schema.fold(r0)(r0.schema)
+    r.parquet(rel.map(f => s"${filesDir(path)}/$f"): _*)
+  }
 
   /** Read table contents AS OF version `v` — time travel. Partition
     * columns are recovered from the file paths via `basePath`, so
     * partition pruning on `partCol` works against the manifest's
     * file list exactly as it would against a live directory scan. */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
-    readFiles(spark, path, manifest(path, v).map(_.rel))
+    readFiles(spark, path, manifest(path, v).map(_.rel),
+      versionSchema(path, v))
 
   /** Read version `v` restricted to `statsCol ∈ [lo, hi]`, planning
     * from MANIFEST STATS: files whose [min, max] misses the range are
@@ -367,6 +403,7 @@ object SnapshotTable {
     rm(stage)
     commitManifest(path, commit, manifest(path, v),
       deleteManifest(path, v) ++ entries)
+    versionSchema(path, v).foreach(commitSchema(path, commit, _))
     commit
   }
 
@@ -388,16 +425,17 @@ object SnapshotTable {
     * of the data. */
   private def visibleRows(spark: SparkSession, path: String,
       data: Seq[FileEntry], dels: Seq[FileEntry],
-      keyCol: String): DataFrame = {
+      keyCol: String, schema: Option[String] = None): DataFrame = {
     val live = dels.filter(_.rows > 0)
     if (data.isEmpty) {
       // schema-stable empty frame: all files, impossible filter
       readFiles(spark, path, manifest(path, currentVersion(path)).map(_.rel))
         .filter(lit(false))
-    } else if (live.isEmpty) readFiles(spark, path, data.map(_.rel))
+    } else if (live.isEmpty)
+      readFiles(spark, path, data.map(_.rel), schema)
     else data.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, group) =>
       val masks = live.filter(d => seqOf(d) > s)
-      val df = readFiles(spark, path, group.map(_.rel))
+      val df = readFiles(spark, path, group.map(_.rel), schema)
       if (masks.isEmpty) df
       else df.join(
         broadcast(deleteKeysDf(spark, path, masks, keyCol)),
@@ -410,7 +448,7 @@ object SnapshotTable {
   def readVersionMor(spark: SparkSession, path: String, v: Int,
       keyCol: String): DataFrame =
     visibleRows(spark, path, manifest(path, v), deleteManifest(path, v),
-      keyCol)
+      keyCol, versionSchema(path, v))
 
   /** COMPACTION commit (Iceberg's `rewrite_data_files` + Delta's
     * OPTIMIZE, on this manifest format): partitions fragmented past
@@ -443,7 +481,8 @@ object SnapshotTable {
       data.partition(e => rewriteParts(e.rel.split("/").head))
     if (replaced.isEmpty) return v // nothing fragmented, no-op
     val merged =
-      visibleRows(spark, path, replaced, dels, keyCol)
+      visibleRows(spark, path, replaced, dels, keyCol,
+        versionSchema(path, v))
         .repartition(col(partCol))
         .sortWithinPartitions(col(partCol), col(statsCol))
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
@@ -451,6 +490,7 @@ object SnapshotTable {
     val liveDels = dels.filter(d => kept.exists(e =>
       seqOf(e) < seqOf(d) && d.max >= e.min && d.min <= e.max))
     commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), liveDels)
+    versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
     v + 1
   }
 

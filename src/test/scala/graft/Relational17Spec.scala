@@ -148,6 +148,29 @@ class Relational17Spec extends SparkSpec {
     }
   }
 
+  test("q68: schema evolution — new column at v6, phantom-free at v5") {
+    val path = fixture
+    assert(SnapshotTable.versionSchema(path, 6).exists(_.contains("o_channel")))
+    assert(SnapshotTable.versionSchema(path, 5).forall(!_.contains("o_channel")))
+    // the old version never sees the phantom column
+    assert(!SnapshotTable.readVersion(spark, path, 5)
+      .columns.contains("o_channel"))
+    val v6 = SnapshotTable.readVersion(spark, path, 6)
+    assert(v6.columns.contains("o_channel"))
+    // null-fill is exactly the files that predate the column
+    val m6n = v6.filter($"om" === operators.Relational17.M6).count()
+    assert(m6n > 0, "fixture month must be populated")
+    assert(v6.filter($"o_channel".isNull).count() == v6.count() - m6n)
+    assert(v6.filter($"om" === operators.Relational17.M6 &&
+      $"o_channel".isNull).count() == 0)
+    // evolution cost one partition rewrite: every non-M6 file shared
+    val m5 = SnapshotTable.manifest(path, 5)
+      .filterNot(_.rel.startsWith(s"om=${operators.Relational17.M6}"))
+    val m6f = SnapshotTable.manifest(path, 6)
+      .filterNot(_.rel.startsWith(s"om=${operators.Relational17.M6}"))
+    assert(m5 == m6f, "non-M6 files must carry over by reference")
+  }
+
   test("q66: bloom prunes the point lookup; no false negatives") {
     val path = fixture
     // every data file carries a bloom (init and upserts all passed
