@@ -97,12 +97,29 @@ object SnapshotTable {
     Files.readAllLines(manifestFile(path, v), StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t"))
 
-  /** DATA-file entries of version `v` (delete files excluded). */
+  /** DATA-file entries of version `v` (delete files and meta lines
+    * excluded). */
   def manifest(path: String, v: Int): Seq[FileEntry] =
     readManifestLines(path, v).collect {
-      case p if p(0) != "D" => FileEntry(p(0), p(1).toLong, p(2).toLong,
-        p(3).toLong, if (p.length > 4 && p(4) != "-") p(4) else "")
+      case p if p(0) != "D" && p(0) != "B" =>
+        FileEntry(p(0), p(1).toLong, p(2).toLong,
+          p(3).toLong, if (p.length > 4 && p(4) != "-") p(4) else "")
     }
+
+  /** The STREAMING-INGEST batch id committed with version `v` (a `B`
+    * meta line in the manifest — written atomically WITH the file
+    * list, which is what makes [[ingestCommit]] exactly-once: the
+    * dedup token and the commit are one rename). None for non-ingest
+    * commits. */
+  def batchIdOf(path: String, v: Int): Option[Long] =
+    readManifestLines(path, v).collectFirst {
+      case p if p(0) == "B" => p(1).toLong
+    }
+
+  /** Highest ingest batch id across all commits (−1 if none). */
+  def lastBatchId(path: String): Long =
+    (1 to currentVersion(path)).flatMap(batchIdOf(path, _))
+      .foldLeft(-1L)(math.max)
 
   /** EQUALITY-DELETE file entries of version `v` (min/max/rows are
     * stats on the deleted KEYS — they prune which data files a
@@ -257,13 +274,15 @@ object SnapshotTable {
   }
 
   private def commitManifest(path: String, v: Int, files: Seq[FileEntry],
-      deletes: Seq[FileEntry] = Nil): Unit = {
+      deletes: Seq[FileEntry] = Nil,
+      batchId: Option[Long] = None): Unit = {
     val target = manifestFile(path, v)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".v$v.tmp")
     val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}\t" +
       (if (e.bloom.isEmpty) "-" else e.bloom)) ++
-      deletes.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}"))
+      deletes.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
+      batchId.map(b => s"B\t$b").toSeq)
       .mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
@@ -327,6 +346,41 @@ object SnapshotTable {
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
       bloomCol)
     commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
+    commitSchema(path, v + 1, merged.schema.toDDL)
+    v + 1
+  }
+
+  /** STREAMING-INGEST commit: upsert `delta` tagged with the
+    * micro-batch id, EXACTLY-ONCE — a batch id at or below the
+    * highest committed one is a replay and commits nothing (the
+    * Delta `txn`/Iceberg WAP pattern: the dedup token rides IN the
+    * manifest, so token and commit land in one atomic rename; after
+    * a foreachBatch crash-and-retry the table is as if the batch
+    * ran once). Unlike [[upsertPartition]], a delta landing entirely
+    * in NEW partitions appends (the common streaming-arrival case —
+    * a new day/month opens a new partition). Designed for
+    * `writeStream.foreachBatch((df, id) => ingestCommit(..., id))`. */
+  def ingestCommit(spark: SparkSession, path: String, delta: DataFrame,
+      partCol: String, keyCol: String, statsCol: String, batchId: Long,
+      bloomCol: Option[String] = None): Int = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    if (batchId <= lastBatchId(path)) return v // replay → no-op
+    val affected = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+    val prev = manifest(path, v)
+    val dels = deleteManifest(path, v)
+    val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
+    val merged =
+      if (replaced.isEmpty) delta // pure append: new partitions only
+      else visibleRows(spark, path, replaced, dels, keyCol,
+          versionSchema(path, v))
+        .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(delta, allowMissingColumns = true)
+    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+      bloomCol)
+    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels,
+      batchId = Some(batchId))
     commitSchema(path, v + 1, merged.schema.toDDL)
     v + 1
   }

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sources.SnapshotTable
+
+/** Streaming ingest INTO the snapshot table — the write-side live
+  * face of the lakehouse tier (q62-q69 read it; this is how rows
+  * arrive at 100 TB). Each micro-batch lands as one
+  * [[SnapshotTable.ingestCommit]]: the batch id rides IN the
+  * manifest, so the commit and its dedup token are a single atomic
+  * rename and a foreachBatch crash-and-retry — Structured Streaming's
+  * at-least-once contract for sinks — collapses to exactly-once
+  * table state (the Delta `txn` / Iceberg WAP idempotence pattern;
+  * the spec replays a committed batch and proves the manifest chain
+  * does not move).
+  *
+  * `foreachBatch` is the right seam (the PipelineStream argument):
+  * an upsert against a moving table must re-plan per batch, and the
+  * commit protocol is driver-side metadata work bracketing one
+  * distributed stage+stats pass per batch. New partitions append;
+  * existing ones merge-on-write with the version's schema (so
+  * schema-evolving producers compose — q68's rules apply per
+  * commit). */
+object SnapshotIngest {
+
+  /** Start ingesting `stream` into the snapshot table at `path`
+    * (which must have an initial commit). One commit per non-empty
+    * micro-batch, exactly-once under replay. */
+  def start(stream: DataFrame, path: String, partCol: String,
+      keyCol: String, statsCol: String, checkpointDir: String,
+      bloomCol: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          SnapshotTable.ingestCommit(batch.sparkSession, path, batch,
+            partCol, keyCol, statsCol, id, bloomCol): Unit
+      }
+      .start()
+}
