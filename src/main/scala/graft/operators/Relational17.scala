@@ -317,6 +317,59 @@ object Relational17 {
        |FROM ch GROUP BY o_channel ORDER BY o_channel""".stripMargin
   }
 
+  private[graft] val Q70_LO = 100L
+  private[graft] val Q70_HI = 2000L
+
+  /** The snapshot table through the REGISTERED DATA SOURCE
+    * (`spark.read.format("graft-snapshot")` —
+    * [[graft.sources.SnapshotSource]]): key-range economics at the
+    * compacted v5, with the range predicate PUSHED by Catalyst into
+    * the relation, which turns it into manifest-stats file pruning
+    * before any file opens (q63's lever behind the standard format
+    * API, where any Spark consumer — SQL views included — picks it
+    * up without knowing the library exists). Stats only prune; the
+    * re-applied row filter decides membership — which also makes the
+    * LAYOUT trade visible: v5's one-sorted-file-per-month compaction
+    * gives each file a full-keyspace range, so here the range
+    * conjunct survives to the row filter while v2's 8-way key-sliced
+    * ingest layout skips most files (the spec asserts both; q54's
+    * Z-order is the lever that buys locality on both dimensions at
+    * once). Oracle states the v4 visible truth over the key range. */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = snapV4(s, dir)
+    s.read.format("graft-snapshot")
+      .option("path", path).option("version", "5")
+      .option("statsCol", "o_orderkey")
+      .load()
+      .filter($"o_orderkey" >= Q70_LO && $"o_orderkey" <= Q70_HI)
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q70Oracle = {
+    val q62m = Relational16.Q62_MONTH
+    s"""WITH v2 AS (SELECT o_orderkey, o_custkey,
+       |    o_totalprice + CASE WHEN strftime(o_orderdate, '%Y-%m') = '$q62m'
+       |      THEN 2 ELSE 0 END AS p,
+       |    strftime(o_orderdate, '%Y-%m') AS om
+       |  FROM orders),
+       |vis AS (SELECT om, o_orderkey, p FROM v2
+       |  WHERE o_custkey % 10 <> $COHORT),
+       |v4 AS (
+       |  SELECT om, o_orderkey,
+       |    CASE WHEN om = '$M4' AND o_orderkey % 5 = 0
+       |      THEN p + 5 ELSE p END AS p FROM vis
+       |  UNION ALL
+       |  SELECT om, o_orderkey + $KEY_SHIFT, p + 11 FROM vis
+       |  WHERE om = '$M4' AND o_orderkey % 5 = 1)
+       |SELECT om, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM v4 WHERE o_orderkey BETWEEN $Q70_LO AND $Q70_HI
+       |GROUP BY om ORDER BY om""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
@@ -324,6 +377,7 @@ object Relational17 {
     "q67_compacted_mor" -> (q67 _),
     "q68_schema_evolution" -> (q68 _),
     "q69_cdc_incremental_rollup" -> (q69 _),
+    "q70_snapshot_source" -> (q70 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +389,6 @@ object Relational17 {
     // deliberately the DIRECT v4 restatement: the hash compare proves
     // state ⊕ changelog ≡ recompute
     "q69_cdc_incremental_rollup" -> q67Oracle,
+    "q70_snapshot_source" -> q70Oracle,
   )
 }

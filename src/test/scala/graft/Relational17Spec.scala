@@ -171,6 +171,47 @@ class Relational17Spec extends SparkSpec {
     assert(m5 == m6f, "non-M6 files must carry over by reference")
   }
 
+  test("q70: the registered format face equals the library read") {
+    val path = fixture
+    val viaFormat = spark.read.format("graft-snapshot")
+      .option("path", path).option("version", "5")
+      .option("statsCol", "o_orderkey").load()
+    val viaLib = SnapshotTable.readVersion(spark, path, 5)
+    assert(viaFormat.columns.toSeq == viaLib.columns.toSeq)
+    assert(viaFormat.count() == viaLib.count())
+    // range filter through the format: same rows as the library's
+    // stats-pruned read (stats only prune; the row filter decides)
+    val lo = operators.Relational17.Q70_LO
+    val hi = operators.Relational17.Q70_HI
+    val fmtRange = viaFormat
+      .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi)
+    val (libRange, hit5, total5) = SnapshotTable.readVersionPruned(
+      spark, path, 5, "o_orderkey", lo, hi)
+    assert(fmtRange.count() == libRange.count() && libRange.count() > 0)
+    // the layout trade, both sides: v5's one-sorted-file-per-month
+    // compaction gives full-keyspace per-file ranges (no range
+    // pruning left), while v2's 8-way key-sliced ingest layout skips
+    // most files — same predicate, same API
+    assert(hit5 == total5)
+    // the q63 range is narrow at every SF (this spec runs at
+    // sf0.001 where the keyspace is small)
+    val (l2, h2) = (operators.Relational16.Q63_LO,
+      operators.Relational16.Q63_HI)
+    val fmt2 = spark.read.format("graft-snapshot")
+      .option("path", path).option("version", "2")
+      .option("statsCol", "o_orderkey").load()
+      .filter($"o_orderkey" >= l2 && $"o_orderkey" <= h2)
+    val (lib2, hit2, total2) = SnapshotTable.readVersionPruned(
+      spark, path, 2, "o_orderkey", l2, h2)
+    assert(fmt2.count() == lib2.count())
+    assert(hit2 < total2 / 2,
+      s"v2's sliced layout must prune: hit=$hit2 total=$total2")
+    // default version = latest (v6, which has the evolved schema)
+    val latest = spark.read.format("graft-snapshot")
+      .option("path", path).load()
+    assert(latest.columns.contains("o_channel"))
+  }
+
   test("q66: bloom prunes the point lookup; no false negatives") {
     val path = fixture
     // every data file carries a bloom (init and upserts all passed
