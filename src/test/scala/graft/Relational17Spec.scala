@@ -231,6 +231,25 @@ class Relational17Spec extends SparkSpec {
     assert(want > 0 && df.count() == want)
   }
 
+  test("q66: measured bloom false-positive rate at ~1k keys/file") {
+    // geometry claim check: BLOOM_BITS=8192, K=3, n=1000 distinct
+    // keys per file => theoretical fp = (1 - e^(-3*1000/8192))^3
+    // ~ 2.9%; measure it on a synthetic table and bound at 2x theory
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    val base = (0L until 8000L).toDF("k")
+      .withColumn("p", ($"k" / 1000).cast("long").cast("string"))
+      .repartition(1)
+    SnapshotTable.init(spark, base, dir, "p", "k", Some("k"))
+    val entries = SnapshotTable.manifest(dir, 1)
+    assert(entries.size == 8 && entries.forall(_.rows == 1000))
+    val probes = (0 until 2000).map(i => 10000000L + i * 7L)
+    val hits = probes.map(k =>
+      entries.count(e => SnapshotTable.bloomMightContain(e.bloom, k))).sum
+    val fp = hits.toDouble / (probes.size * entries.size)
+    assert(fp < 0.06, f"fp rate $fp%.4f exceeds 2x the 2.9%% theory")
+    assert(fp > 0.0, "a zero rate would mean the probe never tests bits")
+  }
+
   test("q66: a key absent from the table prunes to (almost) nothing") {
     val path = fixture
     // no order has a negative custkey; hex-probe positions are still
