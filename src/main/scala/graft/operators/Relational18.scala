@@ -289,15 +289,101 @@ object Relational18 {
        |FROM samp JOIN nd ON samp.event_type = nd.event_type
        |ORDER BY samp.event_type""".stripMargin
 
+  // ---- e14: multi-touch attribution --------------------------------
+
+  private val ATTR_LOOKBACK_US = 120L * 60 * 1000000 // 120 min
+  private val TOUCHES = Seq("click", "view", "signup")
+
+  /** First- and last-touch conversion attribution: every `purchase`
+    * credits the earliest and the latest TOUCH event (click / view /
+    * signup — errors never earn credit) in the strictly-preceding
+    * 120-minute RANGE frame of its user's timeline, falling back to
+    * the 'none' channel when the window holds no touch. Output per
+    * channel: last-touch conversions + attributed cents, first-touch
+    * conversions — the two classic credit models from ONE window
+    * pass (the marketing-analytics face of the event tier, next to
+    * e06's funnel and e13's guarded CEP).
+    *
+    * Shape: one per-user window ordered by event-time micros with a
+    * VALUE-based frame (`rangeBetween(−lookback, −1)` — the q37
+    * machinery), so credit assignment is per-row state in the window
+    * buffer, never a per-purchase self-join; the touch extrema are
+    * min/max over a (ts, event_id, channel) struct, making ties at
+    * equal micros deterministic by event id in both engines
+    * (lexicographic struct comparison — the a01 as-of convention).
+    * The two channel aggregates after the window are #channels-sized.
+    * At 100 TB this is the w04/e06 economics: one user_id shuffle,
+    * then tiny frames. */
+  def e14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsus")
+      .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    val touch = when($"event_type".isin(TOUCHES: _*),
+      struct($"tsus".as("ts"), $"event_id".as("id"),
+        $"event_type".as("ch")))
+    val p = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsus"))
+      .withColumn("lt", max(touch).over(w))
+      .withColumn("ft", min(touch).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"lt.ch", lit("none")).as("last_ch"),
+        coalesce($"ft.ch", lit("none")).as("first_ch"),
+        round($"value" * 100).cast("long").as("cents"))
+    val last = p.groupBy($"last_ch".as("channel"))
+      .agg(count(lit(1)).as("n_last"), sum($"cents").as("cents_last"))
+    val first = p.groupBy($"first_ch".as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    last.join(first, Seq("channel"), "full_outer")
+      .select($"channel", coalesce($"n_last", lit(0L)).as("n_last"),
+        coalesce($"cents_last", lit(0L)).as("cents_last"),
+        coalesce($"n_first", lit(0L)).as("n_first"))
+      .orderBy($"channel")
+  }
+
+  private val e14Oracle =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+       |    epoch_us(ts) AS tsus FROM events),
+       |t AS (SELECT *,
+       |    max(CASE WHEN event_type IN ('click', 'view', 'signup')
+       |      THEN struct_pack(ts := tsus, id := event_id,
+       |        ch := event_type) END)
+       |      OVER (PARTITION BY user_id ORDER BY tsus
+       |        RANGE BETWEEN $ATTR_LOOKBACK_US PRECEDING
+       |        AND 1 PRECEDING) AS lt,
+       |    min(CASE WHEN event_type IN ('click', 'view', 'signup')
+       |      THEN struct_pack(ts := tsus, id := event_id,
+       |        ch := event_type) END)
+       |      OVER (PARTITION BY user_id ORDER BY tsus
+       |        RANGE BETWEEN $ATTR_LOOKBACK_US PRECEDING
+       |        AND 1 PRECEDING) AS ft
+       |  FROM ev),
+       |p AS (SELECT coalesce(lt.ch, 'none') AS last_ch,
+       |    coalesce(ft.ch, 'none') AS first_ch,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM t WHERE event_type = 'purchase'),
+       |l AS (SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last,
+       |    CAST(sum(cents) AS BIGINT) AS cents_last
+       |  FROM p GROUP BY last_ch),
+       |f AS (SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first
+       |  FROM p GROUP BY first_ch)
+       |SELECT channel, coalesce(n_last, 0) AS n_last,
+       |  coalesce(cents_last, 0) AS cents_last,
+       |  coalesce(n_first, 0) AS n_first
+       |FROM l FULL OUTER JOIN f USING (channel)
+       |ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t44_ranking_metrics" -> (t44 _),
     "s18_triangle_count" -> (s18 _),
     "x10_quantile_shards" -> (x10 _),
+    "e14_touch_attribution" -> (e14 _),
   )
 
   val oracles: Map[String, String] = Map(
     "t44_ranking_metrics" -> t44Oracle,
     "s18_triangle_count" -> s18Oracle,
     "x10_quantile_shards" -> x10Oracle,
+    "e14_touch_attribution" -> e14Oracle,
   )
 }

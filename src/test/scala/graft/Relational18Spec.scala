@@ -117,6 +117,47 @@ class Relational18Spec extends SparkSpec {
     assert(nDaysTotal > 1, "fixture must exercise a real merge")
   }
 
+  test("e14: brute-force attribution replay matches the registered query") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val look = 120L * 60 * 1000000
+    val touches = Set("click", "view", "signup")
+    val byUser = ev.groupBy(_._1)
+    case class Acc(nLast: Long = 0, cents: Long = 0, nFirst: Long = 0)
+    var acc = Map.empty[String, Acc].withDefaultValue(Acc())
+    var accF = Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, rows) <- byUser; (_, _, tp, v, ts) <- rows
+         if tp == "purchase") {
+      val win = rows.filter(r => touches(r._3) &&
+        r._5 >= ts - look && r._5 <= ts - 1)
+        .map(r => (r._5, r._2, r._3)) // (ts, id, ch) — struct order
+      val lastCh = if (win.isEmpty) "none" else win.max._3
+      val firstCh = if (win.isEmpty) "none" else win.min._3
+      val cents = math.round(v * 100)
+      val a = acc(lastCh)
+      acc = acc.updated(lastCh,
+        a.copy(nLast = a.nLast + 1, cents = a.cents + cents))
+      accF = accF.updated(firstCh, accF(firstCh) + 1)
+    }
+    val want = (acc.keySet ++ accF.keySet).map { ch =>
+      ch -> ((acc(ch).nLast, acc(ch).cents, accF(ch)))
+    }.toMap
+    val got = operators.Relational18.e14(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"attribution diverges: ${got.size}/${want.size}")
+    // conservation: every purchase earns exactly one credit per model
+    val nPurch = ev.count(_._3 == "purchase").toLong
+    assert(got.values.map(_._1).sum == nPurch)
+    assert(got.values.map(_._3).sum == nPurch)
+  }
+
   test("s18: degree-ordered orientation bounds every out-degree by sqrt(2m)") {
     // the skew claim: orient low->high (degree, id) and even the
     // biggest hub's out-degree is <= sqrt(2m), because each of its
