@@ -321,23 +321,31 @@ object Relational18 {
     val touch = when($"event_type".isin(TOUCHES: _*),
       struct($"tsus".as("ts"), $"event_id".as("id"),
         $"event_type".as("ch")))
-    val p = t(s, dir, "events")
+    // each purchase explodes into its two credit rows (model,
+    // channel, cents), so BOTH models fall out of ONE channel
+    // aggregate over ONE window pass — the naive two-groupBy form
+    // re-evaluated the user window per model (two user_id exchanges,
+    // no ReusedExchange across the differing aliases; caught by
+    // `PlanAudit exec:`, the t43 lesson)
+    t(s, dir, "events")
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_micros($"ts").as("tsus"))
       .withColumn("lt", max(touch).over(w))
       .withColumn("ft", min(touch).over(w))
       .filter($"event_type" === "purchase")
-      .select(coalesce($"lt.ch", lit("none")).as("last_ch"),
-        coalesce($"ft.ch", lit("none")).as("first_ch"),
-        round($"value" * 100).cast("long").as("cents"))
-    val last = p.groupBy($"last_ch".as("channel"))
-      .agg(count(lit(1)).as("n_last"), sum($"cents").as("cents_last"))
-    val first = p.groupBy($"first_ch".as("channel"))
-      .agg(count(lit(1)).as("n_first"))
-    last.join(first, Seq("channel"), "full_outer")
-      .select($"channel", coalesce($"n_last", lit(0L)).as("n_last"),
-        coalesce($"cents_last", lit(0L)).as("cents_last"),
-        coalesce($"n_first", lit(0L)).as("n_first"))
+      .select(explode(array(
+        struct(lit("last").as("m"),
+          coalesce($"lt.ch", lit("none")).as("channel"),
+          round($"value" * 100).cast("long").as("cents")),
+        struct(lit("first").as("m"),
+          coalesce($"ft.ch", lit("none")).as("channel"),
+          lit(0L).as("cents")))).as("r"))
+      .groupBy($"r.channel".as("channel"))
+      .agg(
+        sum(when($"r.m" === "last", 1L).otherwise(0L)).as("n_last"),
+        sum(when($"r.m" === "last", $"r.cents").otherwise(0L))
+          .as("cents_last"),
+        sum(when($"r.m" === "first", 1L).otherwise(0L)).as("n_first"))
       .orderBy($"channel")
   }
 
