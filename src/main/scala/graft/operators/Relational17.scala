@@ -370,6 +370,65 @@ object Relational17 {
        |GROUP BY om ORDER BY om""".stripMargin
   }
 
+  private[graft] val M71 = "1996-08" // the q71 re-priced month
+
+  private val vacCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Int, Int)]
+
+  /** A dedicated snapshot table (the SHARED fixture must keep its
+    * history — q62/q64 time-travel into it) built, upserted, then
+    * VACUUMED: [[SnapshotTable.expireVersions]] drops v1's manifest
+    * and every file only v1 referenced. Returns (path, deleted,
+    * kept) so the spec can assert the orphan sweep. */
+  private[graft] def vacuumedOrders(s: SparkSession, dir: String)
+      : (String, Int, Int) =
+    vacCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-vac")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(out.toFile)
+      }))
+      val base = graft.Tables.load(s, dir, "orders")
+        .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
+        .filter($"om" < "1997-01")
+        .repartitionByRange(4, $"o_orderkey")
+      SnapshotTable.init(s, base, out.toString, "om", "o_orderkey")
+      val delta = base.filter($"om" === M71)
+        .withColumn("o_totalprice", $"o_totalprice" + 3.0)
+      SnapshotTable.upsertPartition(s, out.toString, delta, "om",
+        "o_orderkey", "o_orderkey")
+      val (del, kept) = SnapshotTable.expireVersions(s, out.toString, 2)
+      (out.toString, del, kept)
+    })
+
+  /** Monthly economics AFTER vacuum: v1's history is gone by design,
+    * v2 must read byte-for-byte what it read before the sweep — a
+    * reachability bug in either direction (deleting a shared file v2
+    * still names, or keeping the whole v1 partition alive) breaks
+    * the hash or the spec's orphan count. The oracle restates the
+    * re-priced truth from the raw table. */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (path, _, _) = vacuumedOrders(s, dir)
+    SnapshotTable.readVersion(s, path, 2)
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q71Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice +
+       |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '$M71'
+       |    THEN 3 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_mor_delete" -> (q64 _),
     "q65_snapshot_cdc" -> (q65 _),
@@ -378,6 +437,7 @@ object Relational17 {
     "q68_schema_evolution" -> (q68 _),
     "q69_cdc_incremental_rollup" -> (q69 _),
     "q70_snapshot_source" -> (q70 _),
+    "q71_vacuumed_read" -> (q71 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +450,6 @@ object Relational17 {
     // state ⊕ changelog ≡ recompute
     "q69_cdc_incremental_rollup" -> q67Oracle,
     "q70_snapshot_source" -> q70Oracle,
+    "q71_vacuumed_read" -> q71Oracle,
   )
 }

@@ -45,9 +45,9 @@ import org.apache.spark.sql.functions._
   *    pruning work exactly as on a directory listing, but against
   *    the COMMITTED file set (no eventual-consistency listing races
   *    — the object-store problem manifests exist to solve);
-  *  - expiring old versions is just deleting manifests plus any file
-  *    referenced by no surviving manifest (not implemented here —
-  *    retention policy, not query semantics).
+  *  - expiring old versions is deleting manifests plus any file
+  *    referenced by no surviving manifest ([[expireVersions]] — a
+  *    manifest-sized reachability walk, never a data scan).
   *
   * Local-FS commit is a rename of the manifest into place (atomic on
   * POSIX); an object-store deployment would swap this single file
@@ -546,6 +546,44 @@ object SnapshotTable {
     commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), liveDels)
     versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
     v + 1
+  }
+
+  /** RETENTION: expire every version below `keepFrom` — delete their
+    * manifests (and schema files), then any data or delete file
+    * referenced by NO surviving manifest (Iceberg's
+    * `expire_snapshots` + `remove_orphan_files`, in one pass). The
+    * reachability walk is manifest-sized (driver-side metadata, the
+    * layout-sized stance); files shared forward by reference survive
+    * because the surviving manifests still name them. After this,
+    * time travel below `keepFrom` is gone BY DESIGN — storage
+    * reclaim is exactly the forfeit of history, which is why it is a
+    * separate, explicit commitless operation and never implied by a
+    * write. Returns (files deleted, files kept). */
+  def expireVersions(spark: SparkSession, path: String,
+      keepFrom: Int): (Int, Int) = {
+    val cur = currentVersion(path)
+    require(keepFrom >= 1 && keepFrom <= cur,
+      s"keepFrom $keepFrom outside 1..$cur")
+    val live = (keepFrom to cur).flatMap(v =>
+      manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel))
+      .toSet
+    (1 until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestFile(path, v))
+      Files.deleteIfExists(schemaFile(path, v)): Unit
+    }
+    val root = new File(filesDir(path))
+    var deleted = 0
+    var kept = 0
+    Option(root.listFiles).toSeq.flatten.filter(_.isDirectory).foreach {
+      dir =>
+        Option(dir.listFiles).toSeq.flatten.filter(_.isFile).foreach { f =>
+          val rel = s"${dir.getName}/${f.getName}"
+          if (live(rel)) kept += 1
+          else { Files.delete(f.toPath); deleted += 1 }
+        }
+        if (Option(dir.listFiles).forall(_.isEmpty)) dir.delete(): Unit
+    }
+    (deleted, kept)
   }
 
   // ---- snapshot CDC: changes between versions ----------------------

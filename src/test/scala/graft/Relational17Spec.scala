@@ -212,6 +212,32 @@ class Relational17Spec extends SparkSpec {
     assert(latest.columns.contains("o_channel"))
   }
 
+  test("q71: vacuum expires v1, sweeps orphans, keeps v2 byte-identical") {
+    val (path, deleted, kept) =
+      operators.Relational17.vacuumedOrders(spark, sf)
+    // v1's manifest is gone; v2 is the only survivor
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/manifests/v1.txt")))
+    assert(SnapshotTable.currentVersion(path) == 2)
+    // reachability: every surviving manifest entry exists on disk,
+    // and the kept count is exactly the manifest size
+    val m2 = SnapshotTable.manifest(path, 2)
+    m2.foreach(e => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/files/${e.rel}")), e.rel))
+    assert(kept == m2.size)
+    // the sweep actually removed v1's rewritten-partition originals
+    assert(deleted > 0)
+    // and files shared forward by reference SURVIVED (v2 keeps every
+    // untouched partition's v1 files)
+    assert(m2.exists(_.rel.contains("/c1-")),
+      "shared v1 files must survive the sweep")
+    // read-back: full row count of the restricted table
+    import org.apache.spark.sql.functions.date_format
+    val want = Tables.load(spark, sf, "orders")
+      .filter(date_format($"o_orderdate", "yyyy-MM") < "1997-01").count()
+    assert(SnapshotTable.readVersion(spark, path, 2).count() == want)
+  }
+
   test("q66: bloom prunes the point lookup; no false negatives") {
     val path = fixture
     // every data file carries a bloom (init and upserts all passed
