@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Nineteenth tranche — data-management shapes a 100 TB lake runs
+  * before, during, and after every pipeline in tranches 1-18:
+  *
+  *  - q72: SINGLE-PASS TABLE PROFILING (per-column null count,
+  *    distinct count, min/max) — the "what is in this table" scan
+  *    every ingest lands with;
+  *  - q73: DECLARATIVE DATA-QUALITY AUDIT (uniqueness, referential
+  *    integrity, domain and range constraints as one report) — the
+  *    Deequ-style contract check that gates a table version before
+  *    curation trusts it;
+  *  - e15: EVENT-SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE analog:
+  *    per-user-day event strings scanned by regular expressions) —
+  *    CEP generalized from e13's single hard-coded guard to
+  *    arbitrary patterns;
+  *  - q74: INCREMENTAL VIEW MAINTENANCE OF A JOIN VIEW — the delta
+  *    algebra Δ(O⋈L) = ΔO⋈L ∪ O_old⋈ΔL applied to a revenue
+  *    rollup, with state ⊕ changelog ≡ recompute PROVEN by the
+  *    oracle hash (q57/q69's aggregate-IVM convention extended to
+  *    the join case);
+  *  - s19: K-HOP REACHABILITY over the s11 knn graph (unrolled
+  *    frontier BFS with min-hop semantics) — the neighborhood-
+  *    expansion primitive behind graph-based dedup audits and
+  *    label-spill checks.
+  *
+  * The reference ships none of these (it is an IOC ETL bridge,
+  * `/root/reference/src/Datalake2Anomali.py:1-449`); they extend the
+  * SURVEY §7.2 relational/event/graph tiers alongside tranches 1-18.
+  */
+object Relational19 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- q72: single-pass table profile -------------------------------
+
+  /** Per-column profile of `orders` — null count, exact distinct
+    * count, min and max — computed in ONE aggregate over ONE scan and
+    * unpivoted to a row per column. Values are profiled through a
+    * CANONICAL projection per type (ints/longs as-is, doubles on the
+    * exact cents grid, timestamps as ISO day strings) so min/max render
+    * engine-portably as strings; the exact distinct counts share the
+    * scan via Catalyst's Expand rewrite (one pass, k× intermediate
+    * rows — the standard multi-distinct trade, and still one scan
+    * where the naive profiler runs one job per column).
+    *
+    * At 100 TB: profiling cost is the scan, not the column count —
+    * every per-column aggregate is map-side partial; swap the exact
+    * distincts for x01's HLL sketches when ±2% suffices (same plan
+    * shape, no Expand). */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select(
+      $"o_orderkey",
+      $"o_custkey",
+      $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").as("o_totalprice_c"),
+      date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_d"),
+      $"o_orderpriority")
+    val cols = o.columns
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stack = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stack) AS " +
+          "(col_name, n_null, n_distinct, min_val, max_val)")
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+        $"min_val", $"max_val")
+      .orderBy($"col_name")
+  }
+
+  private val q72Oracle = {
+    // min/max aggregate the RAW canonical value (numeric order), then
+    // render as VARCHAR — aggregating the string cast would compare
+    // lexicographically and disagree with the engine on numerics
+    val branches = Seq(
+      ("o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_totalprice_c", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+      ("o_orderdate_d", "strftime(o_orderdate, '%Y-%m-%d')"),
+      ("o_orderpriority", "o_orderpriority"))
+      .map { case (name, rawExpr) =>
+        s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN ($rawExpr) IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT ($rawExpr)) AS BIGINT) AS n_distinct,
+           |  CAST(min($rawExpr) AS VARCHAR) AS min_val,
+           |  CAST(max($rawExpr) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      }
+    branches.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  // ---- q73: declarative data-quality audit ---------------------------
+
+  /** Constraint audit over the orders/lineitem/customer star: each row
+    * is one declared constraint with its checked-row count, violation
+    * count, and pass flag. The constraint set deliberately includes
+    * rules this synthetic data VIOLATES (quantity ≤ 45, tax ≤ 0.05,
+    * discount ≤ 0.08, status ∈ {F,O}) so the machinery's counting is
+    * oracle-gated on non-zero paths, next to the clean invariants
+    * (key uniqueness, both foreign keys, not-null) that hold — the
+    * t44 synthetic-qrels convention: the AUDIT machinery is the
+    * operator under test, a deployment swaps in its own rule table.
+    *
+    * Plan shape: all row-level rules per table share ONE conditional
+    * aggregate over ONE scan (violations are `sum(when …)` branches,
+    * map-side partial, then a constant-size stack); uniqueness is a
+    * distinct count on the key; each referential rule is one
+    * left-anti equi-join — the only shuffles, on exactly the keys a
+    * bucketed layout (q58) co-locates for free. The per-table
+    * aggregates localCheckpoint as 1-ROW states so the FK rows'
+    * n_checked factors ride them instead of re-scanning their tables
+    * (two consumers of a tiny aggregate never ReusedExchange — the
+    * t43 lesson, paid here with 8 bytes instead of a checkpointed
+    * table). At 100 TB the audit costs one aggregate scan per table
+    * plus the two sides of each FK join — the minimum any engine can
+    * promise. */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+
+    val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity" > 45, 1L).otherwise(0L)).as("v_qty"),
+        sum(when($"l_tax" > 0.05, 1L).otherwise(0L)).as("v_tax"),
+        sum(when($"l_discount" > 0.08, 1L).otherwise(0L)).as("v_disc"))
+      .localCheckpoint()
+    val oAgg = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(!$"o_orderstatus".isin("F", "O"), 1L).otherwise(0L))
+          .as("v_status"),
+        sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("v_dup"))
+      .localCheckpoint()
+    val liChecks = liAgg
+      .selectExpr("stack(3, " +
+        "'lineitem_quantity_le_45', n, v_qty, " +
+        "'lineitem_tax_le_005', n, v_tax, " +
+        "'lineitem_discount_le_008', n, v_disc) AS " +
+        "(rule, n_checked, n_violations)")
+    val oChecks = oAgg
+      .selectExpr("stack(3, " +
+        "'orders_status_in_F_O', n, v_status, " +
+        "'orders_totalprice_not_null', n, v_null, " +
+        "'orders_orderkey_unique', n, v_dup) AS " +
+        "(rule, n_checked, n_violations)")
+    val fkLi = li.select($"l_orderkey")
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+        "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(liAgg.select($"n"))
+      .select(lit("lineitem_orderkey_fk_orders").as("rule"),
+        $"n".as("n_checked"), $"orphans".as("n_violations"))
+    val fkO = o.select($"o_custkey")
+      .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey",
+        "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(oAgg.select($"n"))
+      .select(lit("orders_custkey_fk_customer").as("rule"),
+        $"n".as("n_checked"), $"orphans".as("n_violations"))
+
+    liChecks.unionByName(oChecks).unionByName(fkLi).unionByName(fkO)
+      .withColumn("passed", $"n_violations" === 0L)
+      .orderBy($"rule")
+  }
+
+  private val q73Oracle =
+    """WITH li AS (SELECT 'lineitem_quantity_le_45' AS rule,
+      |    CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violations FROM lineitem
+      |  UNION ALL SELECT 'lineitem_tax_le_005', count(*),
+      |    sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_discount_le_008', count(*),
+      |    sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'orders_status_in_F_O', count(*),
+      |    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)
+      |    FROM orders
+      |  UNION ALL SELECT 'orders_totalprice_not_null', count(*),
+      |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL SELECT 'orders_orderkey_unique', count(*),
+      |    count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'lineitem_orderkey_fk_orders',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey)
+      |  UNION ALL SELECT 'orders_custkey_fk_customer',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders o ANTI JOIN customer c
+      |      ON o.o_custkey = c.c_custkey))
+      |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS passed
+      |FROM li ORDER BY rule""".stripMargin
+
+  // ---- e15: event-sequence pattern matching --------------------------
+
+  /** (regex, report-name) rules. Every inner character class EXCLUDES
+    * the pattern's terminator characters, which makes greedy-
+    * backtracking (Java) and leftmost-longest (RE2/DuckDB) match
+    * semantics coincide — the portability condition for counting
+    * matches across engines, stated here so rule authors keep it. */
+  private[graft] val E15_PATTERNS = Seq(
+    ("c[ve]*p", "click_to_purchase"),
+    ("sp", "signup_adjacent_purchase"),
+    ("e{2,}", "error_burst"))
+
+  /** MATCH_RECOGNIZE-style pattern matching over per-user-day event
+    * sequences: each (user, day) group's events are ordered by
+    * (event-time, event_id) and encoded one character per event
+    * (c/v/s/p/e); each rule in [[E15_PATTERNS]] is a regular
+    * expression counted per sequence. Output per rule: number of
+    * groups with ≥1 match and total non-overlapping matches — e13's
+    * CEP shape generalized from one hard-coded guard to a rule table.
+    *
+    * Shape: one user_id×day shuffle builds the sequences (group state
+    * = one short string — the DAY grain bounds it the way w03's
+    * session gap bounds sessions; a pipeline would sessionize first
+    * at an unbounded grain), then pattern counting is a per-row
+    * codegen'd `regexp_count` fanned out by one literal-array explode
+    * (#rules × #groups rows), and the report aggregate is rule-sized.
+    * At 100 TB: the one shuffle is the sequence build; rules cost no
+    * extra pass — adding a rule is free at scan level. */
+  def e15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = when($"event_type" === "click", "c")
+      .when($"event_type" === "view", "v")
+      .when($"event_type" === "signup", "s")
+      .when($"event_type" === "purchase", "p")
+      .otherwise("e")
+    val seqs = t(s, dir, "events")
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
+        unix_micros($"ts").as("tsus"), $"event_id", ch.as("ch"))
+      .groupBy($"user_id", $"day")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"tsus", $"event_id", $"ch"))),
+        x => x.getField("ch"))).as("seq"))
+    val ruleRows = E15_PATTERNS.map { case (re, name) =>
+      struct(lit(name).as("pattern"),
+        regexp_count(col("seq"), lit(re)).as("cnt"))
+    }
+    seqs.select(explode(array(ruleRows: _*)).as("r"))
+      .groupBy($"r.pattern".as("pattern"))
+      .agg(sum(when($"r.cnt" > 0, 1L).otherwise(0L)).as("n_groups"),
+        sum($"r.cnt").cast("long").as("n_matches"))
+      .orderBy($"pattern")
+  }
+
+  private val e15Oracle = {
+    val branches = E15_PATTERNS.map { case (re, name) =>
+      s"""SELECT '$name' AS pattern,
+         |  CAST(len(regexp_extract_all(seq, '$re')) AS BIGINT) AS cnt
+         |FROM seqs""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |    epoch_us(ts) AS tsus, event_id,
+       |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+       |      WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+       |      ELSE 'e' END AS ch
+       |  FROM events),
+       |seqs AS (SELECT user_id, day,
+       |    string_agg(ch, '' ORDER BY tsus, event_id) AS seq
+       |  FROM ev GROUP BY user_id, day),
+       |m AS ($branches)
+       |SELECT pattern,
+       |  CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_groups,
+       |  CAST(sum(cnt) AS BIGINT) AS n_matches
+       |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin
+  }
+
+  // ---- q74: incremental maintenance of a join view -------------------
+
+  private val IVM_CUTOFF = "2000-01-01"
+
+  /** Incremental maintenance of a JOIN view: the revenue rollup
+    * V = γ_{priority,year}(orders ⋈ lineitem) maintained from a
+    * pre-cutoff state plus the delta algebra
+    * Δ(O⋈L) = ΔO⋈L  ∪  O_old⋈ΔL (the ΔO⋈ΔL cross term rides in the
+    * first leg because L = L_old ∪ ΔL) — the join-view counterpart
+    * of q57's rollup merge and q69's CDC aggregate. "New" rows are
+    * orders dated ≥ [[IVM_CUTOFF]] and lineitems shipped ≥ it, so the
+    * split is pure predicate, deterministic in both engines; the
+    * oracle states the view DIRECTLY over the full join, so the hash
+    * match PROVES state ⊕ changelog ≡ recompute, not merely that two
+    * Spark plans agree.
+    *
+    * Revenue is summed on the exact cents grid (per-row
+    * `round(ext×(1−disc)×100)` — one identical IEEE product chain
+    * then one half-away round in both engines, then exact long sums),
+    * because IVM reorders the additions: a float sum would gate the
+    * hash on addition order, the one thing delta maintenance changes.
+    *
+    * At 100 TB: the two delta joins each touch one day's ingest
+    * against one full side — partition-pruned on the date predicate
+    * (the scan reads ΔO's files only) and co-located if the tables
+    * are bucketed by orderkey (q58's layout makes both delta joins
+    * exchange-free); state is view-sized and the final merge is a
+    * view-sized aggregate. Recompute touches EVERY row ever ingested;
+    * this touches the delta and the view. */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"l_extendedprice" * (lit(1) - $"l_discount") *
+      lit(100)).cast("long")
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
+      year($"o_orderdate").cast("long").as("o_year"),
+      ($"o_orderdate" >= lit(IVM_CUTOFF).cast("timestamp")).as("o_new"))
+    val l = t(s, dir, "lineitem").select($"l_orderkey", cents.as("cents"),
+      ($"l_shipdate" >= lit(IVM_CUTOFF).cast("timestamp")).as("l_new"))
+    def viewAgg(rows: DataFrame): DataFrame = rows
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(sum($"cents").as("revenue_cents"), count(lit(1)).as("n_items"))
+    // the maintained state: the view over pre-cutoff data only
+    val state = viewAgg(o.filter(!$"o_new")
+        .join(l.filter(!$"l_new"), $"o_orderkey" === $"l_orderkey"))
+      .localCheckpoint()
+    // ΔO ⋈ L (covers ΔO⋈L_old and ΔO⋈ΔL) ∪ O_old ⋈ ΔL
+    val deltaRows = o.filter($"o_new")
+        .join(l, $"o_orderkey" === $"l_orderkey")
+        .unionByName(o.filter(!$"o_new")
+          .join(l.filter($"l_new"), $"o_orderkey" === $"l_orderkey"))
+    val out = state.unionByName(viewAgg(deltaRows))
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(sum($"revenue_cents").as("revenue_cents"),
+        sum($"n_items").as("n_items"))
+      .orderBy($"o_orderpriority", $"o_year")
+    // state stays cached: the returned frame reads it lazily (the
+    // s13t convention) — freeing a lineage-less checkpoint that a
+    // pending plan still references would fail the later action
+    out
+  }
+
+  private val q74Oracle =
+    """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority, o_year
+      |ORDER BY o_orderpriority, o_year""".stripMargin
+
+  // ---- s19: k-hop reachability over the knn graph --------------------
+
+  private val KHOP_SEED_MOD = 50L
+  private val KHOP_ROUNDS = 3
+
+  /** K-hop reachability with min-hop semantics over the s11 knn graph:
+    * seeds are every vector with `vec_id ≡ 0 (mod [[KHOP_SEED_MOD]])`;
+    * [[KHOP_ROUNDS]] unrolled frontier rounds each extend the reached
+    * set one edge and keep the MINIMUM hop count per node — bounded-
+    * depth BFS, the primitive behind "which documents sit within k
+    * semantic hops of a contaminated seed" audits (t08's exact-match
+    * decontamination widened along d08's graph structure).
+    *
+    * Shape: the edge list derives from the full s11 plan ONCE and
+    * localCheckpoints (the d09/s12 iterative-graph discipline — every
+    * round would otherwise re-run candidate generation); each round is
+    * one reached⋈edges equi-join plus a min-hop aggregate over a set
+    * that never exceeds |V| rows, checkpointed so the plan stays flat.
+    * The s11-fresh-build cost dominates (the s12/s16 bench shape); at
+    * 100 TB rounds shuffle reached-set-sized tables on node keys, and
+    * out-degree is structurally ≤ k — frontier growth is ≤ k× per
+    * round regardless of skew. */
+  def s19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Similarity.s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    var reached = edges.select($"src".as("id")).distinct()
+      .filter(pmod($"id", lit(KHOP_SEED_MOD)) === 0)
+      .select($"id", lit(0L).as("hop"))
+      .localCheckpoint()
+    for (_ <- 1 to KHOP_ROUNDS) {
+      val prev = reached
+      reached = prev.unionByName(
+          edges.join(prev, $"src" === $"id")
+            .select($"dst".as("id"), ($"hop" + 1L).as("hop")))
+        .groupBy($"id").agg(min($"hop").as("hop"))
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
+    }
+    // the final round's checkpoint backs the returned frame (s13t
+    // convention: it stays cached); edges are superseded once the
+    // last round materialized
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
+    reached.select($"id".as("vec_id"), $"hop").orderBy($"vec_id")
+  }
+
+  private lazy val s19Oracle: String = {
+    val rounds = (1 to KHOP_ROUNDS).map { i =>
+      s"""h$i AS (SELECT id, CAST(min(hop) AS BIGINT) AS hop FROM (
+         |    SELECT id, hop FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT ed.dst AS id, h.hop + 1 AS hop
+         |    FROM ed JOIN h${i - 1} h ON h.id = ed.src)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Similarity.sqlKnnEdgeCtes},
+       |h0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS hop
+       |  FROM ed WHERE src % $KHOP_SEED_MOD = 0),
+       |$rounds
+       |SELECT id AS vec_id, hop FROM h$KHOP_ROUNDS ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_table_profile" -> (q72 _),
+    "q73_data_audit" -> (q73 _),
+    "e15_pattern_match" -> (e15 _),
+    "q74_ivm_join" -> (q74 _),
+    "s19_khop_reachability" -> (s19 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q72_table_profile" -> q72Oracle,
+    "q73_data_audit" -> q73Oracle,
+    "e15_pattern_match" -> e15Oracle,
+    "q74_ivm_join" -> q74Oracle,
+    "s19_khop_reachability" -> s19Oracle,
+  )
+}

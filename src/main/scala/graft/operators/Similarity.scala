@@ -1001,6 +1001,15 @@ object Similarity {
 
   private[operators] def prFinalCte: String = s"pr$PR_ITERS"
 
+  /** [[sqlKnnBase]] plus the materialized `ed(src, dst)` edge CTE —
+    * the knn edge chain consumers outside this file (s19's BFS
+    * oracle) prepend to their own CTEs, guaranteed literal-identical
+    * to the engine-side [[s11]] edge set. */
+  private[operators] lazy val sqlKnnEdgeCtes: String =
+    s"""$sqlKnnBase,
+       |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= $KNN_K)""".stripMargin
+
   private lazy val s12Oracle: String =
     s"""WITH $sqlKnnBase,
        |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tranche-19: q72 profiling, q73 audit, e15 pattern match, q74 join
+  * IVM, s19 k-hop. The gate hash-checks all five against DuckDB;
+  * these tests replay the semantics brute-force in process and pin
+  * the structural claims (one-scan profiling, the delta algebra
+  * against an in-engine recompute, BFS min-hop correctness). */
+class Relational19Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q72: brute-force profile replay on collected orders") {
+    val rows = Tables.load(spark, sf, "orders").select(
+        $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("o_totalprice_c"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_d"),
+        $"o_orderpriority")
+      .collect()
+    def prof[T](vals: Seq[T])(implicit ord: Ordering[T]) =
+      (vals.count(_ == null).toLong,
+        vals.filter(_ != null).distinct.size.toLong,
+        vals.filter(_ != null).min.toString,
+        vals.filter(_ != null).max.toString)
+    val want = Map(
+      "o_orderkey" -> prof(rows.map(_.getLong(0))),
+      "o_custkey" -> prof(rows.map(_.getLong(1))),
+      "o_orderstatus" -> prof(rows.map(_.getString(2))),
+      "o_totalprice_c" -> prof(rows.map(_.getLong(3))),
+      "o_orderdate_d" -> prof(rows.map(_.getString(4))),
+      "o_orderpriority" -> prof(rows.map(_.getString(5))))
+    val got = operators.Relational19.q72(spark, sf).collect().map { r =>
+      assert(r.getLong(1) == rows.length.toLong) // n_rows on every row
+      r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("q73: brute-force constraint replay") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_tax", $"l_discount")
+      .collect()
+    val o = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice")
+      .collect()
+    val custKeys = Tables.load(spark, sf, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val orderKeys = o.map(_.getLong(0)).toSet
+    val nl = li.length.toLong
+    val no = o.length.toLong
+    val want = Map(
+      "lineitem_quantity_le_45" ->
+        ((nl, li.count(_.getDouble(1) > 45).toLong)),
+      "lineitem_tax_le_005" -> ((nl, li.count(_.getDouble(2) > 0.05).toLong)),
+      "lineitem_discount_le_008" ->
+        ((nl, li.count(_.getDouble(3) > 0.08).toLong)),
+      "orders_status_in_F_O" ->
+        ((no, o.count(r => !Set("F", "O")(r.getString(2))).toLong)),
+      "orders_totalprice_not_null" -> ((no, o.count(_.isNullAt(3)).toLong)),
+      "orders_orderkey_unique" -> ((no, no - orderKeys.size)),
+      "lineitem_orderkey_fk_orders" ->
+        ((nl, li.count(r => !orderKeys(r.getLong(0))).toLong)),
+      "orders_custkey_fk_customer" ->
+        ((no, o.count(r => !custKeys(r.getLong(1))).toLong)))
+    val got = operators.Relational19.q73(spark, sf).collect().map { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) == 0L))
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(got == want)
+    // the deliberately-tight rules must actually fire on this data —
+    // a zero there means the counting path went untested
+    assert(want("lineitem_quantity_le_45")._2 > 0)
+    assert(want("orders_status_in_F_O")._2 > 0)
+    assert(want("lineitem_orderkey_fk_orders")._2 == 0)
+  }
+
+  test("e15: java-regex brute force over per-(user, day) sequences") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
+        unix_micros($"ts").as("tsus"), $"event_id", $"event_type")
+      .collect()
+    val code = Map("click" -> "c", "view" -> "v", "signup" -> "s",
+      "purchase" -> "p").withDefaultValue("e")
+    val seqs = ev.groupBy(r => (r.getLong(0), r.getString(1))).map {
+      case (_, rs) =>
+        rs.sortBy(r => (r.getLong(2), r.getLong(3)))
+          .map(r => code(r.getString(4))).mkString
+    }.toSeq
+    val want = operators.Relational19.E15_PATTERNS.map {
+      case (re, name) =>
+        val p = java.util.regex.Pattern.compile(re)
+        val counts = seqs.map(s => {
+          val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+        })
+        name -> ((counts.count(_ > 0).toLong, counts.sum))
+    }.toMap
+    val got = operators.Relational19.e15(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0), "at least one rule must fire")
+  }
+
+  test("q74: incremental result equals an in-engine full recompute") {
+    val cents = round($"l_extendedprice" * (lit(1) - $"l_discount") *
+      lit(100)).cast("long")
+    val recompute = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority", year($"o_orderdate").cast("long")
+        .as("o_year"))
+      .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_items"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val got = operators.Relational19.q74(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == recompute)
+    // both sides of the cutoff must contribute, or the delta legs
+    // went unexercised
+    assert(recompute.keys.exists(_._2 < 2000) &&
+      recompute.keys.exists(_._2 >= 2000))
+  }
+
+  test("s19: brute-force BFS over the collected knn edge set") {
+    val edges = operators.Similarity.s11(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = edges.map(_._1).distinct
+    var hops = nodes.filter(_ % 50 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = hops.toSeq.flatMap { case (id, h) =>
+        adj.getOrElse(id, Array.empty[Long]).map(_ -> (h + 1))
+      }
+      hops = (hops.toSeq ++ next).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val got = operators.Relational19.s19(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hops)
+    assert(got.values.forall(h => h >= 0 && h <= 3))
+    assert(got.filter(_._2 == 0L).keys.forall(_ % 50 == 0))
+    // expansion actually happened: someone is strictly downstream
+    assert(got.values.exists(_ > 0))
+  }
+}
