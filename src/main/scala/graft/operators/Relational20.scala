@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Twentieth tranche — the two snapshot-table lifecycle moves that
+  * remained prose after tranches 16-17 built versions, deletes, CDC,
+  * compaction, schema evolution, and vacuum:
+  *
+  *  - q75: WRITE-AUDIT-PUBLISH — unvalidated data enters the lake on
+  *    a BRANCH (full write cost, zero visibility), audit queries run
+  *    against the branch read, and publish is one atomic metadata
+  *    rename; a failed audit drops the branch and the lake is as if
+  *    it never happened (Iceberg's WAP / staged-commit pattern);
+  *  - q76: PARTITION-SPEC EVOLUTION — new data lands under a FINER
+  *    partition spec (month → day) while every historical file
+  *    carries over by reference under the old spec; reads reconcile
+  *    the specs at scan time and the finer per-file stats windows
+  *    buy point-predicate pruning history never had (Iceberg's
+  *    `REPLACE PARTITION FIELD`).
+  *
+  * Both run on DEDICATED fixtures (the q71 convention) so the shared
+  * q62-q70 table keeps its pinned history. The reference has no table
+  * format at all (`/root/reference/src/Datalake2Anomali.py:246-253`);
+  * these complete the SURVEY §7.2 lakehouse tier.
+  */
+object Relational20 {
+
+  private[graft] val WAP_MONTH = "1995-06" // the audited re-price month
+  private[graft] val BAD_MONTH = "1995-03" // the rejected branch's month
+  private[graft] val EVO_MONTH = "1996-01" // the day-spec arrival month
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  private def rmOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+
+  private val wapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val evoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The WAP fixture: v1 = 1995 orders by month; a BAD branch (every
+    * [[BAD_MONTH]] price negated) is staged, fails its audit
+    * (`price ≤ 0` violations), and is DROPPED — then a GOOD branch
+    * (+7 on [[WAP_MONTH]] keys ≡ 0 mod 3) is staged, passes the same
+    * audit, and is PUBLISHED as v2. The final table must show exactly
+    * the audited delta and nothing of the rejected one. */
+  private[graft] def wapOrdersPath(s: SparkSession, dir: String): String =
+    wapCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-wap")
+      rmOnExit(out)
+      val path = out.toString
+      val base = graft.Tables.load(s, dir, "orders")
+        .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
+        .filter($"om" < "1996-01")
+        .repartitionByRange(4, $"o_orderkey")
+      SnapshotTable.init(s, base, path, "om", "o_orderkey")
+      def violations(branch: String): Long =
+        SnapshotTable.readBranch(s, path, branch, "o_orderkey")
+          .filter($"o_totalprice" <= 0).count()
+      // the rejected branch: a corrupt re-load that negates a month
+      val bad = base.filter($"om" === BAD_MONTH)
+        .withColumn("o_totalprice", -$"o_totalprice")
+      SnapshotTable.stageBranch(s, path, "reload-bad", bad,
+        "om", "o_orderkey", "o_orderkey")
+      require(violations("reload-bad") > 0, "bad branch must fail audit")
+      SnapshotTable.dropBranch(s, path, "reload-bad")
+      // the audited branch: +7 on the WAP_MONTH mod-3 cohort
+      val good = base.filter($"om" === WAP_MONTH &&
+          pmod($"o_orderkey", lit(3)) === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 7.0)
+      SnapshotTable.stageBranch(s, path, "reprice-jun", good,
+        "om", "o_orderkey", "o_orderkey")
+      require(violations("reprice-jun") == 0, "good branch must pass audit")
+      SnapshotTable.publishBranch(s, path, "reprice-jun")
+      path
+    })
+
+  /** Monthly economics of the table AFTER the WAP cycle: the oracle
+    * restates the audited re-price from the raw rows, so the hash
+    * proves BOTH directions of the gate at once — the published
+    * branch applied exactly its audited delta, and the dropped
+    * branch leaked nothing (a stray negated [[BAD_MONTH]] row, or a
+    * missed [[WAP_MONTH]] re-price, breaks the hash). */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = wapOrdersPath(s, dir)
+    SnapshotTable.readVersion(s, path, 2)
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private val q75Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((o_totalprice +
+       |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '$WAP_MONTH'
+       |         AND o_orderkey % 3 = 0
+       |    THEN 7 ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1996-01'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The evolution fixture: v1 = 1995 orders partitioned by MONTH
+    * with per-file stats on the epoch-day column; v2 appends the
+    * [[EVO_MONTH]] arrivals under a DAY spec ([[SnapshotTable
+    * .evolveAppend]]) — historical files carry over by reference,
+    * and the new files' day-grain stats windows are what
+    * [[SnapshotTable.readVersionEvolvedPruned]] prunes with. */
+  private[graft] def evolvedOrdersPath(s: SparkSession, dir: String): String =
+    evoCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-evo")
+      rmOnExit(out)
+      val path = out.toString
+      val raw = graft.Tables.load(s, dir, "orders")
+        .withColumn("o_dayl", unix_date(to_date($"o_orderdate")).cast("long"))
+      val base = raw
+        .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
+        .filter($"om" < "1996-01")
+        .repartitionByRange(4, $"o_orderkey")
+      SnapshotTable.init(s, base, path, "om", "o_dayl")
+      val delta = raw
+        .filter(date_format($"o_orderdate", "yyyy-MM") === EVO_MONTH)
+        .withColumn("od", date_format($"o_orderdate", "yyyy-MM-dd"))
+        .repartition($"od")
+      SnapshotTable.evolveAppend(s, path, delta, "od", "o_dayl")
+      path
+    })
+
+  /** Monthly economics across BOTH partition specs in one read: rows
+    * landed under `om=` have `od` null and vice versa, so the month
+    * derivation is a coalesce over the specs' common key. The oracle
+    * restates the union from the raw table — losing a spec group,
+    * double-reading a carried-over file, or mis-recovering a
+    * partition value breaks the hash. */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = evolvedOrdersPath(s, dir)
+    SnapshotTable.readVersionEvolved(s, path, 2)
+      .withColumn("m", coalesce($"om".cast("string"),
+        substring($"od".cast("string"), 1, 7)))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"m")
+  }
+
+  private val q76Oracle =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS m,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS sum_cents
+       |FROM orders WHERE strftime(o_orderdate, '%Y-%m') <= '$EVO_MONTH'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_wap_publish" -> (q75 _),
+    "q76_partition_evolution" -> (q76 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q75_wap_publish" -> q75Oracle,
+    "q76_partition_evolution" -> q76Oracle,
+  )
+}

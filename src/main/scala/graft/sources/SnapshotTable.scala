@@ -97,11 +97,12 @@ object SnapshotTable {
     Files.readAllLines(manifestFile(path, v), StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t"))
 
-  /** DATA-file entries of version `v` (delete files and meta lines
+  /** DATA-file entries of version `v` (delete files and meta lines —
+    * `D` delete, `B` ingest batch id, `S` branch staging provenance —
     * excluded). */
   def manifest(path: String, v: Int): Seq[FileEntry] =
     readManifestLines(path, v).collect {
-      case p if p(0) != "D" && p(0) != "B" =>
+      case p if p(0) != "D" && p(0) != "B" && p(0) != "S" =>
         FileEntry(p(0), p(1).toLong, p(2).toLong,
           p(3).toLong, if (p.length > 4 && p(4) != "-") p(4) else "")
     }
@@ -665,6 +666,225 @@ object SnapshotTable {
             struct(cols.map(col): _*).as("pre"),
             lit(null).cast(classified.schema("post").dataType).as("post"))
       (classified.unionByName(masked), hit.size, shared.size)
+    }
+  }
+
+  // ---- write-audit-publish branches ---------------------------------
+
+  private def branchManifestFile(path: String, name: String) =
+    Paths.get(s"$path/manifests/branch-$name.txt")
+  private def branchSchemaFile(path: String, name: String) =
+    Paths.get(s"$path/manifests/branch-$name.schema.txt")
+
+  private def readLinesAt(file: java.nio.file.Path): Seq[Array[String]] =
+    Files.readAllLines(file, StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t"))
+
+  private def branchEntries(path: String, branch: String)
+      : (Seq[FileEntry], Seq[FileEntry], Int) = {
+    val lines = readLinesAt(branchManifestFile(path, branch))
+    val data = lines.collect {
+      case p if p(0) != "D" && p(0) != "B" && p(0) != "S" =>
+        FileEntry(p(0), p(1).toLong, p(2).toLong, p(3).toLong,
+          if (p.length > 4 && p(4) != "-") p(4) else "")
+    }
+    val dels = lines.collect {
+      case p if p(0) == "D" => FileEntry(p(1), p(2).toLong, p(3).toLong,
+        p(4).toLong)
+    }
+    val stagedAt = lines.collectFirst {
+      case p if p(0) == "S" => p(1).toInt
+    }.getOrElse(sys.error(s"branch $branch has no staging provenance"))
+    (data, dels, stagedAt)
+  }
+
+  /** Stage an upsert as a BRANCH (Iceberg's write-audit-publish /
+    * Delta's shadow-table pattern): the delta's files land in the
+    * shared tree and the would-be manifest is written as
+    * `manifests/branch-<name>.txt` — but NO numbered version is
+    * committed, so readers of main never see the change. The branch
+    * manifest carries an `S <version>` provenance line recording the
+    * version it staged against; [[publishBranch]] refuses a stale
+    * branch (optimistic concurrency — the Iceberg commit rule), and
+    * the `c<version+1>` file tags keep the published files' commit
+    * sequence consistent with delete-mask scoping. At 100 TB this is
+    * how unvalidated data enters the lake: full write cost up front,
+    * audit queries run against the branch read, and PUBLISH is one
+    * atomic metadata rename — zero data movement either way. */
+  def stageBranch(spark: SparkSession, path: String, branch: String,
+      delta: DataFrame, partCol: String, keyCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Unit = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    val affected = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+    val prev = manifest(path, v)
+    val dels = deleteManifest(path, v)
+    val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
+    val merged =
+      if (replaced.isEmpty) delta
+      else visibleRows(spark, path, replaced, dels, keyCol,
+          versionSchema(path, v))
+        .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(delta, allowMissingColumns = true)
+    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+      bloomCol)
+    val files = (kept ++ newFiles).sortBy(_.rel)
+    val target = branchManifestFile(path, branch)
+    Files.createDirectories(target.getParent)
+    val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}\t" +
+      (if (e.bloom.isEmpty) "-" else e.bloom)) ++
+      dels.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
+      Seq(s"S\t$v")).mkString("\n")
+    val tmp = target.resolveSibling(s".branch-$branch.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    commitSchemaAt(branchSchemaFile(path, branch), merged.schema.toDDL)
+  }
+
+  private def commitSchemaAt(target: java.nio.file.Path,
+      ddl: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    Files.write(tmp, ddl.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read a staged branch's contents (merge-on-read, like
+    * [[readVersionMor]]) — the frame audit queries run against
+    * BEFORE anyone can see the data. */
+  def readBranch(spark: SparkSession, path: String, branch: String,
+      keyCol: String): DataFrame = {
+    val (data, dels, _) = branchEntries(path, branch)
+    val schema = {
+      val f = branchSchemaFile(path, branch)
+      if (Files.exists(f))
+        Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      else None
+    }
+    visibleRows(spark, path, data, dels, keyCol, schema)
+  }
+
+  /** PUBLISH a staged branch: one atomic rename of the branch
+    * manifest to the next numbered version. Refuses if main advanced
+    * past the branch's staging version (the staged merge would
+    * silently drop the interleaved commit — re-stage instead).
+    * Returns the published version. The `S` provenance line stays in
+    * the published manifest (readers skip meta lines), recording
+    * that this version went through an audit gate. */
+  def publishBranch(spark: SparkSession, path: String,
+      branch: String): Int = {
+    val (_, _, stagedAt) = branchEntries(path, branch)
+    val v = currentVersion(path)
+    require(v == stagedAt,
+      s"branch $branch staged at v$stagedAt but main is at v$v — stale")
+    val schemaSrc = branchSchemaFile(path, branch)
+    if (Files.exists(schemaSrc))
+      Files.move(schemaSrc, schemaFile(path, v + 1),
+        StandardCopyOption.ATOMIC_MOVE)
+    Files.move(branchManifestFile(path, branch), manifestFile(path, v + 1),
+      StandardCopyOption.ATOMIC_MOVE)
+    v + 1
+  }
+
+  /** DROP a staged branch that failed its audit: delete the branch
+    * manifest, then every file it names that no numbered version and
+    * no OTHER branch references (the vacuum reachability walk, scoped
+    * to the rejected staging) — the lake is as if the branch never
+    * happened, which is the entire point of WAP. */
+  def dropBranch(spark: SparkSession, path: String,
+      branch: String): Unit = {
+    val (data, _, _) = branchEntries(path, branch)
+    val reachable: Set[String] = {
+      val versions = (1 to currentVersion(path)).flatMap { v =>
+        manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel)
+      }
+      val others = Option(new File(s"$path/manifests").listFiles).toSeq
+        .flatten.map(_.getName)
+        .collect { case n if n.startsWith("branch-") && n.endsWith(".txt") &&
+            !n.endsWith(".schema.txt") && n != s"branch-$branch.txt" =>
+          n.stripPrefix("branch-").stripSuffix(".txt") }
+        .flatMap { b =>
+          val (d, dl, _) = branchEntries(path, b)
+          d.map(_.rel) ++ dl.map(_.rel)
+        }
+      (versions ++ others).toSet
+    }
+    Files.deleteIfExists(branchManifestFile(path, branch))
+    Files.deleteIfExists(branchSchemaFile(path, branch))
+    data.filterNot(e => reachable(e.rel)).foreach { e =>
+      Files.deleteIfExists(Paths.get(s"${filesDir(path)}/${e.rel}")): Unit
+    }
+  }
+
+  // ---- partition-spec evolution --------------------------------------
+
+  /** Partition column encoded in a manifest entry's directory name
+    * (`om=1995-01/c1-….parquet` → `om`) — the spec id IS the path
+    * prefix, so evolution needs no manifest format change. */
+  private[graft] def specOf(e: FileEntry): String =
+    e.rel.split("/").head.split("=").head
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `REPLACE PARTITION FIELD`):
+    * append `delta` under a NEW partition column; every existing file
+    * carries over by reference under its ORIGINAL spec. Old data is
+    * never rewritten — the manifest simply names files laid out under
+    * two specs, distinguished by their directory prefix, and
+    * [[readVersionEvolved]] reconciles them at scan time. At 100 TB
+    * this is the only affordable way to change a table's layout:
+    * re-partitioning history would move the whole table; evolving the
+    * spec moves nothing and new data immediately gets the finer
+    * pruning (per-file stats shrink with the partition grain —
+    * [[readVersionEvolvedPruned]] exposes the skip rate). */
+  def evolveAppend(spark: SparkSession, path: String, delta: DataFrame,
+      newPartCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Int = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    val newFiles = stageFiles(delta, path, newPartCol, statsCol, v + 1,
+      bloomCol)
+    commitManifest(path, v + 1,
+      (manifest(path, v) ++ newFiles).sortBy(_.rel),
+      deleteManifest(path, v))
+    // the committed DDL stays the DATA schema; partition columns are
+    // path-recovered per spec group at read time
+    versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
+    v + 1
+  }
+
+  /** Read a version whose manifest spans several partition specs:
+    * one read per spec group (so Spark's path-based partition
+    * recovery sees a consistent layout within each), unioned with
+    * null-filled foreign partition columns — a row landed under
+    * `om=` has `od` null and vice versa; consumers reconcile with
+    * `coalesce` over the spec columns' common derivation. */
+  def readVersionEvolved(spark: SparkSession, path: String,
+      v: Int): DataFrame =
+    manifest(path, v).groupBy(specOf).toSeq.sortBy(_._1)
+      .map { case (_, group) =>
+        readFiles(spark, path, group.map(_.rel))
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** [[readVersionEvolved]] restricted to `statsCol ∈ [lo, hi]`,
+    * pruned from manifest stats exactly like [[readVersionPruned]] —
+    * the point of evolving to a finer spec is visible here: files
+    * under the new spec carry partition-grain stats windows, so a
+    * point predicate skips all but ~one of them while the coarse old
+    * files survive pruning only at their coarser grain. Returns
+    * (frame, files read, files in manifest). */
+  def readVersionEvolvedPruned(spark: SparkSession, path: String, v: Int,
+      statsCol: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val all = manifest(path, v)
+    val live = all.filter(e => e.max >= lo && e.min <= hi)
+    val pred = col(statsCol) >= lo && col(statsCol) <= hi
+    if (live.isEmpty)
+      (readVersionEvolved(spark, path, v).filter(lit(false)), 0, all.size)
+    else {
+      val df = live.groupBy(specOf).toSeq.sortBy(_._1)
+        .map { case (_, group) => readFiles(spark, path, group.map(_.rel)) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      (df.filter(pred), live.size, all.size)
     }
   }
 }
