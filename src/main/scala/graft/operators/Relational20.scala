@@ -162,13 +162,67 @@ object Relational20 {
        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') <= '$EVO_MONTH'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DESCRIBE HISTORY over the shared v1-v6 lifecycle fixture: per
+    * version, the manifest's RAW row count (sum of per-file stats —
+    * masked rows included until a rewrite physically removes them),
+    * the live delete-mask key count, and the committed DDL's column
+    * count. PURE METADATA — the frame is a manifest walk, zero data
+    * files opened (spec-asserted: no parquet scan in the plan), which
+    * is the lakehouse promise: table history costs the layout, not
+    * the data. The oracle restates every number from first principles
+    * over the raw table — v4's count carries the partial-rewrite
+    * algebra (M4's cohort rows physically gone, clones added), v5's
+    * the compaction fold (all cohort rows gone, masks ended), v6 adds
+    * the evolved column — so the hash audits the manifest bookkeeping
+    * of init, COW, MOR delete, partial rewrite, compaction, and
+    * schema evolution in one row set. */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = Relational17.snapV4(s, dir)
+    val rows = (1 to SnapshotTable.currentVersion(path)).map { v =>
+      val m = SnapshotTable.manifest(path, v)
+      val d = SnapshotTable.deleteManifest(path, v)
+      val cols = SnapshotTable.versionSchema(path, v)
+        .map(_.split(",").length.toLong).getOrElse(0L)
+      (v.toLong, m.map(_.rows).sum, d.map(_.rows).sum, cols)
+    }
+    rows.toDF("version", "n_rows", "n_delete_keys", "n_cols")
+      .orderBy($"version")
+  }
+
+  private lazy val q77Oracle = {
+    val coh = Relational17.COHORT
+    val m4 = Relational17.M4
+    s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+       |coh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+       |  WHERE o_custkey % 10 = $coh),
+       |m4c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+       |  WHERE strftime(o_orderdate, '%Y-%m') = '$m4'
+       |    AND o_custkey % 10 = $coh),
+       |cl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+       |  WHERE strftime(o_orderdate, '%Y-%m') = '$m4'
+       |    AND o_custkey % 10 <> $coh AND o_orderkey % 5 = 1)
+       |SELECT CAST(1 AS BIGINT) AS version, c.n AS n_rows,
+       |  CAST(0 AS BIGINT) AS n_delete_keys, CAST(7 AS BIGINT) AS n_cols
+       |FROM c
+       |UNION ALL SELECT 2, c.n, 0, 7 FROM c
+       |UNION ALL SELECT 3, c.n, coh.n, 7 FROM c, coh
+       |UNION ALL SELECT 4, c.n - m4c.n + cl.n, coh.n, 7
+       |  FROM c, coh, m4c, cl
+       |UNION ALL SELECT 5, c.n - coh.n + cl.n, 0, 7 FROM c, coh, cl
+       |UNION ALL SELECT 6, c.n - coh.n + cl.n, 0, 8 FROM c, coh, cl
+       |ORDER BY version""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_wap_publish" -> (q75 _),
     "q76_partition_evolution" -> (q76 _),
+    "q77_table_history" -> (q77 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q75_wap_publish" -> q75Oracle,
     "q76_partition_evolution" -> q76Oracle,
+    "q77_table_history" -> q77Oracle,
   )
 }

@@ -126,6 +126,29 @@ class SnapshotWapSpec extends SparkSpec {
     assert(v2 > v1)
   }
 
+  test("q77: history is pure metadata and matches a manifest replay") {
+    val df = operators.Relational20.q77(spark, sf)
+    // zero data files opened: the frame is a local manifest walk
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), "history must not scan data")
+    val path = operators.Relational17.snapV4(spark, sf)
+    val want = (1 to SnapshotTable.currentVersion(path)).map { v =>
+      (v.toLong,
+        SnapshotTable.manifest(path, v).map(_.rows).sum,
+        SnapshotTable.deleteManifest(path, v).map(_.rows).sum,
+        SnapshotTable.versionSchema(path, v)
+          .map(_.split(",").length.toLong).getOrElse(0L))
+    }
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.size == 6)
+    // the lifecycle signature: masks live at v3-v4, folded by v5;
+    // the evolved column lands at v6
+    assert(got.map(_._3).count(_ > 0) == 2)
+    assert(got.map(_._4) == Seq(7L, 7L, 7L, 7L, 7L, 8L))
+  }
+
   test("evolution: carried-over manifest, reconciled read, finer pruning") {
     val path = operators.Relational20.evolvedOrdersPath(spark, sf)
     val m1 = SnapshotTable.manifest(path, 1)
