@@ -379,9 +379,22 @@ object Relational19 {
     * round regardless of skew. */
   def s19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = Similarity.s11(s, dir)
-      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      .localCheckpoint()
+    khopOver(Similarity.s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst")), s)
+  }
+
+  /** [[s19]] over the MATERIALIZED knn edge table (the s12m/s16m
+    * convention): the pipeline truth — candidate generation is paid
+    * once per corpus version, every graph consumer reuses the edge
+    * state, and the BFS costs only its own frontier rounds. */
+  def s19m(s: SparkSession, dir: String): DataFrame =
+    khopOver(Similarity.materializedKnnEdges(s, dir), s)
+
+  /** The BFS tail shared by [[s19]] and [[s19m]] over an (src, dst)
+    * edge frame. */
+  private def khopOver(knn: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val edges = knn.select($"src", $"dst").localCheckpoint()
     var reached = edges.select($"src".as("id")).distinct()
       .filter(pmod($"id", lit(KHOP_SEED_MOD)) === 0)
       .select($"id", lit(0L).as("hop"))
@@ -424,6 +437,7 @@ object Relational19 {
     "e15_pattern_match" -> (e15 _),
     "q74_ivm_join" -> (q74 _),
     "s19_khop_reachability" -> (s19 _),
+    "s19m_khop_materialized" -> (s19m _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +446,6 @@ object Relational19 {
     "e15_pattern_match" -> e15Oracle,
     "q74_ivm_join" -> q74Oracle,
     "s19_khop_reachability" -> s19Oracle,
+    "s19m_khop_materialized" -> s19Oracle,
   )
 }

@@ -162,6 +162,74 @@ object Relational20 {
        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') <= '$EVO_MONTH'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private[graft] val MERGE_MONTH = "1995-09" // the merged change-feed month
+  private[graft] val MERGE_SHIFT = 10000000L // insert clones' key offset
+
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The WAP table extended by one MERGE commit (v3): a mixed change
+    * feed over [[MERGE_MONTH]] — keys ≡ 0 (mod 7) DELETE, keys ≡ 1
+    * UPDATE (+9), and clones of keys ≡ 2 INSERT under shifted ids
+    * (+13) — lands in ONE atomic commit via
+    * [[SnapshotTable.mergeCommit]]. q75 pins version 2, so extending
+    * the shared fixture is safe (the snapV4 convention). */
+  private[graft] def mergedOrdersPath(s: SparkSession, dir: String): String =
+    mergeCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val path = wapOrdersPath(s, dir)
+      if (SnapshotTable.currentVersion(path) < 3) {
+        val month = SnapshotTable.readVersion(s, path, 2)
+          .filter($"om" === MERGE_MONTH)
+        val feed = month.filter(pmod($"o_orderkey", lit(7)) === 0)
+            .withColumn("op", lit("D"))
+          .unionByName(month.filter(pmod($"o_orderkey", lit(7)) === 1)
+            .withColumn("o_totalprice", $"o_totalprice" + 9.0)
+            .withColumn("op", lit("U")))
+          .unionByName(month.filter(pmod($"o_orderkey", lit(7)) === 2)
+            .withColumn("o_orderkey", $"o_orderkey" + MERGE_SHIFT)
+            .withColumn("o_totalprice", $"o_totalprice" + 13.0)
+            .withColumn("op", lit("U")))
+        SnapshotTable.mergeCommit(s, path, feed, "op", "om",
+          "o_orderkey", "o_orderkey")
+      }
+      path
+    })
+
+  /** Monthly economics after the MERGE commit: deletes, updates, and
+    * inserts from one feed, one version bump. The oracle restates the
+    * post-merge truth from raw rows (v2's audited re-price and the
+    * merge's changes live in different months, stated independently), so
+    * the hash catches a leaked delete, a missed update, a double-
+    * applied insert, or a non-atomic partial application. */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = mergedOrdersPath(s, dir)
+    SnapshotTable.readVersion(s, path, 3)
+      .groupBy($"om".cast("string").as("om"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"om")
+  }
+
+  private lazy val q78Oracle =
+    s"""WITH base AS (SELECT o_orderkey,
+       |    strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
+       |  FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1996-01'),
+       |kept AS (SELECT om,
+       |    CASE WHEN om = '$WAP_MONTH' AND o_orderkey % 3 = 0
+       |           THEN o_totalprice + 7
+       |         WHEN om = '$MERGE_MONTH' AND o_orderkey % 7 = 1
+       |           THEN o_totalprice + 9
+       |         ELSE o_totalprice END AS p
+       |  FROM base
+       |  WHERE NOT (om = '$MERGE_MONTH' AND o_orderkey % 7 = 0)),
+       |ins AS (SELECT om, o_totalprice + 13 AS p FROM base
+       |  WHERE om = '$MERGE_MONTH' AND o_orderkey % 7 = 2),
+       |u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT om, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM u GROUP BY om ORDER BY om""".stripMargin
+
   /** DESCRIBE HISTORY over the shared v1-v6 lifecycle fixture: per
     * version, the manifest's RAW row count (sum of per-file stats —
     * masked rows included until a rewrite physically removes them),
@@ -218,11 +286,13 @@ object Relational20 {
     "q75_wap_publish" -> (q75 _),
     "q76_partition_evolution" -> (q76 _),
     "q77_table_history" -> (q77 _),
+    "q78_merge_commit" -> (q78 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q75_wap_publish" -> q75Oracle,
     "q76_partition_evolution" -> q76Oracle,
     "q77_table_history" -> q77Oracle,
+    "q78_merge_commit" -> q78Oracle,
   )
 }

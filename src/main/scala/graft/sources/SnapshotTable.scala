@@ -669,6 +669,48 @@ object SnapshotTable {
     }
   }
 
+  // ---- MERGE INTO ----------------------------------------------------
+
+  /** MERGE commit (the Delta/Iceberg `MERGE INTO` write shape): one
+    * atomic commit applying a mixed change feed — rows whose `opCol`
+    * is `"D"` delete their key, anything else upserts (matched keys
+    * replaced, unmatched inserted). Change rows carry the partition
+    * column (the CDC-feed convention: deletes ship the full pre-image
+    * row), so affected partitions are the feed's distinct partition
+    * values — layout-sized — and the rewrite is copy-on-write over
+    * exactly those partitions; every other file carries over by
+    * reference. Any delete mask reaching a rewritten partition folds
+    * in (the rewrite materializes VISIBLE rows first), matching
+    * [[upsertPartition]]'s sequence semantics. At 100 TB this is the
+    * nightly-reconciliation shape: one shuffle of the touched
+    * partitions, one manifest rename, updates+inserts+deletes land
+    * together or not at all. */
+  def mergeCommit(spark: SparkSession, path: String, changes: DataFrame,
+      opCol: String, partCol: String, keyCol: String, statsCol: String,
+      bloomCol: Option[String] = None): Int = {
+    val v = currentVersion(path)
+    require(v > 0, s"$path has no initial commit")
+    val affected = changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+    val prev = manifest(path, v)
+    val dels = deleteManifest(path, v)
+    val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
+    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+    val merged =
+      if (replaced.isEmpty) upserts // feed lands entirely in new partitions
+      else visibleRows(spark, path, replaced, dels, keyCol,
+          versionSchema(path, v))
+        // ALL change keys leave the base — updates re-enter from the
+        // feed, deletes simply don't
+        .join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
+    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+      bloomCol)
+    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
+    commitSchema(path, v + 1, merged.schema.toDDL)
+    v + 1
+  }
+
   // ---- write-audit-publish branches ---------------------------------
 
   private def branchManifestFile(path: String, name: String) =

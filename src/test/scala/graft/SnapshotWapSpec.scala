@@ -126,6 +126,43 @@ class SnapshotWapSpec extends SparkSpec {
     assert(v2 > v1)
   }
 
+  test("merge: deletes, updates, and inserts land in one atomic commit") {
+    val path = freshTable()
+    val month = SnapshotTable.readVersion(spark, path, 1)
+      .filter($"om" === "1995-05")
+    val feed = month.filter(pmod($"o_orderkey", lit(3)) === 0)
+        .withColumn("op", lit("D"))
+      .unionByName(month.filter(pmod($"o_orderkey", lit(3)) === 1)
+        .withColumn("o_totalprice", $"o_totalprice" + 50.0)
+        .withColumn("op", lit("U")))
+      .unionByName(month.filter(pmod($"o_orderkey", lit(3)) === 2)
+        .withColumn("o_orderkey", $"o_orderkey" + 900000L)
+        .withColumn("op", lit("U")))
+    val v2 = SnapshotTable.mergeCommit(spark, path, feed, "op", "om",
+      "o_orderkey", "o_orderkey")
+    assert(v2 == 2)
+    val before = SnapshotTable.readVersion(spark, path, 1)
+      .filter($"om" === "1995-05").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[Double]("o_totalprice")).toMap
+    val after = SnapshotTable.readVersion(spark, path, 2)
+      .filter($"om" === "1995-05").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[Double]("o_totalprice")).toMap
+    val expected = before.collect {
+      case (k, p) if k % 3 == 1 => k -> (p + 50.0)
+      case (k, p) if k % 3 == 2 => k -> p
+    } ++ before.collect { case (k, p) if k % 3 == 2 =>
+      (k + 900000L) -> p }
+    assert(after == expected)
+    // untouched months carry over BY REFERENCE — byte-identical entries
+    val m1 = SnapshotTable.manifest(path, 1)
+      .filterNot(_.rel.startsWith("om=1995-05")).toSet
+    val m2 = SnapshotTable.manifest(path, 2)
+      .filterNot(_.rel.startsWith("om=1995-05")).toSet
+    assert(m1 == m2)
+  }
+
   test("q77: history is pure metadata and matches a manifest replay") {
     val df = operators.Relational20.q77(spark, sf)
     // zero data files opened: the frame is a local manifest walk

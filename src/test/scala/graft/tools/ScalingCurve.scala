@@ -23,7 +23,9 @@ object ScalingCurve {
     "s08_kmeans_assign", "q52_token_deciles",      // broadcast argmin / global ntile
     "d17_dup_spans", "d19_incremental_spans",      // substring spans: full / ingest
     "e13_guarded_conversion", "s17_mmr_rerank",    // CEP window / serving re-rank
-    "t38_bm25_retrieval", "m05_media_neardup")     // bounded top-k / media banding
+    "t38_bm25_retrieval", "m05_media_neardup",     // bounded top-k / media banding
+    "q73_data_audit", "e15_pattern_match",         // audit scans / regex groups
+    "q74_ivm_join", "s19_khop_reachability")       // delta joins / frontier BFS
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
