@@ -103,6 +103,40 @@ class Relational19Spec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "at least one rule must fire")
   }
 
+  test("e15: hot-group stress — one (user, day) with 20k events stays exact") {
+    // adversarial grain: a single group holding a day-long burst. The
+    // group state is one 20k-char string (the documented day-grain
+    // bound); counting must match a direct java-regex pass.
+    val n = 20000
+    val types = Array("click", "view", "purchase", "error", "signup")
+    val dir = java.nio.file.Files.createTempDirectory("graft-e15-hot")
+    dir.toFile.deleteOnExit()
+    val rows = (0 until n).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        // whole-milli fractions only: the brute-force sort key is
+        // getTime*1000, which drops sub-milli precision
+        s"2024-01-01 00:${"%02d".format((i / 600) % 60)}:${"%02d".format((i / 10) % 60)}.${"%06d".format((i % 1000) * 1000)}"),
+        7L, types(i % types.length), 1.0, "{}")
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Relational19.e15(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force: rebuild the one group's string in (ts, event_id) order
+    val code = Map("click" -> "c", "view" -> "v", "signup" -> "s",
+      "purchase" -> "p").withDefaultValue("e")
+    val seq = rows.sortBy(r => (r._2.getTime * 1000, r._1))
+      .map(r => code(r._4)).mkString
+    val want = operators.Relational19.E15_PATTERNS.map { case (re, name) =>
+      val c = streaming.PatternStream.countMatches(re, seq)
+      name -> ((if (c > 0) 1L else 0L, c))
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("q74: incremental result equals an in-engine full recompute") {
     val cents = round($"l_extendedprice" * (lit(1) - $"l_discount") *
       lit(100)).cast("long")
