@@ -524,7 +524,12 @@ object SnapshotTable {
       bloomCol: Option[String] = None): Int = {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
-    val data = manifest(path, v)
+    val all = manifest(path, v)
+    // SPEC-SCOPED: on a partition-evolved table ([[evolveAppend]]),
+    // only files laid out under `partCol`'s spec are candidates —
+    // foreign-spec files carry over untouched (compact them with a
+    // second call naming their own partition column)
+    val (data, foreign) = all.partition(e => specOf(e) == partCol)
     val dels = deleteManifest(path, v).filter(_.rows > 0)
     def maskReaches(e: FileEntry): Boolean = dels.exists(d =>
       seqOf(d) > seqOf(e) && d.max >= e.min && d.min <= e.max)
@@ -532,8 +537,9 @@ object SnapshotTable {
     val rewriteParts = byPart.collect {
       case (p, fs) if fs.size > 1 || fs.exists(maskReaches) => p
     }.toSet
-    val (replaced, kept) =
+    val (replaced, kept0) =
       data.partition(e => rewriteParts(e.rel.split("/").head))
+    val kept = kept0 ++ foreign
     if (replaced.isEmpty) return v // nothing fragmented, no-op
     val merged =
       visibleRows(spark, path, replaced, dels, keyCol,
@@ -687,9 +693,14 @@ object SnapshotTable {
     * together or not at all. */
   def mergeCommit(spark: SparkSession, path: String, changes: DataFrame,
       opCol: String, partCol: String, keyCol: String, statsCol: String,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None,
+      batchId: Option[Long] = None): Int = {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
+    // exactly-once under streaming replay: the batch id rides IN the
+    // manifest (the ingestCommit token pattern), so a foreachBatch
+    // crash-and-retry of a committed changelog batch is a no-op
+    if (batchId.exists(_ <= lastBatchId(path))) return v
     val affected = changes.select(col(partCol).cast("string")).distinct()
       .collect().map(r => s"$partCol=${r.getString(0)}").toSet
     val prev = manifest(path, v)
@@ -706,7 +717,8 @@ object SnapshotTable {
         .unionByName(upserts, allowMissingColumns = true)
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
       bloomCol)
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
+    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels,
+      batchId = batchId)
     commitSchema(path, v + 1, merged.schema.toDDL)
     v + 1
   }

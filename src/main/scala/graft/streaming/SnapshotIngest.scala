@@ -39,4 +39,27 @@ object SnapshotIngest {
             partCol, keyCol, statsCol, id, bloomCol): Unit
       }
       .start()
+
+  /** Start applying a CHANGELOG stream (op-tagged rows: `"D"` deletes
+    * the key, anything else upserts — the q78/[[SnapshotTable
+    * .mergeCommit]] feed shape) to the snapshot table. One atomic
+    * MERGE commit per non-empty micro-batch, exactly-once under
+    * replay via the same manifest-resident batch-id token as
+    * [[start]] — this is the CDC-apply loop: an upstream table's
+    * change feed (q65's shape) keeps a downstream replica
+    * transactionally in sync, deletes included. */
+  def startMerge(changes: DataFrame, path: String, opCol: String,
+      partCol: String, keyCol: String, statsCol: String,
+      checkpointDir: String,
+      bloomCol: Option[String] = None): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          SnapshotTable.mergeCommit(batch.sparkSession, path, batch,
+            opCol, partCol, keyCol, statsCol, bloomCol,
+            batchId = Some(id)): Unit
+      }
+      .start()
 }

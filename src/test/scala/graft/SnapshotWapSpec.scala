@@ -126,6 +126,36 @@ class SnapshotWapSpec extends SparkSpec {
     assert(v2 > v1)
   }
 
+  test("compaction on an evolved table is spec-scoped") {
+    val path = freshTable() // om-spec, repartition(2) → fragmented months
+    val delta = Tables.load(spark, sf, "orders")
+      .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
+      .filter($"om" === "1995-07")
+      .withColumn("od", date_format($"o_orderdate", "yyyy-MM-dd"))
+      .drop("om")
+      .repartition($"od")
+    SnapshotTable.evolveAppend(spark, path, delta, "od", "o_orderkey")
+    val before = SnapshotTable.readVersionEvolved(spark, path, 2)
+      .agg(count(lit(1)),
+        sum(round($"o_totalprice" * 100).cast("long"))).head
+    val v3 = SnapshotTable.compactCommit(spark, path, "om",
+      "o_orderkey", "o_orderkey")
+    assert(v3 == 3)
+    val m3 = SnapshotTable.manifest(path, 3)
+    // od files carried over byte-identically; om months collapsed
+    val odBefore = SnapshotTable.manifest(path, 2)
+      .filter(e => SnapshotTable.specOf(e) == "od").toSet
+    assert(m3.filter(e => SnapshotTable.specOf(e) == "od").toSet == odBefore)
+    val omByPart = m3.filter(e => SnapshotTable.specOf(e) == "om")
+      .groupBy(_.rel.split("/").head)
+    assert(omByPart.values.forall(_.size == 1),
+      "every om month must collapse to one file")
+    val after = SnapshotTable.readVersionEvolved(spark, path, 3)
+      .agg(count(lit(1)),
+        sum(round($"o_totalprice" * 100).cast("long"))).head
+    assert(after == before)
+  }
+
   test("merge: deletes, updates, and inserts land in one atomic commit") {
     val path = freshTable()
     val month = SnapshotTable.readVersion(spark, path, 1)
