@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Nineteenth tranche — data-management shapes a 100 TB lake runs
@@ -445,6 +446,60 @@ object Relational19 {
        |SELECT id AS vec_id, hop FROM h$KHOP_ROUNDS ORDER BY vec_id""".stripMargin
   }
 
+  // ---- e16: RFM segmentation -----------------------------------------
+
+  /** RFM (recency / frequency / monetary) segmentation of purchasing
+    * users — the classic lifecycle-marketing rollup next to e07's
+    * retention and e14's attribution. Per user: micros since their
+    * last purchase (anchored to the corpus max event time — a 1-row
+    * broadcast, so the metric is deterministic, never wall-clock),
+    * purchase count, and exact cents; each dimension is quintiled
+    * with ntile(5) under a TOTAL order ((metric, user_id) — the a01
+    * tie-break convention, identical in both engines), and the
+    * 3-digit segment rolls up to user counts and revenue.
+    *
+    * Shape: one user_id aggregate is the only data-sized shuffle; the
+    * three scoring windows run over the USERS-sized frame (single
+    * partition by construction — at extreme user counts swap the
+    * ntiles for x08's sketch-derived quantile cutpoints, same
+    * semantics, no total sort); the segment rollup is ≤125 rows. */
+  def e16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val mx = ev.agg(max(unix_micros($"ts")).as("mx"))
+    val rfm = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("rec_us", $"mx" - $"last_us")
+    val r = ntile(5).over(Window.orderBy($"rec_us", $"user_id"))
+    val f = ntile(5).over(Window.orderBy($"freq".desc, $"user_id"))
+    val m = ntile(5).over(Window.orderBy($"cents".desc, $"user_id"))
+    rfm.select((r * 100 + f * 10 + m).cast("long").as("seg"), $"cents")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("sum_cents"))
+      .orderBy($"seg")
+  }
+
+  private val e16Oracle =
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      |rfm AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |sc AS (SELECT
+      |    ntile(5) OVER (ORDER BY mx.mx - last_us, user_id) AS r,
+      |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+      |    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m,
+      |    cents
+      |  FROM rfm CROSS JOIN mx)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS seg,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_table_profile" -> (q72 _),
     "q73_data_audit" -> (q73 _),
@@ -452,6 +507,7 @@ object Relational19 {
     "q74_ivm_join" -> (q74 _),
     "s19_khop_reachability" -> (s19 _),
     "s19m_khop_materialized" -> (s19m _),
+    "e16_rfm_segments" -> (e16 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +517,6 @@ object Relational19 {
     "q74_ivm_join" -> q74Oracle,
     "s19_khop_reachability" -> s19Oracle,
     "s19m_khop_materialized" -> s19Oracle,
+    "e16_rfm_segments" -> e16Oracle,
   )
 }

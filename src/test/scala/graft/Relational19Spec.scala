@@ -159,6 +159,42 @@ class Relational19Spec extends SparkSpec {
       recompute.keys.exists(_._2 >= 2000))
   }
 
+  test("e16: brute-force RFM replay on collected purchases") {
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts").as("tsus"), $"event_type",
+        $"value").collect()
+    val mx = ev.map(_.getLong(1)).max
+    val rfm = ev.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        (u, mx - rs.map(_.getLong(1)).max, rs.length.toLong,
+          rs.map(r => math.round(r.getDouble(3) * 100)).sum)
+      }.toSeq
+    def ntile5[T](xs: Seq[(Long, T)])(implicit ord: Ordering[T])
+        : Map[Long, Long] = {
+      val sorted = xs.sortBy { case (u, v) => (v, u) }
+      val n = sorted.size
+      sorted.zipWithIndex.map { case ((u, _), i) =>
+        // SQL ntile: first (n mod 5) buckets get the extra row
+        val base = n / 5; val extra = n % 5
+        val bucket =
+          if (i < (base + 1) * extra) i / (base + 1)
+          else extra + (i - (base + 1) * extra) / base
+        u -> (bucket + 1L)
+      }.toMap
+    }
+    val r = ntile5(rfm.map(x => x._1 -> x._2))
+    val f = ntile5(rfm.map(x => x._1 -> (-x._3)))
+    val m = ntile5(rfm.map(x => x._1 -> (-x._4)))
+    val want = rfm.groupBy(x => r(x._1) * 100 + f(x._1) * 10 + m(x._1))
+      .map { case (seg, xs) =>
+        seg -> ((xs.size.toLong, xs.map(_._4).sum)) }
+    val got = operators.Relational19.e16(spark, sf).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got == want)
+    // conservation: every purchasing user lands in exactly one segment
+    assert(got.values.map(_._1).sum == rfm.size.toLong)
+  }
+
   test("s19: brute-force BFS over the collected knn edge set") {
     val edges = operators.Similarity.s11(spark, sf)
       .select($"vec_id", $"neighbor_id").collect()
