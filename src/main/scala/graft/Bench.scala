@@ -22,7 +22,14 @@ import java.util.Locale
   * production job (one plan, resident code) never pays. Consecutive
   * reps keep sample 2-3 warm — the steady-state number — and
   * cross-suite contention attribution is the calibration probe's job,
-  * not the rep structure's.
+  * not the rep structure's. Since r13 every query additionally gets
+  * ONE unmeasured warm-up rep before its timed reps, and the shared
+  * snapshot fixture + knn edge table pre-build in the materialization
+  * block: three rounds of driver artifacts re-inflated the same
+  * suite-position/first-touch queries (q63 fixture build, s19/t29 JIT
+  * position) that isolated probes then re-attributed after the fact —
+  * the warm-up rep absorbs that structurally, so driver and builder
+  * captures agree on first inspection (r12 verdict #2).
   *
   * Failure visibility: a query that throws records `-1` (not its
   * elapsed time — a failing query would otherwise bench as "fast",
@@ -149,6 +156,13 @@ object Bench {
         // the d19 old-corpus gram-count ingest state
         operators.Relational15.materializedSpans(spark, sfDir).count()
         operators.Relational15.materializedGramCounts(spark, sfDir).count()
+        // snapshot-table lifecycle fixture (q62-q78 share it): its
+        // ~1300-file build otherwise lands inside whichever snapshot
+        // query a fresh process measures first (r12 driver artifact:
+        // q63 3.13 s vs 0.40 s steady; q62 spread 9.4 s)
+        operators.Relational17.snapV4(spark, sfDir)
+        // knn edge table (s12m/s16m/s19m serving forms)
+        operators.Similarity.materializedKnnEdges(spark, sfDir).count()
         true
       }
       catch { case e: Throwable =>
@@ -205,6 +219,13 @@ object Bench {
     def runAttempt(): Attempt = {
       val calPre = (1 to REPS).map(_ => calibrate(spark))
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // one UNMEASURED warm-up rep per query: suite-position JIT and
+        // any remaining fixture first-touch land here, so the timed
+        // reps price steady state — three rounds of driver artifacts
+        // re-inflated the same warm-up-position queries (r12: s19
+        // 7.03 s vs isolated 3.4-3.8, t29 4.22 vs steady 1.69) and
+        // the attribution had to be re-litigated each round
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
         val times = (1 to REPS).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -143,9 +143,12 @@ object Relational18 {
     * At 100 TB: the graph is vocabulary-sized (the t41 argument), the
     * corpus appears only in the one bigram count; on a graph that is
     * ITSELF huge the plan still holds — degree table, orientation,
-    * and the two joins are all equi-joins on node/edge keys, with the
-    * ordinal rank the only vocabulary-sized window (swap for
-    * zipWithIndex at billion-node scale, same semantics). */
+    * and the two joins are all equi-joins on node/edge keys, and the
+    * ordinal rank is the windowless [[RankOps.globalOrdinal]] (range
+    * exchange + zipWithIndex — any strictly monotone total-order
+    * ordinal orients identically, so the 0-based index replaces
+    * row_number with no single-partition sort even at billion-node
+    * scale). */
   def s18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n1 = greatest(size($"tk") - 1, lit(0))
@@ -164,9 +167,9 @@ object Relational18 {
     val deg = und.select($"u".as("w")).unionAll(und.select($"v".as("w")))
       .groupBy($"w").agg(count(lit(1)).as("deg"))
     // total order on nodes: (degree, word) rank — hubs sort LAST so
-    // orientation points into them, never out of them
-    val ord = deg.withColumn("ord",
-      row_number().over(Window.orderBy($"deg", $"w")).cast("long"))
+    // orientation points into them, never out of them; windowless
+    // ordinal (range exchange + zipWithIndex), no single-partition sort
+    val ord = RankOps.globalOrdinal(deg, Seq($"deg".asc, $"w".asc), "ord")
     val o = und
       .join(ord.select($"w".as("u"), $"ord".as("ou")), Seq("u"))
       .join(ord.select($"w".as("v"), $"ord".as("ov")), Seq("v"))

@@ -251,7 +251,8 @@ object Relational20 {
       val m = SnapshotTable.manifest(path, v)
       val d = SnapshotTable.deleteManifest(path, v)
       val cols = SnapshotTable.versionSchema(path, v)
-        .map(_.split(",").length.toLong).getOrElse(0L)
+        .map(org.apache.spark.sql.types.StructType.fromDDL(_).size.toLong)
+        .getOrElse(0L)
       (v.toLong, m.map(_.rows).sum, d.map(_.rows).sum, cols)
     }
     rows.toDF("version", "n_rows", "n_delete_keys", "n_cols")

@@ -803,7 +803,7 @@ object Similarity {
   /** The s11 edge list as materialized pipeline state (the q51m/t29m
     * convention): built once per (session, dir), fed to downstream
     * graph consumers. */
-  private[operators] def materializedKnnEdges(
+  private[graft] def materializedKnnEdges(
       s: SparkSession, dir: String): DataFrame =
     Relational4.materialized("knn_edges", s, dir) {
       import s.implicits._

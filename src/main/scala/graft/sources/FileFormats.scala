@@ -174,8 +174,14 @@ object FileFormats {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(base)
+    // swap so every intermediate state keeps ONE complete copy on
+    // disk: base steps aside (rename), tmp renames into place, only
+    // then is the old copy deleted — a crash mid-swap leaves either
+    // the old or the new layout recoverable, never neither
+    val old = new java.io.File(s"${base.getParent}/_compact_old_${base.getName}")
+    java.nio.file.Files.move(base.toPath, old.toPath)
     java.nio.file.Files.move(tmp.toPath, base.toPath)
+    rm(old)
     (before, listPartFiles(base).size.toLong)
   }
 

@@ -49,9 +49,17 @@ import org.apache.spark.sql.functions._
   *    referenced by no surviving manifest ([[expireVersions]] — a
   *    manifest-sized reachability walk, never a data scan).
   *
-  * Local-FS commit is a rename of the manifest into place (atomic on
-  * POSIX); an object-store deployment would swap this single file
-  * write for its conditional-put. */
+  * Local-FS commit is a CREATE-EXCLUSIVE link of the manifest into
+  * place (`link(2)` — atomic on POSIX, fails if the version already
+  * exists), which gives OPTIMISTIC CONCURRENCY between independent
+  * writers: of two commits racing the same version number exactly
+  * one publishes, the loser reclaims its staged files and REBASES —
+  * recomputes against the winner's version and retries
+  * ([[retryOnConflict]], the Iceberg/Delta OCC loop) — so a
+  * streaming ingest and a compaction (or MERGE) can run against the
+  * same table and both land, history staying linear. An object-store
+  * deployment swaps the link for its conditional-put
+  * (`If-None-Match: *`). */
 object SnapshotTable {
 
   /** One manifest line: a data file and its stats on the table's
@@ -151,9 +159,23 @@ object SnapshotTable {
       statsCol: String, commit: Int,
       bloomCol: Option[String] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
-    val stage = new File(s"$path/_stage_$commit")
+    // writer-unique staging dir: two OCC writers racing the same
+    // commit number must not overwrite each other's staged files
+    val stage = new File(s"$path/_stage_${commit}_" +
+      java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(stage.toString)
+    def rmStage(f: File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmStage)); f.delete(): Unit
+    }
+    // an EMPTY staged frame (e.g. a changelog batch whose deletes
+    // empty every touched partition with no inserts) writes no
+    // part-files — reading it back would fail schema inference, so
+    // the commit proceeds with only its carried-over entries
+    if (FileFormats.listPartFiles(stage).isEmpty) {
+      rmStage(stage)
+      return Seq.empty
+    }
     // one pass over the staged files — stats per physical file
     val stats = spark.read.parquet(stage.toString)
       .groupBy(input_file_name().as("f"))
@@ -274,20 +296,87 @@ object SnapshotTable {
     (df, live.size, all.size)
   }
 
+  /** Two INDEPENDENT writers raced a commit to the same version —
+    * the loser's manifest was NOT published (the winner's is intact)
+    * and its staged data files were reclaimed. [[retryOnConflict]]
+    * rebases: the commit method re-reads the new current version and
+    * recomputes, so both writers' changes land in a linear history
+    * (the Iceberg/Delta optimistic-concurrency loop). */
+  final class CommitConflictException(path: String, val version: Int)
+    extends RuntimeException(
+      s"version v$version of $path was committed concurrently")
+
+  private val OCC_RETRIES = 5
+
+  /** The OCC loop around a whole commit attempt: every commit method
+    * derives its plan from `currentVersion` at entry, so re-running
+    * the body IS the rebase — the retried attempt reads the winner's
+    * version, recomputes visible rows / carried-over entries against
+    * it, and publishes the next version. Only a conflict that
+    * persists past [[OCC_RETRIES]] rebases escapes. Semantic
+    * (row-level) conflicts cannot arise from rebasing these verbs:
+    * each recomputes its output from the NEW current version, so the
+    * result is what a serial execution after the winner would have
+    * produced. The one commit that cannot rebase — a WAP branch
+    * staged against an older version ([[publishBranch]]) — aborts
+    * instead, by design. */
+  private def retryOnConflict[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case c: CommitConflictException =>
+          attempt += 1
+          if (attempt > OCC_RETRIES) throw c
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Publish a manifest at version `v` with COMPARE-AND-SWAP
+    * semantics: the body is written to a temp file and LINKED into
+    * place — `link(2)` fails atomically if the target exists, unlike
+    * `rename(2)` which silently replaces — so of two writers racing
+    * the same version number exactly one wins and the other gets
+    * [[CommitConflictException]]. An object-store deployment swaps
+    * this for its conditional-put (`If-None-Match: *`). */
   private def commitManifest(path: String, v: Int, files: Seq[FileEntry],
       deletes: Seq[FileEntry] = Nil,
       batchId: Option[Long] = None): Unit = {
     val target = manifestFile(path, v)
     Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(s".v$v.tmp")
+    val tmp = target.resolveSibling(
+      s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}\t" +
       (if (e.bloom.isEmpty) "-" else e.bloom)) ++
       deletes.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
       batchId.map(b => s"B\t$b").toSeq)
       .mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(path, v)
+    }
+    Files.deleteIfExists(tmp): Unit
   }
+
+  /** [[commitManifest]], reclaiming this attempt's freshly staged
+    * files on conflict (they are referenced by no manifest — left
+    * behind they would be orphans until a vacuum) before rethrowing
+    * for the rebase loop. */
+  private def commitManifestOrClean(path: String, v: Int,
+      files: Seq[FileEntry], staged: Seq[FileEntry],
+      deletes: Seq[FileEntry] = Nil,
+      batchId: Option[Long] = None): Unit =
+    try commitManifest(path, v, files, deletes, batchId)
+    catch {
+      case c: CommitConflictException =>
+        staged.foreach(e =>
+          Files.deleteIfExists(Paths.get(s"${filesDir(path)}/${e.rel}")))
+        throw c
+    }
 
   /** Commit sequence of a manifest entry, parsed from the immutable
     * `c<commit>-<uuid>` file-name tag [[stageFiles]] writes. Deletes
@@ -321,7 +410,7 @@ object SnapshotTable {
     * version. */
   def upsertPartition(spark: SparkSession, path: String, delta: DataFrame,
       partCol: String, keyCol: String, statsCol: String,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     // layout-sized by design: partition values are the directory
@@ -346,7 +435,8 @@ object SnapshotTable {
       .unionByName(delta, allowMissingColumns = true)
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
       bloomCol)
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels)
+    commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
+      newFiles, dels)
     commitSchema(path, v + 1, merged.schema.toDDL)
     v + 1
   }
@@ -363,27 +453,29 @@ object SnapshotTable {
     * `writeStream.foreachBatch((df, id) => ingestCommit(..., id))`. */
   def ingestCommit(spark: SparkSession, path: String, delta: DataFrame,
       partCol: String, keyCol: String, statsCol: String, batchId: Long,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
-    if (batchId <= lastBatchId(path)) return v // replay → no-op
-    val affected = delta.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
-    val prev = manifest(path, v)
-    val dels = deleteManifest(path, v)
-    val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
-    val merged =
-      if (replaced.isEmpty) delta // pure append: new partitions only
-      else visibleRows(spark, path, replaced, dels, keyCol,
-          versionSchema(path, v))
-        .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(delta, allowMissingColumns = true)
-    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
-      bloomCol)
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels,
-      batchId = Some(batchId))
-    commitSchema(path, v + 1, merged.schema.toDDL)
-    v + 1
+    if (batchId <= lastBatchId(path)) v // replay → no-op
+    else {
+      val affected = delta.select(col(partCol).cast("string")).distinct()
+        .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+      val prev = manifest(path, v)
+      val dels = deleteManifest(path, v)
+      val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
+      val merged =
+        if (replaced.isEmpty) delta // pure append: new partitions only
+        else visibleRows(spark, path, replaced, dels, keyCol,
+            versionSchema(path, v))
+          .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(delta, allowMissingColumns = true)
+      val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+        bloomCol)
+      commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
+        newFiles, dels, batchId = Some(batchId))
+      commitSchema(path, v + 1, merged.schema.toDDL)
+      v + 1
+    }
   }
 
   private def readFiles(spark: SparkSession, path: String,
@@ -433,11 +525,12 @@ object SnapshotTable {
     * the DELETED KEYS, so scans and CDC can prune which data files a
     * delete can even touch. */
   def commitDeletes(spark: SparkSession, path: String, keys: DataFrame,
-      keyCol: String): Int = {
+      keyCol: String): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     val commit = v + 1
-    val stage = new File(s"$path/_stage_$commit")
+    val stage = new File(s"$path/_stage_${commit}_" +
+      java.util.UUID.randomUUID().toString.take(8))
     keys.select(col(keyCol)).distinct().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val stats = spark.read.parquet(stage.toString)
@@ -456,7 +549,7 @@ object SnapshotTable {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
     }
     rm(stage)
-    commitManifest(path, commit, manifest(path, v),
+    commitManifestOrClean(path, commit, manifest(path, v), entries,
       deleteManifest(path, v) ++ entries)
     versionSchema(path, v).foreach(commitSchema(path, commit, _))
     commit
@@ -521,7 +614,7 @@ object SnapshotTable {
     * Returns the new version. */
   def compactCommit(spark: SparkSession, path: String, partCol: String,
       keyCol: String, statsCol: String,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     val all = manifest(path, v)
@@ -540,19 +633,22 @@ object SnapshotTable {
     val (replaced, kept0) =
       data.partition(e => rewriteParts(e.rel.split("/").head))
     val kept = kept0 ++ foreign
-    if (replaced.isEmpty) return v // nothing fragmented, no-op
-    val merged =
-      visibleRows(spark, path, replaced, dels, keyCol,
-        versionSchema(path, v))
-        .repartition(col(partCol))
-        .sortWithinPartitions(col(partCol), col(statsCol))
-    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
-      bloomCol)
-    val liveDels = dels.filter(d => kept.exists(e =>
-      seqOf(e) < seqOf(d) && d.max >= e.min && d.min <= e.max))
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), liveDels)
-    versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
-    v + 1
+    if (replaced.isEmpty) v // nothing fragmented, no-op
+    else {
+      val merged =
+        visibleRows(spark, path, replaced, dels, keyCol,
+          versionSchema(path, v))
+          .repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col(statsCol))
+      val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+        bloomCol)
+      val liveDels = dels.filter(d => kept.exists(e =>
+        seqOf(e) < seqOf(d) && d.max >= e.min && d.min <= e.max))
+      commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
+        newFiles, liveDels)
+      versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
+      v + 1
+    }
   }
 
   /** RETENTION: expire every version below `keepFrom` — delete their
@@ -565,15 +661,23 @@ object SnapshotTable {
     * time travel below `keepFrom` is gone BY DESIGN — storage
     * reclaim is exactly the forfeit of history, which is why it is a
     * separate, explicit commitless operation and never implied by a
-    * write. Returns (files deleted, files kept). */
+    * write. STAGED BRANCHES are reachability roots too: a WAP branch
+    * ([[stageBranch]]) names files no numbered version references
+    * yet, and vacuuming them would let a later [[publishBranch]] —
+    * a pure rename — commit a version pointing at deleted data.
+    * Returns (files deleted, files kept). */
   def expireVersions(spark: SparkSession, path: String,
       keepFrom: Int): (Int, Int) = {
     val cur = currentVersion(path)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom outside 1..$cur")
-    val live = (keepFrom to cur).flatMap(v =>
+    val branchLive = branchNames(path).flatMap { b =>
+      val (d, dl, _) = branchEntries(path, b)
+      d.map(_.rel) ++ dl.map(_.rel)
+    }
+    val live = ((keepFrom to cur).flatMap(v =>
       manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel))
-      .toSet
+      ++ branchLive).toSet
     (1 until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestFile(path, v))
       Files.deleteIfExists(schemaFile(path, v)): Unit
@@ -657,17 +761,22 @@ object SnapshotTable {
     if (newDels.isEmpty) (classified, 0, shared.size)
     else {
       // masks newly committed in (v1, v2] reach shared files with a
-      // lower sequence AND a stats overlap with the deleted keys
-      val lo = newDels.map(_.min).min
-      val hi = newDels.map(_.max).max
-      val maxSeq = newDels.map(seqOf).max
-      val hit = shared.filter(e =>
-        seqOf(e) < maxSeq && e.max >= lo && e.min <= hi)
+      // STRICTLY lower sequence AND a stats overlap with the deleted
+      // keys. Scoping is per file, not one union keyed on max(seq):
+      // a key deleted by an older mask but re-inserted into a
+      // higher-seq shared file is visible at v2 and must NOT surface
+      // as a delete — so each seq group semi-joins only the masks
+      // that actually reach it (the visibleRows grouping, inverted).
+      val hit = shared.filter(e => newDels.exists(d =>
+        seqOf(d) > seqOf(e) && d.max >= e.min && d.min <= e.max))
       val masked =
         if (hit.isEmpty) classified.filter(lit(false))
-        else readFiles(spark, path, hit.map(_.rel))
-          .join(broadcast(deleteKeysDf(spark, path, newDels, keyCol)),
-            Seq(keyCol), "left_semi")
+        else hit.groupBy(seqOf).toSeq.sortBy(_._1).map { case (sq, group) =>
+          val masks = newDels.filter(d => seqOf(d) > sq)
+          readFiles(spark, path, group.map(_.rel))
+            .join(broadcast(deleteKeysDf(spark, path, masks, keyCol)),
+              Seq(keyCol), "left_semi")
+        }.reduce(_ unionByName _)
           .select(lit("delete").as("change_type"), col(keyCol),
             struct(cols.map(col): _*).as("pre"),
             lit(null).cast(classified.schema("post").dataType).as("post"))
@@ -694,33 +803,35 @@ object SnapshotTable {
   def mergeCommit(spark: SparkSession, path: String, changes: DataFrame,
       opCol: String, partCol: String, keyCol: String, statsCol: String,
       bloomCol: Option[String] = None,
-      batchId: Option[Long] = None): Int = {
+      batchId: Option[Long] = None): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     // exactly-once under streaming replay: the batch id rides IN the
     // manifest (the ingestCommit token pattern), so a foreachBatch
     // crash-and-retry of a committed changelog batch is a no-op
-    if (batchId.exists(_ <= lastBatchId(path))) return v
-    val affected = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => s"$partCol=${r.getString(0)}").toSet
-    val prev = manifest(path, v)
-    val dels = deleteManifest(path, v)
-    val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
-    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
-    val merged =
-      if (replaced.isEmpty) upserts // feed lands entirely in new partitions
-      else visibleRows(spark, path, replaced, dels, keyCol,
-          versionSchema(path, v))
-        // ALL change keys leave the base — updates re-enter from the
-        // feed, deletes simply don't
-        .join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(upserts, allowMissingColumns = true)
-    val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
-      bloomCol)
-    commitManifest(path, v + 1, (kept ++ newFiles).sortBy(_.rel), dels,
-      batchId = batchId)
-    commitSchema(path, v + 1, merged.schema.toDDL)
-    v + 1
+    if (batchId.exists(_ <= lastBatchId(path))) v
+    else {
+      val affected = changes.select(col(partCol).cast("string")).distinct()
+        .collect().map(r => s"$partCol=${r.getString(0)}").toSet
+      val prev = manifest(path, v)
+      val dels = deleteManifest(path, v)
+      val (replaced, kept) = prev.partition(e => affected(e.rel.split("/").head))
+      val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      val merged =
+        if (replaced.isEmpty) upserts // feed lands entirely in new partitions
+        else visibleRows(spark, path, replaced, dels, keyCol,
+            versionSchema(path, v))
+          // ALL change keys leave the base — updates re-enter from the
+          // feed, deletes simply don't
+          .join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(upserts, allowMissingColumns = true)
+      val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
+        bloomCol)
+      commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
+        newFiles, dels, batchId = batchId)
+      commitSchema(path, v + 1, merged.schema.toDDL)
+      v + 1
+    }
   }
 
   // ---- write-audit-publish branches ---------------------------------
@@ -733,6 +844,15 @@ object SnapshotTable {
   private def readLinesAt(file: java.nio.file.Path): Seq[Array[String]] =
     Files.readAllLines(file, StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty).map(_.split("\t"))
+
+  /** Every currently-staged branch name (manifest listing; schema
+    * side-files excluded — the dropBranch gotcha). */
+  private def branchNames(path: String): Seq[String] =
+    Option(new File(s"$path/manifests").listFiles).toSeq
+      .flatten.map(_.getName)
+      .collect { case n if n.startsWith("branch-") && n.endsWith(".txt") &&
+          !n.endsWith(".schema.txt") =>
+        n.stripPrefix("branch-").stripSuffix(".txt") }
 
   private def branchEntries(path: String, branch: String)
       : (Seq[FileEntry], Seq[FileEntry], Int) = {
@@ -819,25 +939,38 @@ object SnapshotTable {
     visibleRows(spark, path, data, dels, keyCol, schema)
   }
 
-  /** PUBLISH a staged branch: one atomic rename of the branch
-    * manifest to the next numbered version. Refuses if main advanced
-    * past the branch's staging version (the staged merge would
-    * silently drop the interleaved commit — re-stage instead).
-    * Returns the published version. The `S` provenance line stays in
-    * the published manifest (readers skip meta lines), recording
-    * that this version went through an audit gate. */
+  /** PUBLISH a staged branch: one atomic CREATE-EXCLUSIVE link of the
+    * branch manifest to the next numbered version. Refuses if main
+    * advanced past the branch's staging version (the staged merge
+    * would silently drop the interleaved commit — re-stage instead);
+    * the version-number CAS closes the check-then-rename race: a
+    * writer that lands between the staleness check and the publish
+    * makes the link fail, and the publish ABORTS rather than rebase —
+    * a branch merged against an older base cannot blindly recompute
+    * (its audit approved THAT content), which is the one commit the
+    * OCC loop must not retry. Returns the published version. The `S`
+    * provenance line stays in the published manifest (readers skip
+    * meta lines), recording that this version went through an audit
+    * gate. */
   def publishBranch(spark: SparkSession, path: String,
       branch: String): Int = {
     val (_, _, stagedAt) = branchEntries(path, branch)
     val v = currentVersion(path)
     require(v == stagedAt,
       s"branch $branch staged at v$stagedAt but main is at v$v — stale")
+    try Files.createLink(manifestFile(path, v + 1),
+      branchManifestFile(path, branch))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"branch $branch lost the publish race for v${v + 1} — " +
+            "main advanced; re-stage against the new version")
+    }
     val schemaSrc = branchSchemaFile(path, branch)
     if (Files.exists(schemaSrc))
       Files.move(schemaSrc, schemaFile(path, v + 1),
         StandardCopyOption.ATOMIC_MOVE)
-    Files.move(branchManifestFile(path, branch), manifestFile(path, v + 1),
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.delete(branchManifestFile(path, branch))
     v + 1
   }
 
@@ -853,11 +986,7 @@ object SnapshotTable {
       val versions = (1 to currentVersion(path)).flatMap { v =>
         manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel)
       }
-      val others = Option(new File(s"$path/manifests").listFiles).toSeq
-        .flatten.map(_.getName)
-        .collect { case n if n.startsWith("branch-") && n.endsWith(".txt") &&
-            !n.endsWith(".schema.txt") && n != s"branch-$branch.txt" =>
-          n.stripPrefix("branch-").stripSuffix(".txt") }
+      val others = branchNames(path).filter(_ != branch)
         .flatMap { b =>
           val (d, dl, _) = branchEntries(path, b)
           d.map(_.rel) ++ dl.map(_.rel)
@@ -892,13 +1021,13 @@ object SnapshotTable {
     * [[readVersionEvolvedPruned]] exposes the skip rate). */
   def evolveAppend(spark: SparkSession, path: String, delta: DataFrame,
       newPartCol: String, statsCol: String,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     val newFiles = stageFiles(delta, path, newPartCol, statsCol, v + 1,
       bloomCol)
-    commitManifest(path, v + 1,
-      (manifest(path, v) ++ newFiles).sortBy(_.rel),
+    commitManifestOrClean(path, v + 1,
+      (manifest(path, v) ++ newFiles).sortBy(_.rel), newFiles,
       deleteManifest(path, v))
     // the committed DDL stays the DATA schema; partition columns are
     // path-recovered per spec group at read time

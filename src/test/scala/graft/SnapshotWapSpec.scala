@@ -247,4 +247,58 @@ class SnapshotWapSpec extends SparkSpec {
     assert(oldRead >= 1 && oldRead <= m1.size)
     assert(oldDf.count() == df.filter($"o_dayl" === oldDay).count())
   }
+
+  test("vacuum: a staged branch's files are reachability roots") {
+    val path = freshTable()
+    // v2: a real commit so expireVersions(keepFrom = 2) has history
+    // to drop (v1's rewritten partition files become orphans)
+    val d2 = SnapshotTable.readVersion(spark, path, 1)
+      .filter($"om" === "1995-01")
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+    assert(SnapshotTable.upsertPartition(spark, path, d2,
+      "om", "o_orderkey", "o_orderkey") == 2)
+    // stage a WAP branch against v2 — its files exist in the shared
+    // tree but NO numbered manifest names them yet
+    val delta = SnapshotTable.readVersion(spark, path, 2)
+      .filter($"om" === "1995-03")
+      .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+    SnapshotTable.stageBranch(spark, path, "vac", delta,
+      "om", "o_orderkey", "o_orderkey")
+    val branchSum = SnapshotTable.readBranch(spark, path, "vac",
+      "o_orderkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long"))).head.getLong(0)
+    val (deleted, _) = SnapshotTable.expireVersions(spark, path, 2)
+    assert(deleted > 0, "v1's orphaned rewrite files must be reclaimed")
+    // the branch is untouched: still readable, and PUBLISH (a pure
+    // manifest rename) lands a version whose every file exists
+    val after = SnapshotTable.readBranch(spark, path, "vac", "o_orderkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long"))).head.getLong(0)
+    assert(after == branchSum, "vacuum must not reclaim staged-branch files")
+    val v3 = SnapshotTable.publishBranch(spark, path, "vac")
+    assert(v3 == 3)
+    val pub = SnapshotTable.readVersion(spark, path, 3)
+      .agg(sum(round($"o_totalprice" * 100).cast("long"))).head.getLong(0)
+    assert(pub == branchSum)
+  }
+
+  test("merge: a delete-only feed that empties its partition still commits") {
+    val path = freshTable()
+    val v1 = SnapshotTable.readVersion(spark, path, 1)
+    val n1 = v1.count()
+    val jan = v1.filter($"om" === "1995-01")
+    val nJan = jan.count()
+    assert(nJan > 0)
+    // every January key deleted, nothing inserted: the merged frame
+    // for the touched partition is EMPTY — the commit must land with
+    // only carried-over entries, not crash on schema inference
+    val changes = jan.withColumn("op", lit("D"))
+    val v2 = SnapshotTable.mergeCommit(spark, path, changes,
+      "op", "om", "o_orderkey", "o_orderkey")
+    assert(v2 == 2)
+    val r2 = SnapshotTable.readVersion(spark, path, 2)
+    assert(r2.filter($"om" === "1995-01").count() == 0)
+    assert(r2.count() == n1 - nJan)
+    // time travel below the merge still sees the full table
+    assert(SnapshotTable.readVersion(spark, path, 1).count() == n1)
+  }
 }
