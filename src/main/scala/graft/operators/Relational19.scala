@@ -62,17 +62,25 @@ object Relational19 {
     * changes the fan-out constant, never the pass count; swap the
     * exact distincts for x01's HLL sketches when ±2% suffices and
     * pass 2 folds into pass 1. */
-  def q72(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val o = t(s, dir, "orders").select(
-      $"o_orderkey",
-      $"o_custkey",
-      $"o_orderstatus",
-      round($"o_totalprice" * 100).cast("long").as("o_totalprice_c"),
-      date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_d"),
-      $"o_orderpriority")
+  /** q72's canonical per-type projection — SHARED with the live face
+    * ([[graft.streaming.ProfileStream]]): the two faces profile the
+    * same derived columns, so they cannot drift. */
+  private[graft] def ordersCanon(raw: DataFrame): DataFrame =
+    raw.select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("o_totalprice_c"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_d"),
+      col("o_orderpriority"))
+
+  /** Pass 1 of the profile — every MERGEABLE statistic (count, null
+    * count, min, max per column) in one narrow 1-row aggregate,
+    * stacked to a row per column. Mergeable-only is what makes the
+    * identical builder the STREAMING face's state: sums/min/max give
+    * the same answer under any micro-batch split. */
+  private[graft] def statsPass(o: DataFrame): DataFrame = {
     val cols = o.columns
-    // pass 1: all order statistics in one narrow 1-row aggregate
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
@@ -80,9 +88,17 @@ object Relational19 {
         max(col(c)).cast("string").as(s"mx_$c"))
     }
     val stack = cols.map(c => s"'$c', nn_$c, mn_$c, mx_$c").mkString(", ")
-    val stats = o.agg(aggs.head, aggs.tail: _*)
+    o.agg(aggs.head, aggs.tail: _*)
       .selectExpr("n_rows",
         s"stack(${cols.length}, $stack) AS (col_name, n_null, min_val, max_val)")
+  }
+
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = ordersCanon(t(s, dir, "orders"))
+    val cols = o.columns
+    // pass 1: all order statistics in one narrow 1-row aggregate
+    val stats = statsPass(o)
     // pass 2: exact distincts over the narrow stacked frame
     val valStack = cols.map(c => s"'$c', cast($c AS string)").mkString(", ")
     val nd = o
@@ -143,18 +159,33 @@ object Relational19 {
     * table). At 100 TB the audit costs one aggregate scan per table
     * plus the two sides of each FK join — the minimum any engine can
     * promise. */
+  /** q73's lineitem ROW-LEVEL rules as one conditional aggregate —
+    * SHARED with the live face ([[graft.streaming.ProfileStream]]):
+    * every counter is a sum, so the identical builder runs as a
+    * streaming aggregation with exact parity. The uniqueness and FK
+    * rules stay batch-only (they need full-corpus joins). */
+  private[graft] def liRuleAgg(li: DataFrame): DataFrame =
+    li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("v_tax"),
+      sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_disc"))
+
+  /** The rule-report stack over [[liRuleAgg]]'s columns (shared
+    * literal — the two faces and the oracle name rules identically). */
+  private[graft] val LI_RULE_STACK = "stack(3, " +
+    "'lineitem_quantity_le_45', n, v_qty, " +
+    "'lineitem_tax_le_005', n, v_tax, " +
+    "'lineitem_discount_le_008', n, v_disc) AS " +
+    "(rule, n_checked, n_violations)"
+
   def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
 
-    val liAgg = li.agg(
-        count(lit(1)).as("n"),
-        sum(when($"l_quantity" > 45, 1L).otherwise(0L)).as("v_qty"),
-        sum(when($"l_tax" > 0.05, 1L).otherwise(0L)).as("v_tax"),
-        sum(when($"l_discount" > 0.08, 1L).otherwise(0L)).as("v_disc"))
-      .localCheckpoint()
+    val liAgg = liRuleAgg(li).localCheckpoint()
     val oAgg = o.agg(
         count(lit(1)).as("n"),
         sum(when(!$"o_orderstatus".isin("F", "O"), 1L).otherwise(0L))
@@ -162,12 +193,7 @@ object Relational19 {
         sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("v_null"),
         (count(lit(1)) - countDistinct($"o_orderkey")).as("v_dup"))
       .localCheckpoint()
-    val liChecks = liAgg
-      .selectExpr("stack(3, " +
-        "'lineitem_quantity_le_45', n, v_qty, " +
-        "'lineitem_tax_le_005', n, v_tax, " +
-        "'lineitem_discount_le_008', n, v_disc) AS " +
-        "(rule, n_checked, n_violations)")
+    val liChecks = liAgg.selectExpr(LI_RULE_STACK)
     val oChecks = oAgg
       .selectExpr("stack(3, " +
         "'orders_status_in_F_O', n, v_status, " +

@@ -125,10 +125,26 @@ object SnapshotTable {
       case p if p(0) == "B" => p(1).toLong
     }
 
-  /** Highest ingest batch id across all commits (−1 if none). */
+  /** Highest ingest batch id across all LIVE commits (−1 if none) —
+    * live, because retention may have expired early manifests; the
+    * token survives anyway since every commit carries the running
+    * maximum forward ([[carriedBatchId]]). */
   def lastBatchId(path: String): Long =
-    (1 to currentVersion(path)).flatMap(batchIdOf(path, _))
+    liveVersions(path).flatMap(batchIdOf(path, _))
       .foldLeft(-1L)(math.max)
+
+  /** The batch-id token the NEXT commit must carry: the running max
+    * of its own id (if any) and everything committed so far. Without
+    * this, a retention pass that expires the manifest holding the
+    * highest `B` line would lose the exactly-once dedup token and a
+    * replayed batch would re-commit — carrying the max forward makes
+    * the token monotone through compaction, vacuum, and every other
+    * verb. */
+  private def carriedBatchId(path: String,
+      own: Option[Long] = None): Option[Long] = {
+    val m = own.foldLeft(lastBatchId(path))(math.max)
+    if (m >= 0) Some(m) else None
+  }
 
   /** EQUALITY-DELETE file entries of version `v` (min/max/rows are
     * stats on the deleted KEYS — they prune which data files a
@@ -139,17 +155,21 @@ object SnapshotTable {
         p(4).toLong)
     }
 
-  /** Latest committed version (0 if none). */
-  def currentVersion(path: String): Int = {
+  /** Every version whose manifest is still on disk, ascending —
+    * after [[expireVersions]] the live set starts above 1, which is
+    * what maintenance reports audit. */
+  def liveVersions(path: String): Seq[Int] = {
     val dir = new File(s"$path/manifests")
-    if (!dir.isDirectory) 0
-    else Option(dir.listFiles).toSeq.flatten
+    Option(dir.listFiles).toSeq.flatten
       .map(_.getName).collect {
         case s if s.matches("v\\d+\\.txt") =>
           s.stripPrefix("v").stripSuffix(".txt").toInt
-      }
-      .foldLeft(0)(math.max)
+      }.sorted
   }
+
+  /** Latest committed version (0 if none). */
+  def currentVersion(path: String): Int =
+    liveVersions(path).foldLeft(0)(math.max)
 
   /** Stage `df` partitioned by `partCol`, collect per-file stats on
     * `statsCol` with one distributed aggregation, then move the
@@ -436,7 +456,7 @@ object SnapshotTable {
     val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
       bloomCol)
     commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
-      newFiles, dels)
+      newFiles, dels, batchId = carriedBatchId(path))
     commitSchema(path, v + 1, merged.schema.toDDL)
     v + 1
   }
@@ -472,7 +492,7 @@ object SnapshotTable {
       val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
         bloomCol)
       commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
-        newFiles, dels, batchId = Some(batchId))
+        newFiles, dels, batchId = carriedBatchId(path, Some(batchId)))
       commitSchema(path, v + 1, merged.schema.toDDL)
       v + 1
     }
@@ -550,7 +570,7 @@ object SnapshotTable {
     }
     rm(stage)
     commitManifestOrClean(path, commit, manifest(path, v), entries,
-      deleteManifest(path, v) ++ entries)
+      deleteManifest(path, v) ++ entries, batchId = carriedBatchId(path))
     versionSchema(path, v).foreach(commitSchema(path, commit, _))
     commit
   }
@@ -614,7 +634,8 @@ object SnapshotTable {
     * Returns the new version. */
   def compactCommit(spark: SparkSession, path: String, partCol: String,
       keyCol: String, statsCol: String,
-      bloomCol: Option[String] = None): Int = retryOnConflict {
+      bloomCol: Option[String] = None,
+      maxFilesPerPartition: Int = 1): Int = retryOnConflict {
     val v = currentVersion(path)
     require(v > 0, s"$path has no initial commit")
     val all = manifest(path, v)
@@ -628,7 +649,8 @@ object SnapshotTable {
       seqOf(d) > seqOf(e) && d.max >= e.min && d.min <= e.max)
     val byPart = data.groupBy(_.rel.split("/").head)
     val rewriteParts = byPart.collect {
-      case (p, fs) if fs.size > 1 || fs.exists(maskReaches) => p
+      case (p, fs)
+        if fs.size > maxFilesPerPartition || fs.exists(maskReaches) => p
     }.toSet
     val (replaced, kept0) =
       data.partition(e => rewriteParts(e.rel.split("/").head))
@@ -645,7 +667,7 @@ object SnapshotTable {
       val liveDels = dels.filter(d => kept.exists(e =>
         seqOf(e) < seqOf(d) && d.max >= e.min && d.min <= e.max))
       commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
-        newFiles, liveDels)
+        newFiles, liveDels, batchId = carriedBatchId(path))
       versionSchema(path, v).foreach(commitSchema(path, v + 1, _))
       v + 1
     }
@@ -828,7 +850,7 @@ object SnapshotTable {
       val newFiles = stageFiles(merged, path, partCol, statsCol, v + 1,
         bloomCol)
       commitManifestOrClean(path, v + 1, (kept ++ newFiles).sortBy(_.rel),
-        newFiles, dels, batchId = batchId)
+        newFiles, dels, batchId = carriedBatchId(path, batchId))
       commitSchema(path, v + 1, merged.schema.toDDL)
       v + 1
     }
@@ -1028,7 +1050,7 @@ object SnapshotTable {
       bloomCol)
     commitManifestOrClean(path, v + 1,
       (manifest(path, v) ++ newFiles).sortBy(_.rel), newFiles,
-      deleteManifest(path, v))
+      deleteManifest(path, v), batchId = carriedBatchId(path))
     // the committed DDL stays the DATA schema; partition columns are
     // path-recovered per spec group at read time
     versionSchema(path, v).foreach(commitSchema(path, v + 1, _))

@@ -62,4 +62,31 @@ object SnapshotIngest {
             batchId = Some(id)): Unit
       }
       .start()
+
+  /** [[start]] with the maintenance loop IN the loop: after each
+    * ingest commit, one [[graft.sources.TableMaintenance.runOnce]]
+    * pass compacts what the batch fragmented and expires history past
+    * the policy's retention — the live OPTIMIZE scheduler. Replay
+    * safety composes: a re-delivered batch's ingest is a manifest
+    * no-op (the batch-id token) and maintenance on the already-
+    * converged table plans zero actions, so the pair is idempotent.
+    * Under a second independent writer both verbs rebase through the
+    * OCC loop. */
+  def startMaintained(stream: DataFrame, path: String, partCol: String,
+      keyCol: String, statsCol: String, checkpointDir: String,
+      policy: graft.sources.TableMaintenance.Policy =
+        graft.sources.TableMaintenance.Policy(),
+      bloomCol: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          SnapshotTable.ingestCommit(batch.sparkSession, path, batch,
+            partCol, keyCol, statsCol, id, bloomCol)
+          graft.sources.TableMaintenance.runOnce(batch.sparkSession, path,
+            partCol, keyCol, statsCol, policy, bloomCol): Unit
+        }
+      }
+      .start()
 }

@@ -433,4 +433,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("HashAggregate"),
       "token explode must partial-aggregate before the vocab join")
   }
+
+  test("engine-wide: no registered query plans a single-partition window") {
+    // A Window with an empty partitionSpec forces the whole input
+    // through ONE task — the e16 scale-killer the r12 verdict graded.
+    // Every registered query's physical plan is swept; the only
+    // windows allowed are the documented exceptions below, each
+    // bounded by construction or covered by a registered sharded twin
+    // (the t13/q52s convention).
+    val whitelist = Map(
+      "q52_token_deciles" -> ("global ntile BY DESIGN (exact decile " +
+        "semantics); the registered scale twin q52s shards it"),
+      "q52s_token_deciles_sharded" -> ("cumulative sum over the n_tok " +
+        "HISTOGRAM (distinct per-doc token counts, ≤ max doc length) — " +
+        "metadata-sized by construction, never data-sized"),
+      "t12_seq_packing" -> ("global running token sum BY DESIGN (exact " +
+        "greedy packing); the registered scale twin t13 shards it"),
+      "x04e_heavy_hitters_exact" -> ("row_number over the event-TYPE " +
+        "aggregate (≤ distinct event types) — enum-sized by construction"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hits =
+          try PlanAudit.globalWindows(fn(spark, sf))
+          catch { case e: Throwable => Seq(s"BUILD FAILED: $e") }
+        if (hits.nonEmpty && !whitelist.contains(name))
+          Some(s"$name: ${hits.mkString(" | ")}")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unwhitelisted single-partition windows:\n${offenders.mkString("\n")}")
+    // the whitelist must not rot: its entries still plan the window
+    // they document (drop the entry when the query is fixed)
+    whitelist.keys.foreach { name =>
+      assert(PlanAudit.globalWindows(
+        SparkEntry.queries(name)(spark, sf)).nonEmpty,
+        s"$name is whitelisted but plans no global window — remove it")
+    }
+  }
 }
