@@ -161,6 +161,8 @@ object Bench {
         // query a fresh process measures first (r12 driver artifact:
         // q63 3.13 s vs 0.40 s steady; q62 spread 9.4 s)
         operators.Relational17.snapV4(spark, sfDir)
+        // the q79 maintenance fixture (its own table + one policy pass)
+        operators.Relational21.maintFixture(spark, sfDir)
         // knn edge table (s12m/s16m/s19m serving forms)
         operators.Similarity.materializedKnnEdges(spark, sfDir).count()
         true

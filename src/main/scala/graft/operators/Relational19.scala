@@ -511,11 +511,17 @@ object Relational19 {
       .localCheckpoint()
     val n = rfm.count()
     val tile = RankOps.tileOf(n, 5) _
-    val ranked = RankOps.globalOrdinal(
-      RankOps.globalOrdinal(
-        RankOps.globalOrdinal(rfm,
-          Seq($"rec_us".asc, $"user_id".asc), "r_idx").localCheckpoint(),
-        Seq($"freq".desc, $"user_id".asc), "f_idx").localCheckpoint(),
+    // each pass materializes eagerly, so the previous pass's blocks
+    // are dead the moment the next checkpoint exists — freed here
+    // (the d09/s12 checkpoint discipline); only the LAST checkpoint
+    // must survive until the caller evaluates the returned frame
+    val r1 = RankOps.globalOrdinal(rfm,
+      Seq($"rec_us".asc, $"user_id".asc), "r_idx").localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(rfm)
+    val r2 = RankOps.globalOrdinal(r1,
+      Seq($"freq".desc, $"user_id".asc), "f_idx").localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(r1)
+    val ranked = RankOps.globalOrdinal(r2,
       Seq($"cents".desc, $"user_id".asc), "m_idx")
     ranked
       .select((tile($"r_idx") * 100 + tile($"f_idx") * 10 +
