@@ -22,6 +22,14 @@ import graft.sources.{SnapshotTable, TableMaintenance}
   */
 object Relational21 {
 
+  /** Task = order-key parity — the one way to pin a file layout with
+    * NO sampled bounds and no optimizer discretion (see
+    * [[maintFixture]]). */
+  private class ParityPartitioner extends org.apache.spark.Partitioner {
+    def numPartitions: Int = 2
+    def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     graft.Tables.load(s, dir, n)
 
@@ -46,10 +54,16 @@ object Relational21 {
 
   /** A DEDICATED fixture (the q71/q75 convention — maintenance
     * destroys history, so the shared q62-q78 table must never see
-    * it): v1 = orders by month, deliberately FRAGMENTED (the frame is
-    * round-robined 8 ways before the partitioned write, so every
-    * month lands as up to 8 small files — the streaming-ingest debt
-    * shape); v2 = a MOR cohort delete (mask, zero rewrite); then ONE
+    * it): v1 = orders by month, deliberately FRAGMENTED with an
+    * EXACTLY DERIVABLE layout — an explicit parity Partitioner puts
+    * every row in the task of its order-key's parity (no sampling, no
+    * optimizer collapse: a union of two coalesce(1) halves measured
+    * back as ONE partition — Catalyst collapses it — hence the RDD
+    * detour), so each month lands as exactly
+    * `count(DISTINCT o_orderkey % 2)` files — a quantity the q80
+    * oracle restates from raw rows, robust even to a one-row month at
+    * the smallest SF;
+    * v2 = a MOR cohort delete (mask, zero rewrite); then ONE
     * maintenance pass under the default policy (1 file/partition,
     * keep 1 version) compacts every reachable partition, retires the
     * mask, and vacuums v1-v2. Cached per (session, dir) with the
@@ -62,8 +76,11 @@ object Relational21 {
       rmOnExit(out)
       val base = t(s, dir, "orders")
         .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
-        .repartition(8)
-      SnapshotTable.init(s, base, out.toString, "om", "o_orderkey")
+      val frag = s.createDataFrame(
+        base.rdd.map(r => (r.getAs[Long]("o_orderkey") % 2, r))
+          .partitionBy(new ParityPartitioner).values,
+        base.schema)
+      SnapshotTable.init(s, frag, out.toString, "om", "o_orderkey")
       val cohort = t(s, dir, "orders")
         .filter(pmod($"o_custkey", lit(10)) === MAINT_COHORT)
         .select($"o_orderkey")
@@ -113,11 +130,47 @@ object Relational21 {
        |FROM orders WHERE o_custkey % 10 <> $MAINT_COHORT
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The maintenance pass's ACTION REPORT itself, oracle-checked
+    * (the q79-style metadata audit the r12 verdict asked for): one
+    * row per action taken with its metric before/after. The fixture's
+    * parity-split layout makes every number a first-principles
+    * restatement over raw orders — `compact` went from
+    * Σ per-month count(DISTINCT key parity) files (every month is
+    * mask-reachable, so all rewrite) to one file per month that
+    * still has VISIBLE rows (a month whose rows are all in the
+    * deleted cohort vanishes with the rewrite), `retire_masks` ended
+    * the one cohort mask, `vacuum` took the three-version history
+    * (init, delete, compaction) down to one. A policy loop that
+    * compacted too little, dropped the wrong mask, or kept the wrong
+    * history hash-mismatches here even if the data content survives. */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, report) = maintFixture(s, dir)
+    report.map(a => (a.action, a.before, a.after))
+      .toDF("action", "n_before", "n_after")
+      .orderBy($"action")
+  }
+
+  private val q80Oracle =
+    s"""WITH m AS (SELECT CAST(sum(np) AS BIGINT) AS files_before FROM (
+       |    SELECT count(DISTINCT o_orderkey % 2) AS np FROM orders
+       |    GROUP BY strftime(o_orderdate, '%Y-%m'))),
+       |mv AS (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+       |    AS BIGINT) AS vis_m FROM orders
+       |  WHERE o_custkey % 10 <> $MAINT_COHORT)
+       |SELECT 'compact' AS action, files_before AS n_before,
+       |  vis_m AS n_after FROM m, mv
+       |UNION ALL SELECT 'retire_masks', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'vacuum', CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+       |ORDER BY action""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_maintenance_loop" -> (q79 _),
+    "q80_maintenance_report" -> (q80 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q79_maintenance_loop" -> q79Oracle,
+    "q80_maintenance_report" -> q80Oracle,
   )
 }

@@ -123,4 +123,80 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(got.agg(sum($"o_orderkey")).head.getLong(0) ==
       want.agg(sum($"o_orderkey")).head.getLong(0))
   }
+
+  test("maintained stream + independent merge writer: both land via OCC") {
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("om", om($"o_orderdate"))
+    val init = orders.filter($"om" < "1995-07")
+    val table = java.nio.file.Files.createTempDirectory("graft-occ-stream")
+    table.toFile.deleteOnExit()
+    SnapshotTable.init(spark, init.repartition(4), table.toString,
+      "om", "o_orderkey")
+    val src = java.nio.file.Files.createTempDirectory("graft-occ-src")
+    src.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    val chunks = Seq("1995-07" -> "1996-01", "1996-01" -> "1996-07",
+      "1996-07" -> "1997-01")
+    chunks.zipWithIndex.foreach { case ((lo, hi), i) =>
+      StreamTestIO.writeChunk(
+        orders.filter($"om" >= lo && $"om" < hi).repartition(4),
+        src.resolve(s"c$i.parquet"), base + i * 1000)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-occ-ck")
+    ckpt.toFile.deleteOnExit()
+    // the INDEPENDENT writer: merge commits re-pricing frozen months
+    // (disjoint from the stream's arrivals) while the maintained
+    // ingest loop runs — each side's commits race the other's and
+    // serialize through the OCC rebase
+    @volatile var err: Option[Throwable] = None
+    val merger = new Thread(() => {
+      try {
+        for (m <- Seq("1995-01", "1995-02", "1995-03")) {
+          val changes = SnapshotTable
+            .readVersion(spark, table.toString, 1)
+            .filter($"om" === m)
+            .withColumn("o_totalprice", $"o_totalprice" + 7.0)
+            .withColumn("op", lit("U"))
+          SnapshotTable.mergeCommit(spark, table.toString, changes,
+            "op", "om", "o_orderkey", "o_orderkey"): Unit
+        }
+      } catch { case t: Throwable => err = Some(t) }
+    })
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = graft.streaming.SnapshotIngest.startMaintained(
+      stream, table.toString, "om", "o_orderkey", "o_orderkey",
+      ckpt.toString,
+      TableMaintenance.Policy(maxFilesPerPartition = 1, keepVersions = 10))
+    merger.start()
+    q.awaitTermination()
+    merger.join(300000)
+    err.foreach(throw _)
+    // the merge writer may land AFTER the stream's last in-loop pass,
+    // leaving its months fragmented — the next scheduled pass (what a
+    // deployment's cron provides) converges the residue
+    TableMaintenance.runOnce(spark, table.toString,
+      "om", "o_orderkey", "o_orderkey",
+      TableMaintenance.Policy(maxFilesPerPartition = 1, keepVersions = 10))
+    // every commit landed: linear history, every live manifest parses
+    val cur = SnapshotTable.currentVersion(table.toString)
+    SnapshotTable.liveVersions(table.toString)
+      .foreach(v => SnapshotTable.manifest(table.toString, v))
+    val fin = SnapshotTable.readVersion(spark, table.toString, cur)
+    // stream content all arrived exactly once
+    val want = orders.filter($"om" < "1997-01")
+    assert(fin.count() == want.count())
+    // the merge writer's re-prices all survived the racing
+    // compactions (content-preserving by construction)
+    for (m <- Seq("1995-01", "1995-02", "1995-03")) {
+      val wantC = orders.filter($"om" === m)
+        .agg(sum(round(($"o_totalprice" + 7.0) * 100).cast("long")))
+        .head.getLong(0)
+      val gotC = fin.filter($"om" === m)
+        .agg(sum(round($"o_totalprice" * 100).cast("long"))).head.getLong(0)
+      assert(gotC == wantC, s"merge of $m lost racing the maintained stream")
+    }
+    // and the maintained layout converged after the final batch
+    assert(filesPerPartition(table.toString).values.forall(_ == 1))
+  }
 }
