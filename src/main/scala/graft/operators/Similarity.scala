@@ -917,12 +917,119 @@ object Similarity {
   def s16m(s: SparkSession, dir: String): DataFrame =
     labelPropOver(materializedKnnEdges(s, dir))
 
+  // ---- s20: greedy graph-walk ANN ------------------------------------
+
+  private val GREEDY_HOPS = 4
+  private val GREEDY_QMOD = 25   // query vectors: vec_id ≡ 0 (mod 25)
+  private val GREEDY_EMOD = 125  // entry points: vec_id ≡ 7 (mod 125)
+  private val GREEDY_ERES = 7
+
+  /** GREEDY GRAPH-SEARCH ANN — the navigable-small-world search
+    * primitive (Malkov et al. 2014; the in-layer search HNSW, Malkov
+    * & Yashunin 2018, stacks), with SPREAD ENTRY POINTS: from each of
+    * the vec_id ≡ [[GREEDY_ERES]] (mod [[GREEDY_EMOD]]) entries, a
+    * walk repeatedly moves to the out-neighbor most similar to the
+    * query — strictly-better moves only, [[GREEDY_HOPS]] unrolled
+    * steps — and the best-settled walk per query wins. Multi-entry is
+    * the standard remedy for a sparse graph's local maxima (a single
+    * entry on this k=3 graph measured hit@1 = 0 — the walk stalls in
+    * the entry's cluster; with spread entries at least one starts
+    * near the query's). The graph is s11's knn graph; queries are the
+    * vec_id ≡ 0 (mod [[GREEDY_QMOD]]) vectors matched against
+    * everyone but themselves. All ties break on the (cos DESC, id)
+    * total order, so every walk is deterministic and the DuckDB
+    * oracle replays the whole search exactly — g0..gH unrolled CTEs
+    * over the SAME edge CTE chain as the s12/s19 oracles.
+    *
+    * Output per query: the winning walk's settled node and how many
+    * hops it actually moved.
+    *
+    * At 100 TB this is the serving-economics argument for graph ANN:
+    * a query costs entries × hops × out-degree (≤ [[KNN_K]]) × DIM
+    * similarity arithmetic — INDEPENDENT of corpus size — against
+    * IVF's probe share or brute force's full scan; the corpus-sized
+    * cost lives entirely in the one-time graph build (s11, already
+    * priced, and incrementally maintainable — AnnStream's insert
+    * path). The plan is windowless: per-hop argmax is a `max(struct)`
+    * aggregate keyed by (query, walk), never a rank window. Beam-k
+    * widens the same joins (keep top-b per walk per hop); the spec
+    * measures this base case's hit@1 against the exact neighbor. */
+  private def greedySearchOver(edges: DataFrame, s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val q = e.filter(pmod($"vec_id", lit(GREEDY_QMOD)) === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val ent = e.filter(pmod($"vec_id", lit(GREEDY_EMOD)) === GREEDY_ERES)
+      .select($"vec_id".as("e0"), $"embedding".as("ee"), $"nrm".as("en"))
+    var cur = q.crossJoin(broadcast(ent))
+      .filter($"e0" =!= $"q_id")
+      .select($"q_id", $"e0", $"qe", $"qn", $"e0".as("node"),
+        cosine($"qe", $"qn", $"ee", $"en").as("cur_cos"),
+        lit(0L).as("n_moves"))
+    val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
+      $"nrm".as("dn"))
+    for (_ <- 1 to GREEDY_HOPS) {
+      val probe = cur.select($"q_id", $"e0", $"qe", $"qn", $"node")
+      val best = probe
+        .join(edges, probe("node") === edges("src"))
+        .join(dstE, Seq("dst"))
+        .filter($"dst" =!= $"q_id")
+        .select($"q_id", $"e0",
+          struct(cosine($"qe", $"qn", $"de", $"dn").as("c"),
+            (-$"dst").as("negd")).as("cand"))
+        .groupBy($"q_id", $"e0").agg(max($"cand").as("b"))
+        .select($"q_id", $"e0", $"b.c".as("bc"),
+          (-$"b.negd").cast("long").as("bn"))
+      cur = cur.join(best, Seq("q_id", "e0"), "left")
+        .select($"q_id", $"e0", $"qe", $"qn",
+          when($"bc" > $"cur_cos", $"bn").otherwise($"node").as("node"),
+          when($"bc" > $"cur_cos", $"bc").otherwise($"cur_cos")
+            .as("cur_cos"),
+          when($"bc" > $"cur_cos", $"n_moves" + 1L).otherwise($"n_moves")
+            .as("n_moves"))
+    }
+    // best walk per query: (cos DESC, node ASC, moves DESC) total order
+    val winner = cur
+      .select($"q_id", struct($"cur_cos", (-$"node").as("negn"),
+        $"n_moves").as("w"))
+      .groupBy($"q_id").agg(max($"w").as("b"))
+      .select($"q_id", (-$"b.negn").cast("long").as("found_id"),
+        $"b.n_moves".as("n_moves"))
+    // settle NOW (queries-sized) so the embedding/edge checkpoints
+    // behind the walk are dead and safe to free
+    val settled = winner.localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(e)
+    settled.orderBy($"q_id")
+  }
+
+  /** Fresh-build greedy ANN: derives the knn graph in-query (the
+    * s12/s16 bench convention — the build cost IS the number). */
+  def s20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val out = greedySearchOver(edges, s, dir)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edges)
+    out
+  }
+
+  /** [[s20]] over the once-materialized edge table — the serving
+    * cost (the s12m/s16m/s19m form). */
+  def s20m(s: SparkSession, dir: String): DataFrame =
+    greedySearchOver(materializedKnnEdges(s, dir), s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
     "s12m_pagerank_materialized" -> (s12m _),
     "s16_label_prop" -> (s16 _),
     "s16m_label_prop_materialized" -> (s16m _),
+    "s20_greedy_graph_ann" -> (s20 _),
+    "s20m_greedy_ann_materialized" -> (s20m _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -1064,7 +1171,54 @@ object Similarity {
        |FROM a WHERE rn = 1
        |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** The greedy walk replayed step for step: g0..gH unrolled CTEs
+    * over the shared knn edge chain; per step the best candidate is
+    * the (cos DESC, dst) row_number-1 row, and the CASE mirrors the
+    * engine's strictly-better move rule (a NULL best — no out-edges —
+    * stays put on both sides). */
+  private lazy val s20Oracle: String = {
+    val steps = (1 to GREEDY_HOPS).map { i =>
+      s"""c$i AS (SELECT g.q_id, g.e0, ed.dst AS dst,
+         |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)
+         |     for i in range(1, ${DIM + 1})]) / (q.qn * de.nrm) AS c
+         |  FROM g${i - 1} g JOIN ed ON ed.src = g.node
+         |  JOIN e de ON de.vec_id = ed.dst
+         |  JOIN q ON q.q_id = g.q_id
+         |  WHERE ed.dst <> g.q_id),
+         |b$i AS (SELECT q_id, e0, dst, c FROM (SELECT q_id, e0, dst, c,
+         |    row_number() OVER (PARTITION BY q_id, e0
+         |      ORDER BY c DESC, dst) AS rn
+         |  FROM c$i) WHERE rn = 1),
+         |g$i AS (SELECT g.q_id, g.e0,
+         |  CASE WHEN b.c > g.cur_cos THEN b.dst ELSE g.node END AS node,
+         |  CASE WHEN b.c > g.cur_cos THEN b.c ELSE g.cur_cos END AS cur_cos,
+         |  g.n_moves + (CASE WHEN b.c > g.cur_cos THEN 1 ELSE 0 END)
+         |    AS n_moves
+         |  FROM g${i - 1} g LEFT JOIN b$i b
+         |    ON b.q_id = g.q_id AND b.e0 = g.e0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlKnnEdgeCtes,
+       |en AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM e
+       |  WHERE vec_id % $GREEDY_EMOD = $GREEDY_ERES),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
+       |  WHERE vec_id % $GREEDY_QMOD = 0),
+       |g0 AS (SELECT q.q_id, en.e0, en.e0 AS node,
+       |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(en.ee[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q.qn * en.en) AS cur_cos,
+       |  0 AS n_moves
+       |  FROM q CROSS JOIN en WHERE en.e0 <> q.q_id),
+       |$steps
+       |SELECT q_id, node AS found_id, CAST(n_moves AS BIGINT) AS n_moves
+       |FROM (SELECT q_id, node, n_moves,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cur_cos DESC, node, n_moves DESC) AS rn
+       |  FROM g$GREEDY_HOPS) WHERE rn = 1
+       |ORDER BY q_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s20_greedy_graph_ann" -> s20Oracle,
+    "s20m_greedy_ann_materialized" -> s20Oracle,
     "s17_mmr_rerank" -> s17Oracle,
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,

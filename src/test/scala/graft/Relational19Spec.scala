@@ -217,4 +217,73 @@ class Relational19Spec extends SparkSpec {
     // expansion actually happened: someone is strictly downstream
     assert(got.values.exists(_ > 0))
   }
+
+  test("s20: brute-force greedy-walk replay; measured hit rate vs exact") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val adj = operators.Similarity.s11(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val entries = vecs.keys.filter(_ % 125 == 7).toSeq.sorted
+    assert(entries.size >= 2, "fixture must yield several entry points")
+    val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
+    val want = queries.map { q =>
+      val walks = entries.filter(_ != q).map { entry =>
+        var node = entry
+        var cur = cos(vecs(q), vecs(entry))
+        var moves = 0L
+        for (_ <- 1 to 4) {
+          val cands = adj.getOrElse(node, Array.empty[Long])
+            .filter(_ != q).map(d => (cos(vecs(q), vecs(d)), d))
+          if (cands.nonEmpty) {
+            val (bc, bn) = cands.maxBy { case (c, d) => (c, -d) }
+            if (bc > cur) { node = bn; cur = bc; moves += 1 }
+          }
+        }
+        (cur, node, moves)
+      }
+      // winning walk: (cos DESC, node ASC, moves DESC)
+      val (_, node, moves) =
+        walks.maxBy { case (c, n, m) => (c, -n, m) }
+      (q, node, moves)
+    }
+    val got = operators.Similarity.s20m(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want, "greedy walk diverges from the replay")
+    // the walk genuinely navigates: most queries move off the entry
+    assert(got.count(_._3 > 0) >= got.length * 3 / 4)
+    // MEASURED quality: beam-1 greedy over a k=3 graph vs the exact
+    // (self-excluded) nearest neighbor — a real recall floor, not a
+    // vacuous one; the honest number for the base case the docstring
+    // prescribes widening via beam-k
+    val exactRank = queries.map { q =>
+      q -> vecs.collect { case (id, v) if id != q => (cos(vecs(q), v), id) }
+        .toSeq.sortBy { case (c, d) => (-c, d) }.map(_._2).zipWithIndex
+        .toMap
+    }.toMap
+    val hit1 = got.count { case (q, f, _) => exactRank(q)(f) == 0 }
+    val hit5 = got.count { case (q, f, _) => exactRank(q)(f) < 5 }
+    val meanRank = got.map { case (q, f, _) => exactRank(q)(f) }.sum
+      .toDouble / got.length
+    info(f"s20 hit@1 $hit1/${got.length}, found-in-exact-top5 " +
+      f"$hit5/${got.length}, mean exact-rank of found $meanRank%.1f")
+    // measured floors for THIS graph (k=3 bucketed candidates, 4
+    // entries, 4 hops): the walk lands a genuinely close neighbor
+    // (top-5 mostly), not reliably THE nearest — the honest beam-1
+    // base-case quality the docstring prescribes widening
+    assert(hit5.toDouble / got.length >= 0.3,
+      f"greedy top-5 quality collapsed: $hit5/${got.length}")
+    assert(meanRank < vecs.size / 10.0,
+      f"found nodes are no better than random: mean rank $meanRank%.1f")
+  }
 }
