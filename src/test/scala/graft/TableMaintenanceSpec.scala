@@ -199,4 +199,48 @@ class TableMaintenanceSpec extends SparkSpec {
     // and the maintained layout converged after the final batch
     assert(filesPerPartition(table.toString).values.forall(_ == 1))
   }
+
+  test("property: any policy converges in one pass and then plans nothing") {
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("om", om($"o_orderdate"))
+      .filter($"om" < "1995-04")
+    val rnd = new scala.util.Random(13) // deterministic
+    for (trial <- 1 to 4) {
+      val policy = TableMaintenance.Policy(
+        maxFilesPerPartition = 1 + rnd.nextInt(3),
+        keepVersions = 1 + rnd.nextInt(3))
+      val table = java.nio.file.Files
+        .createTempDirectory(s"graft-maint-prop$trial")
+      table.toFile.deleteOnExit()
+      SnapshotTable.init(spark, orders.repartition(1 + rnd.nextInt(6)),
+        table.toString, "om", "o_orderkey")
+      if (rnd.nextBoolean())
+        SnapshotTable.commitDeletes(spark, table.toString,
+          orders.filter(pmod($"o_custkey", lit(10)) === 0)
+            .select($"o_orderkey"), "o_orderkey")
+      val v = SnapshotTable.currentVersion(table.toString)
+      val expect = SnapshotTable
+        .readVersionMor(spark, table.toString, v, "o_orderkey")
+        .agg(count(lit(1)),
+          sum(round($"o_totalprice" * 100).cast("long"))).collect()(0)
+      TableMaintenance.runOnce(spark, table.toString,
+        "om", "o_orderkey", "o_orderkey", policy)
+      // converged within the policy's bounds
+      val cur = SnapshotTable.currentVersion(table.toString)
+      assert(filesPerPartition(table.toString).values
+        .forall(_ <= policy.maxFilesPerPartition))
+      assert(SnapshotTable.liveVersions(table.toString).size
+        <= policy.keepVersions)
+      // content preserved through whatever the policy did
+      val got = SnapshotTable.readVersionMor(spark, table.toString, cur,
+        "o_orderkey")
+        .agg(count(lit(1)),
+          sum(round($"o_totalprice" * 100).cast("long"))).collect()(0)
+      assert(got == expect, s"policy $policy changed visible content")
+      // idempotent: a second pass plans zero actions
+      val again = TableMaintenance.runOnce(spark, table.toString,
+        "om", "o_orderkey", "o_orderkey", policy)
+      assert(again.isEmpty, s"policy $policy not converged: $again")
+    }
+  }
 }
