@@ -687,9 +687,14 @@ object SnapshotTable {
     * ([[stageBranch]]) names files no numbered version references
     * yet, and vacuuming them would let a later [[publishBranch]] —
     * a pure rename — commit a version pointing at deleted data.
+    * Files NO manifest has ever referenced get an `orphanGraceMs`
+    * grace period before reclaim (Iceberg's `remove_orphan_files
+    * older_than` rule): an IN-FLIGHT commit's data sits exactly in
+    * that state between its stage-move and its manifest link, so an
+    * ungraced vacuum racing a commit would delete the winner's data.
     * Returns (files deleted, files kept). */
   def expireVersions(spark: SparkSession, path: String,
-      keepFrom: Int): (Int, Int) = {
+      keepFrom: Int, orphanGraceMs: Long = 3600000L): (Int, Int) = {
     val cur = currentVersion(path)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom outside 1..$cur")
@@ -697,14 +702,25 @@ object SnapshotTable {
       val (d, dl, _) = branchEntries(path, b)
       d.map(_.rel) ++ dl.map(_.rel)
     }
-    val live = ((keepFrom to cur).flatMap(v =>
+    // iterate LIVE manifests only — versions below an earlier
+    // vacuum's keepFrom are already gone
+    val (expiring, surviving) = liveVersions(path).partition(_ < keepFrom)
+    val live = (surviving.flatMap(v =>
       manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel))
       ++ branchLive).toSet
-    (1 until keepFrom).foreach { v =>
+    // files the EXPIRING manifests reference: old committed data,
+    // deletable immediately once their manifests are gone. Read
+    // BEFORE the manifests are deleted — afterwards the distinction
+    // from true orphans is lost.
+    val expiredRefs = expiring.flatMap(v =>
+      manifest(path, v).map(_.rel) ++ deleteManifest(path, v).map(_.rel))
+      .toSet
+    expiring.foreach { v =>
       Files.deleteIfExists(manifestFile(path, v))
       Files.deleteIfExists(schemaFile(path, v)): Unit
     }
     val root = new File(filesDir(path))
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
     var kept = 0
     Option(root.listFiles).toSeq.flatten.filter(_.isDirectory).foreach {
@@ -712,7 +728,17 @@ object SnapshotTable {
         Option(dir.listFiles).toSeq.flatten.filter(_.isFile).foreach { f =>
           val rel = s"${dir.getName}/${f.getName}"
           if (live(rel)) kept += 1
-          else { Files.delete(f.toPath); deleted += 1 }
+          else if (expiredRefs(rel)) { Files.delete(f.toPath); deleted += 1 }
+          // a file NO manifest has ever referenced may be an IN-FLIGHT
+          // commit's staged data (moved into files/ before its
+          // manifest link lands — the commit protocol's one window):
+          // true orphans (crashed commits) are reclaimed only past the
+          // grace period, the Iceberg remove_orphan_files older_than
+          // rule. Without this, a vacuum racing a commit deletes the
+          // winner's data and the published version reads nothing.
+          else if (f.lastModified < cutoff) {
+            Files.delete(f.toPath); deleted += 1
+          } else kept += 1
         }
         if (Option(dir.listFiles).forall(_.isEmpty)) dir.delete(): Unit
     }

@@ -151,6 +151,32 @@ class SnapshotOccSpec extends SparkSpec {
     assert(orphans.isEmpty, s"conflict losers leaked staged files: $orphans")
   }
 
+  test("vacuum: never-referenced files get the orphan grace period") {
+    val path = freshTable()
+    // history to expire: a second version
+    val d2 = SnapshotTable.readVersion(spark, path, 1)
+      .filter($"om" === "1995-01")
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+    SnapshotTable.upsertPartition(spark, path, d2,
+      "om", "o_orderkey", "o_orderkey")
+    // simulate an IN-FLIGHT commit: a staged data file moved into the
+    // shared tree whose manifest link has not landed yet
+    val inFlight = Paths.get(s"$path/files/om=1995-02/c9-inflight.parquet")
+    Files.createDirectories(inFlight.getParent)
+    Files.write(inFlight, Array[Byte](1, 2, 3))
+    val (del1, _) = SnapshotTable.expireVersions(spark, path, 2)
+    assert(del1 > 0, "expired history must still reclaim immediately")
+    assert(Files.exists(inFlight),
+      "a fresh never-referenced file may be an in-flight commit")
+    // past the grace period the same file is a true orphan
+    Files.setLastModifiedTime(inFlight,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val (del2, _) = SnapshotTable.expireVersions(spark, path, 2)
+    assert(del2 == 1 && !Files.exists(inFlight),
+      "an aged orphan must be reclaimed")
+  }
+
   test("occ: a replayed loser batch is a no-op") {
     val path = freshTable()
     val base = SnapshotTable.readVersion(spark, path, 1)
