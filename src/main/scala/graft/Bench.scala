@@ -29,7 +29,13 @@ import java.util.Locale
   * suite-position/first-touch queries (q63 fixture build, s19/t29 JIT
   * position) that isolated probes then re-attributed after the fact —
   * the warm-up rep absorbs that structurally, so driver and builder
-  * captures agree on first inspection (r12 verdict #2).
+  * captures agree on first inspection (r12 verdict #2). Since r14 the
+  * quiet bar is also enforced PER QUERY (r13 verdict #2): a query
+  * whose quietest REPS-window spreads more than half its median (and
+  * more than an absolute jitter floor) gets escalated reps, and the
+  * reported (median, spread) come from the tightest consecutive
+  * cluster of its sorted reps — so a transient host spike on one
+  * query no longer ships as that query's number.
   *
   * Failure visibility: a query that throws records `-1` (not its
   * elapsed time — a failing query would otherwise bench as "fast",
@@ -86,6 +92,14 @@ object Bench {
   private val REPS = 3
   private val CAL_DRIFT_BAR = 0.10  // |post−pre|/pre, the r8 quiet bar
   private val CAL_SPREAD_BAR = 0.10 // seconds, max−min across 6 probes
+  // per-query quiet bar (r13 verdict #2): a query whose reps spread
+  // more than half its median was measured under contention/warm-up,
+  // not steady state — escalate ITS reps instead of accepting the
+  // noisy sample or re-running the whole suite. Floor: below 0.05 s
+  // the spread is job-launch jitter of the same magnitude as the
+  // work and escalation can't improve it.
+  private val PQ_SPREAD_FLOOR = 0.05   // seconds
+  private val PQ_MAX_ESCALATIONS = 3   // up to REPS×4 total reps
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -227,8 +241,9 @@ object Bench {
         // re-inflated the same warm-up-position queries (r12: s19
         // 7.03 s vs isolated 3.4-3.8, t29 4.22 vs steady 1.69) and
         // the attribution had to be re-litigated each round
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        val times = (1 to REPS).map { _ =>
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+        def rep(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch {
@@ -237,10 +252,40 @@ object Bench {
               -1.0
           }
         }
+        var times = (1 to REPS).map(_ => rep())
+        // PER-QUERY spread escalation (r13 verdict #2): the suite-level
+        // quiet bar gates only the calibration probe, so a run could
+        // pass it while individual queries carried contention spikes
+        // (r13 driver artifact: m05 median 8.20 s spread 5.55 vs
+        // isolated steady 1.24 — ~10 queries >2× the builder capture).
+        // When a query's quietest REPS-window still spreads more than
+        // half its median, run REPS more reps — the per-query analog
+        // of the whole-suite attempt loop — and report the quietest
+        // window (tightest consecutive cluster of sorted reps): the
+        // steady-state number, with transient spikes priced out.
+        def window(ts: Seq[Double]): Seq[Double] = {
+          val s = ts.sorted
+          (0 to s.length - REPS).map(i => s.slice(i, i + REPS))
+            .minBy(w => w.last - w.head)
+        }
+        def quietQ(w: Seq[Double]): Boolean =
+          w.last - w.head <= math.max(0.5 * median(w), PQ_SPREAD_FLOOR)
+        var escal = 0
+        while (times.forall(_ >= 0) && !quietQ(window(times)) &&
+            escal < PQ_MAX_ESCALATIONS) {
+          escal += 1
+          val w = window(times)
+          System.err.println(f"[bench] query $name noisy (window median " +
+            f"${median(w)}%.2f s spread ${w.last - w.head}%.2f s); " +
+            f"escalating reps ($escal/$PQ_MAX_ESCALATIONS)")
+          times = times ++ (1 to REPS).map(_ => rep())
+        }
         // any failed rep marks the query failed: -1, never a timing
-        (name,
-          if (times.exists(_ < 0)) -1.0 else median(times),
-          if (times.exists(_ < 0)) -1.0 else times.max - times.min)
+        if (times.exists(_ < 0)) (name, -1.0, -1.0)
+        else {
+          val w = window(times)
+          (name, median(w), w.last - w.head)
+        }
       }
       val calPost = (1 to REPS).map(_ => calibrate(spark))
       Attempt(results, calPre, calPost)

@@ -179,6 +179,10 @@ object FileFormats {
     // then is the old copy deleted — a crash mid-swap leaves either
     // the old or the new layout recoverable, never neither
     val old = new java.io.File(s"${base.getParent}/_compact_old_${base.getName}")
+    // a crash between the two moves of a PREVIOUS compaction leaves a
+    // stale old-copy directory behind; clear it or the step-aside
+    // move below throws FileAlreadyExistsException forever
+    if (old.exists) rm(old)
     java.nio.file.Files.move(base.toPath, old.toPath)
     java.nio.file.Files.move(tmp.toPath, base.toPath)
     rm(old)

@@ -954,9 +954,16 @@ object SnapshotTable {
     val files = (kept ++ newFiles).sortBy(_.rel)
     val target = branchManifestFile(path, branch)
     Files.createDirectories(target.getParent)
+    // carry the exactly-once batch-id token into the branch manifest:
+    // publishBranch links it VERBATIM as the next version, and if
+    // retention then expires every earlier manifest the published one
+    // must still hold the running max or a replayed streaming batch
+    // would re-commit (publish refuses when main advanced past the
+    // staging version, so the stage-time max IS the publish-time max)
     val body = (files.map(e => s"${e.rel}\t${e.min}\t${e.max}\t${e.rows}\t" +
       (if (e.bloom.isEmpty) "-" else e.bloom)) ++
       dels.map(e => s"D\t${e.rel}\t${e.min}\t${e.max}\t${e.rows}") ++
+      carriedBatchId(path).map(b => s"B\t$b").toSeq ++
       Seq(s"S\t$v")).mkString("\n")
     val tmp = target.resolveSibling(s".branch-$branch.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))

@@ -46,6 +46,11 @@ object TableMaintenance {
     * Returns (partitions to compact, masks retirable by the rewrite,
     * keepFrom for vacuum or 0). Pure metadata — no Spark job. */
   def plan(path: String, policy: Policy): (Set[String], Int, Int) = {
+    require(policy.keepVersions >= 1,
+      s"keepVersions must be >= 1 (the current version is always " +
+        s"retained), got ${policy.keepVersions}")
+    require(policy.maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got ${policy.maxFilesPerPartition}")
     val cur = SnapshotTable.currentVersion(path)
     require(cur > 0, s"$path has no initial commit")
     val files = SnapshotTable.manifest(path, cur)

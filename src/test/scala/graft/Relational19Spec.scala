@@ -234,8 +234,19 @@ class Relational19Spec extends SparkSpec {
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
-    val entries = vecs.keys.filter(_ % 125 == 7).toSeq.sorted
-    assert(entries.size >= 2, "fixture must yield several entry points")
+    // the FIXED-size hash-sampled entry set (r13 verdict: the old
+    // `≡ 7 mod 125` rule made entry count corpus-proportional): the
+    // 16 ids first in (hash64("20:" + id), id) order — replayed here
+    // with the same md5-derived 60-bit hash, independent of the engine
+    def entH(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val entries = vecs.keys.toSeq
+      .sortBy(id => (entH(s"20:$id"), id)).take(16)
+    assert(entries.size == 16,
+      "entry set must be the constant-size sample, never corpus-sized")
     val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
     val want = queries.map { q =>
       val walks = entries.filter(_ != q).map { entry =>
@@ -277,13 +288,87 @@ class Relational19Spec extends SparkSpec {
       .toDouble / got.length
     info(f"s20 hit@1 $hit1/${got.length}, found-in-exact-top5 " +
       f"$hit5/${got.length}, mean exact-rank of found $meanRank%.1f")
-    // measured floors for THIS graph (k=3 bucketed candidates, 4
-    // entries, 4 hops): the walk lands a genuinely close neighbor
-    // (top-5 mostly), not reliably THE nearest — the honest beam-1
-    // base-case quality the docstring prescribes widening
+    // measured floors for THIS graph (k=3 bucketed candidates, 16
+    // fixed entries, 4 hops): the walk lands a genuinely close
+    // neighbor (top-5 mostly), not reliably THE nearest — the honest
+    // beam-1 base-case quality s20b widens
     assert(hit5.toDouble / got.length >= 0.3,
       f"greedy top-5 quality collapsed: $hit5/${got.length}")
     assert(meanRank < vecs.size / 10.0,
       f"found nodes are no better than random: mean rank $meanRank%.1f")
+  }
+
+  test("s20b: brute-force beam replay; hit rate beats greedy's") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val adj = operators.Similarity.s11(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def entH(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val entries = vecs.keys.toSeq
+      .sortBy(id => (entH(s"20:$id"), id)).take(16)
+    val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
+    // the frontier replay: hop 0 = all entries scored; each hop pools
+    // frontier ∪ out-neighbor expansions, dedupes by node, keeps the
+    // top-8 by (cos DESC, node)
+    val want = queries.flatMap { q =>
+      var beam = entries.filter(_ != q)
+        .map(e => (cos(vecs(q), vecs(e)), e))
+        .sortBy { case (c, n) => (-c, n) }
+      for (_ <- 1 to 4) {
+        val cands = beam.flatMap { case (_, node) =>
+          adj.getOrElse(node, Array.empty[Long]).filter(_ != q)
+            .map(d => (cos(vecs(q), vecs(d)), d))
+        }
+        beam = (beam ++ cands).groupBy(_._2)
+          .map { case (n, vs) => (vs.map(_._1).max, n) }.toSeq
+          .sortBy { case (c, n) => (-c, n) }.take(8)
+      }
+      beam.zipWithIndex.map { case ((_, n), i) => (q, (i + 1).toLong, n) }
+    }
+    val got = operators.Similarity.s20b(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want, "beam search diverges from the replay")
+    // MEASURED quality, same exact-NN yardstick as the s20 test — the
+    // pooled frontier must beat independent greedy walks (the whole
+    // point of the widening)
+    val exactTop = queries.map { q =>
+      q -> vecs.collect { case (id, v) if id != q => (cos(vecs(q), v), id) }
+        .toSeq.sortBy { case (c, d) => (-c, d) }.map(_._2)
+    }.toMap
+    val greedyFound = operators.Similarity.s20m(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gHit1 = queries.count(q => exactTop(q).head == greedyFound(q))
+    val gHit5 = queries.count(q =>
+      exactTop(q).take(5).contains(greedyFound(q)))
+    val beamTop = got.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val bHit1 = queries.count(q => exactTop(q).head == beamTop(q).head)
+    val bHit5 = queries.count(q =>
+      exactTop(q).take(5).contains(beamTop(q).head))
+    // recall@5: the exact NN appears ANYWHERE in the returned beam —
+    // the top-k answer greedy structurally cannot give
+    val recall5 = queries.count(q => beamTop(q).contains(exactTop(q).head))
+    info(f"s20b hit@1 $bHit1/${queries.size} (greedy $gHit1), " +
+      f"rank1-in-exact-top5 $bHit5/${queries.size} (greedy $gHit5), " +
+      f"NN-in-beam $recall5/${queries.size}")
+    assert(bHit1 >= gHit1 && bHit5 >= gHit5,
+      s"beam must not be worse than greedy: beam ($bHit1,$bHit5) vs greedy ($gHit1,$gHit5)")
+    assert(bHit1 + bHit5 + recall5 > gHit1 + gHit5,
+      "beam must strictly improve on greedy somewhere")
   }
 }
