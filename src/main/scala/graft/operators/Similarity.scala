@@ -990,6 +990,21 @@ object Similarity {
       .localCheckpoint()
     val q = e.filter(pmod($"vec_id", lit(GREEDY_QMOD)) === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val settled = greedyWalk(edges, e, q).localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(e)
+    settled.orderBy($"q_id")
+  }
+
+  /** The walk body over an EXTERNAL query frame `(q_id, qe, qn)` —
+    * shared verbatim by the registered s20/s20m queries (mod-25 query
+    * rule) and the streaming serving face ([[greedyServe]] behind
+    * `AnnStream.serveGraphRefresh`): ONE walk body, so stream ≡ batch
+    * parity is structural, never a reimplementation that could drift
+    * by an ulp. `e` must carry (vec_id, embedding, nrm). Returns the
+    * unsettled winner frame; callers settle and free checkpoints. */
+  private def greedyWalk(edges: DataFrame, e: DataFrame,
+      q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val ent = entrySet(e)
     var cur = q.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
@@ -1019,15 +1034,32 @@ object Similarity {
             .as("n_moves"))
     }
     // best walk per query: (cos DESC, node ASC, moves DESC) total order
-    val winner = cur
+    cur
       .select($"q_id", struct($"cur_cos", (-$"node").as("negn"),
         $"n_moves").as("w"))
       .groupBy($"q_id").agg(max($"w").as("b"))
       .select($"q_id", (-$"b.negn").cast("long").as("found_id"),
         $"b.n_moves".as("n_moves"))
-    // settle NOW (queries-sized) so the embedding/edge checkpoints
-    // behind the walk are dead and safe to free
-    val settled = winner.localCheckpoint()
+  }
+
+  /** Greedy-walk ANN SERVING over external query vectors `(q_id,
+    * embedding)` against `dir`'s corpus and the once-materialized knn
+    * edge table — the [[s20m]] semantics restricted to the given
+    * query set, through the SAME walk body ([[greedyWalk]]). This is
+    * the economics the s20 docstring argues: per query a constant
+    * entry set × hops × out-degree of arithmetic, independent of the
+    * corpus — the right shape for a live query stream
+    * (`AnnStream.serveGraphRefresh`). */
+  def greedyServe(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val q = queries.select($"q_id", $"embedding".as("qe"),
+      norm($"embedding").as("qn"))
+    val settled = greedyWalk(materializedKnnEdges(s, dir), e, q)
+      .localCheckpoint()
     graft.functions.CheckpointOps.freeLocalCheckpoint(e)
     settled.orderBy($"q_id")
   }

@@ -128,10 +128,16 @@ object SnapshotTable {
   /** Highest ingest batch id across all LIVE commits (−1 if none) —
     * live, because retention may have expired early manifests; the
     * token survives anyway since every commit carries the running
-    * maximum forward ([[carriedBatchId]]). */
+    * maximum forward ([[carriedBatchId]]). A manifest that a
+    * CONCURRENT vacuum deletes between the liveVersions listing and
+    * its read is skipped, which is safe for the same reason
+    * retention is: every later commit carries a ≥ token, so the
+    * surviving manifests still hold the max. */
   def lastBatchId(path: String): Long =
-    liveVersions(path).flatMap(batchIdOf(path, _))
-      .foldLeft(-1L)(math.max)
+    liveVersions(path).flatMap { v =>
+      try batchIdOf(path, v)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }.foldLeft(-1L)(math.max)
 
   /** The batch-id token the NEXT commit must carry: the running max
     * of its own id (if any) and everything committed so far. Without
@@ -326,7 +332,7 @@ object SnapshotTable {
     extends RuntimeException(
       s"version v$version of $path was committed concurrently")
 
-  private val OCC_RETRIES = 5
+  private val OCC_RETRIES = 20
 
   /** The OCC loop around a whole commit attempt: every commit method
     * derives its plan from `currentVersion` at entry, so re-running
@@ -339,7 +345,14 @@ object SnapshotTable {
     * result is what a serial execution after the winner would have
     * produced. The one commit that cannot rebase — a WAP branch
     * staged against an older version ([[publishBranch]]) — aborts
-    * instead, by design. */
+    * instead, by design.
+    *
+    * Retries back off with jitter (the Iceberg commit.retry shape): a
+    * SLOW writer — compaction recomputes a data-sized Spark job per
+    * rebase — racing fast metadata-light writers would otherwise be
+    * starved, losing every race until the budget runs out (the
+    * N-writer randomized spec caught exactly this at 5 no-backoff
+    * retries). */
   private def retryOnConflict[T](body: => T): T = {
     var attempt = 0
     while (true) {
@@ -348,6 +361,8 @@ object SnapshotTable {
         case c: CommitConflictException =>
           attempt += 1
           if (attempt > OCC_RETRIES) throw c
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(10L * attempt, 30L * attempt + 1))
       }
     }
     sys.error("unreachable")

@@ -119,4 +119,18 @@ object AnnStream {
     val out = Relational13.ivfServe(ix, q, Relational13.ivfRoute(ix.cent, q))
     out
   }
+
+  /** Trigger-side GRAPH-WALK serving — the second serving backend
+    * (r14): the admitted queries through the EXACT batch greedy-walk
+    * body (`Similarity.greedyServe` → the same `greedyWalk` the
+    * registered s20/s20m run) over the once-materialized knn edge
+    * table, so the output for query set Q equals batch s20m
+    * restricted to Q row for row. Where the IVF backend prices
+    * nProbe/nCells of the corpus per query, the walk prices a
+    * CONSTANT (entries × hops × out-degree) — the navigable-graph
+    * serving economics, now available behind the same replay guard. */
+  def serveGraphRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame =
+    graft.operators.Similarity.greedyServe(spark, dir,
+      admitted.select(col("q_id"), col("embedding")).localCheckpoint())
 }

@@ -46,10 +46,11 @@ case class RuleRow(rule: String, upd: Long, n_checked: Long,
   *  - [[profileTws]]/[[rulesTws]]: the same processors on
   *    transformWithState (RocksDB-ready ValueState).
   *
-  * What is deliberately NOT streamed: q72's exact n_distinct (its
-  * state is value-cardinality-sized — x01's mergeable HLL is the
-  * live answer when ±2% suffices) and q73's uniqueness/FK rules
-  * (full-corpus joins — they stay batch gates over snapshot
+  * What is deliberately NOT streamed: q72's EXACT n_distinct (its
+  * state is value-cardinality-sized — [[statsAggHll]] is the live
+  * tier: x01's mergeable HLL at rsd 2%, bit-parity with its batch
+  * twin because HLL registers max-merge) and q73's uniqueness/FK
+  * rules (full-corpus joins — they stay batch gates over snapshot
   * versions).
   *
   * At 100 TB: state is COLUMNS + RULES rows forever; each micro-batch
@@ -70,6 +71,29 @@ object ProfileStream {
   def rulesAgg(lineitem: DataFrame): DataFrame =
     Relational19.liRuleAgg(lineitem).selectExpr(Relational19.LI_RULE_STACK)
       .withColumn("passed", col("n_violations") === 0L)
+
+  /** Per-column LIVE n_distinct — the composition the object doc
+    * prescribes (r13 verdict #7): q72's exact n_distinct stays
+    * batch-only because its state is value-cardinality-sized, and
+    * x01's mergeable HLL (rsd 2%) is the streaming answer. One
+    * complete-mode aggregate per column over the same stacked cell
+    * frame as the state faces; HLL registers merge by MAX —
+    * commutative and associative — so ANY micro-batch split folds to
+    * the SAME sketch as a one-shot batch pass: StreamProfileSpec
+    * asserts the streamed estimate EQUALS the batch estimate (bit
+    * parity, not approximate parity), and holds x01's honest error
+    * tier against the exact count. State: columns × the 2%-rsd HLL
+    * register array — constant per column, never value-sized. Works
+    * identically on a batch frame (the parity twin). */
+  def statsAggHll(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    stacked(orders).toDF("col_name", "lv", "sv")
+      .groupBy($"col_name")
+      .agg(approx_count_distinct(
+        coalesce($"lv".cast("string"), $"sv"), 0.02)
+        .as("approx_distinct"))
+  }
 
   // ---- explicit-state faces -----------------------------------------
 

@@ -177,6 +177,136 @@ class SnapshotOccSpec extends SparkSpec {
       "an aged orphan must be reclaimed")
   }
 
+  test("occ: N-writer randomized interleaving equals a serial execution") {
+    // r13 verdict #4: ingest + merge + upsert + compaction + vacuum
+    // all racing, random per-op delays as the conflict points, month
+    // assignment shuffled by the seed. Invariants: linear history (no
+    // gaps among live versions), no lost commits, the exactly-once
+    // token survives retention, no leaked staged files, and the final
+    // visible content is BIT-IDENTICAL to the same logical operations
+    // applied serially to a twin table. Two fixed seeds keep the run
+    // deterministic-by-build while exercising two interleavings.
+    for (seed <- Seq(0xC0FFEE, 0xBEEF14)) {
+      val rnd = new scala.util.Random(seed)
+      val months = rnd.shuffle((1 to 6).toList).map(i => f"1995-0$i%d")
+      val (ingMonths, repriceMonths) = months.splitAt(3)
+      val (mergeMonths, upsertMonth) =
+        (repriceMonths.take(2), repriceMonths.last)
+      val delays = Seq.fill(16)(rnd.nextInt(40))
+
+      def appendDelta(base: org.apache.spark.sql.DataFrame, m: String) =
+        base.filter($"om" === m)
+          .withColumn("om", concat(lit("2099-"), substring($"om", 6, 2)))
+          .withColumn("o_orderkey", $"o_orderkey" + 900000000L)
+      def mergeDelta(base: org.apache.spark.sql.DataFrame, m: String) =
+        base.filter($"om" === m)
+          .withColumn("o_totalprice", $"o_totalprice" + 7.0)
+          .withColumn("op", lit("U"))
+      def upsertDelta(base: org.apache.spark.sql.DataFrame, m: String) =
+        base.filter($"om" === m)
+          .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+
+      // --- the racy table: 4 writers, random interleaving ---
+      val path = freshTable()
+      val base = SnapshotTable.readVersion(spark, path, 1).localCheckpoint()
+      val barrier = new CyclicBarrier(4)
+      @volatile var err: Option[Throwable] = None
+      def writer(body: => Unit): Thread = new Thread(() => {
+        try { barrier.await(); body }
+        catch { case t: Throwable => err = Some(t) }
+      })
+      val ingester = writer {
+        ingMonths.zipWithIndex.foreach { case (m, i) =>
+          Thread.sleep(delays(i).toLong)
+          SnapshotTable.ingestCommit(spark, path, appendDelta(base, m),
+            "om", "o_orderkey", "o_orderkey", batchId = (i + 1).toLong): Unit
+        }
+      }
+      val merger = writer {
+        mergeMonths.zipWithIndex.foreach { case (m, i) =>
+          Thread.sleep(delays(4 + i).toLong)
+          SnapshotTable.mergeCommit(spark, path, mergeDelta(base, m),
+            "op", "om", "o_orderkey", "o_orderkey"): Unit
+        }
+        Thread.sleep(delays(6).toLong)
+        SnapshotTable.upsertPartition(spark, path,
+          upsertDelta(base, upsertMonth),
+          "om", "o_orderkey", "o_orderkey"): Unit
+      }
+      val compactor = writer {
+        for (i <- 0 until 3) {
+          Thread.sleep(delays(8 + i).toLong + 15)
+          SnapshotTable.compactCommit(spark, path, "om", "o_orderkey",
+            "o_orderkey"): Unit
+        }
+      }
+      // vacuum keeps a 5-version window — deeper than any writer's
+      // in-flight rebase age, the production retention rule that a
+      // snapshot still being read must not be expired; in-flight
+      // STAGED files are covered by the orphan grace either way
+      val vacuumer = writer {
+        for (i <- 0 until 3) {
+          Thread.sleep(delays(12 + i).toLong + 20)
+          val keepFrom = math.max(1, SnapshotTable.currentVersion(path) - 5)
+          if (keepFrom > 1)
+            SnapshotTable.expireVersions(spark, path, keepFrom): Unit
+        }
+      }
+      val threads = Seq(ingester, merger, compactor, vacuumer)
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      err.foreach(throw _)
+
+      // linear history: live versions are a contiguous suffix ending
+      // at currentVersion, every manifest parseable
+      val cur = SnapshotTable.currentVersion(path)
+      val live = SnapshotTable.liveVersions(path)
+      assert(cur >= 7, s"[seed $seed] at least 6 commits over v1, got v$cur")
+      assert(live.last == cur && live == (live.head to cur),
+        s"[seed $seed] history not a contiguous suffix: $live")
+      live.foreach(v => SnapshotTable.manifest(path, v))
+      // exactly-once token survived compaction + vacuum
+      assert(SnapshotTable.lastBatchId(path) == 3L,
+        s"[seed $seed] batch token lost")
+
+      // --- the serial reference: same logical ops, fixed order ---
+      val ref = freshTable()
+      val refBase = SnapshotTable.readVersion(spark, ref, 1).localCheckpoint()
+      ingMonths.zipWithIndex.foreach { case (m, i) =>
+        SnapshotTable.ingestCommit(spark, ref, appendDelta(refBase, m),
+          "om", "o_orderkey", "o_orderkey", batchId = (i + 1).toLong): Unit
+      }
+      mergeMonths.foreach { m =>
+        SnapshotTable.mergeCommit(spark, ref, mergeDelta(refBase, m),
+          "op", "om", "o_orderkey", "o_orderkey"): Unit
+      }
+      SnapshotTable.upsertPartition(spark, ref,
+        upsertDelta(refBase, upsertMonth),
+        "om", "o_orderkey", "o_orderkey"): Unit
+
+      def content(p: String): Seq[(String, Long, Long)] =
+        SnapshotTable.readVersion(spark, p, SnapshotTable.currentVersion(p))
+          .select($"om", $"o_orderkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      assert(content(path) == content(ref),
+        s"[seed $seed] racy content diverged from the serial reference")
+
+      // no leaked staged files: disk ⊆ live-manifest reach
+      val liveReach = live.flatMap { v =>
+        SnapshotTable.manifest(path, v).map(_.rel) ++
+          SnapshotTable.deleteManifest(path, v).map(_.rel)
+      }.toSet
+      val orphans = filesOnDisk(path) -- liveReach
+      assert(orphans.isEmpty,
+        s"[seed $seed] conflict losers leaked staged files: $orphans")
+      graft.functions.CheckpointOps.freeLocalCheckpoint(base)
+      graft.functions.CheckpointOps.freeLocalCheckpoint(refBase)
+    }
+  }
+
   test("occ: a replayed loser batch is a no-op") {
     val path = freshTable()
     val base = SnapshotTable.readVersion(spark, path, 1)

@@ -10,6 +10,48 @@ import graft.operators.Relational13
   * frozen IVF-PQ index must reproduce batch s14 row for row — on
   * both state APIs. */
 class StreamAnnSpec extends SparkSpec {
+
+  test("streaming graph-walk serve equals batch s20m") {
+    // the second serving backend (r14): same replay-guarded admission,
+    // trigger-side refresh through the EXACT batch greedy-walk body —
+    // every query delivered TWICE across the chunks, admitted once,
+    // and the served answers equal batch s20m row for row.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, col}
+    val embs = Tables.load(spark, sf, "embeddings")
+    val queries = embs.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val nq = queries.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-gservestream")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    (0 to 2).foreach { i =>
+      val chunk = queries.filter(pmod(col("vec_id"), lit(3)) === i)
+        .unionAll(queries.filter(pmod(col("vec_id"), lit(3)) === (i + 2) % 3))
+      StreamTestIO.writeChunk(chunk, dir.resolve(s"c$i.parquet"),
+        base + i * 1000)
+    }
+    val batch = operators.Similarity.s20m(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val q = EventStreams.runToMemory(
+      AnnStream.admittedOnce(
+        AnnStream.queryStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "gserve_stream", mode = "append")
+    try {
+      val admitted = spark.table("gserve_stream")
+      val ids = admitted.select($"q_id").collect().map(_.getLong(0))
+      assert(ids.length == nq && ids.distinct.length == ids.length,
+        s"replay guard must admit each of the $nq queries once, " +
+          s"got ${ids.length} (${ids.distinct.length} distinct)")
+      val served = AnnStream.serveGraphRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch,
+        s"streamed graph serve diverged from batch s20m: sizes " +
+          s"${served.size}/${batch.size}, first diff " +
+          s"${served.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
   test("streaming query admission + frozen-index serve equal batch s14") {
     val s = spark
     import s.implicits._

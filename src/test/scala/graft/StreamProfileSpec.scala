@@ -164,4 +164,37 @@ class StreamProfileSpec extends SparkSpec {
       } finally qt.stop()
     }
   }
+
+  test("streamed HLL n_distinct: bit parity with batch, x01 error tier") {
+    // the live n_distinct tier (r13 verdict #7): HLL registers
+    // max-merge, so the streamed sketch over interleaved chunks MUST
+    // equal the one-shot batch sketch exactly — and both must hold
+    // x01's honest bound against the exact count (rsd 2% → ≤5%).
+    val orders = Tables.load(spark, sf, "orders")
+    val dir = chunkedDir("prof-hll", orders, "o_orderkey")
+    val q = EventStreams.runToMemory(
+      ProfileStream.statsAggHll(ordersStream(dir)),
+      "prof_hll", mode = "complete")
+    try {
+      val streamed = spark.table("prof_hll").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = ProfileStream.statsAggHll(orders).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        "streamed HLL sketch diverges from the batch sketch — " +
+          "max-merge parity broken")
+      val canon = operators.Relational19.ordersCanon(orders)
+      val exact = canon.columns.map { c =>
+        c -> canon.select(countDistinct(col(c))).head.getLong(0)
+      }.toMap
+      assert(streamed.keySet == exact.keySet)
+      val errs = exact.map { case (c, ex) =>
+        c -> math.abs(streamed(c) - ex).toDouble / ex
+      }
+      info(f"hll errors: ${errs.map { case (c, e) => f"$c ${e * 100}%.2f%%" }.mkString(", ")}")
+      errs.foreach { case (c, e) =>
+        assert(e <= 0.05, f"$c HLL estimate off by ${e * 100}%.1f%% (> 5%%)")
+      }
+    } finally q.stop()
+  }
 }
