@@ -1108,6 +1108,19 @@ object Similarity {
       .localCheckpoint()
     val q = e.filter(pmod($"vec_id", lit(GREEDY_QMOD)) === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val settled = beamWalk(edges, e, q).localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(e)
+    settled.orderBy($"q_id", $"rank")
+  }
+
+  /** The beam body over an EXTERNAL query frame `(q_id, qe, qn)` —
+    * the [[greedyWalk]] split applied to the beam: one body shared by
+    * the registered [[s20b]] and the streaming serving face
+    * ([[beamServe]]). Returns the unsettled ranked frame (q_id, rank,
+    * found_id); callers settle and free checkpoints. */
+  private def beamWalk(edges: DataFrame, e: DataFrame,
+      q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val ent = entrySet(e)
     var beam = q.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
@@ -1134,19 +1147,34 @@ object Similarity {
         .filter($"rk" <= BEAM_B)
         .select($"q_id", $"qe", $"qn", $"node", $"c")
     }
-    val out = beam.select($"q_id",
+    beam.select($"q_id",
       row_number().over(trim).cast("long").as("rank"),
       $"node".as("found_id"))
-    // settle NOW (queries-sized) so the checkpoints are free-able
-    val settled = out.localCheckpoint()
-    graft.functions.CheckpointOps.freeLocalCheckpoint(e)
-    settled.orderBy($"q_id", $"rank")
   }
 
   /** [[beamSearchOver]] on the once-materialized edge table — the
     * serving form, like [[s20m]]. */
   def s20b(s: SparkSession, dir: String): DataFrame =
     beamSearchOver(materializedKnnEdges(s, dir), s, dir)
+
+  /** Beam-[[BEAM_B]] ANN SERVING over external query vectors `(q_id,
+    * embedding)` — [[greedyServe]]'s top-k sibling: the [[s20b]]
+    * semantics restricted to the given query set through the SAME
+    * beam body ([[beamWalk]]), returning (q_id, rank, found_id)
+    * top-[[BEAM_B]] rows per query. */
+  def beamServe(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val q = queries.select($"q_id", $"embedding".as("qe"),
+      norm($"embedding").as("qn"))
+    val settled = beamWalk(materializedKnnEdges(s, dir), e, q)
+      .localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(e)
+    settled.orderBy($"q_id", $"rank")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),

@@ -133,4 +133,13 @@ object AnnStream {
       admitted: DataFrame): DataFrame =
     graft.operators.Similarity.greedyServe(spark, dir,
       admitted.select(col("q_id"), col("embedding")).localCheckpoint())
+
+  /** [[serveGraphRefresh]]'s top-k sibling: the beam walk
+    * (`Similarity.beamServe` → the same `beamWalk` as the registered
+    * s20b), returning a ranked top-k per admitted query — output for
+    * query set Q equals batch s20b restricted to Q. */
+  def serveBeamRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame =
+    graft.operators.Similarity.beamServe(spark, dir,
+      admitted.select(col("q_id"), col("embedding")).localCheckpoint())
 }

@@ -50,6 +50,14 @@ class StreamAnnSpec extends SparkSpec {
         s"streamed graph serve diverged from batch s20m: sizes " +
           s"${served.size}/${batch.size}, first diff " +
           s"${served.zip(batch).find(p => p._1 != p._2)}")
+      // the beam backend over the same admitted set ≡ batch s20b
+      val batchBeam = operators.Similarity.s20b(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val servedBeam = AnnStream.serveBeamRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(servedBeam == batchBeam,
+        s"streamed beam serve diverged from batch s20b: sizes " +
+          s"${servedBeam.size}/${batchBeam.size}")
     } finally q.stop()
   }
   test("streaming query admission + frozen-index serve equal batch s14") {
