@@ -129,7 +129,47 @@ object RecallReport {
       "s13_recall_at10" -> annRecall(Relational13.s13(s, dir)),
       "s13t_recall_at10" -> annRecall(Relational13.s13t(s, dir)),
       "s14_recall_at10" -> annRecall(Relational13.s14(s, dir)))
-    (dedup ++ sim ++ q51 ++ ann).toMap
+    // s20/s20b: graph-walk serving quality vs the exact COSINE
+    // nearest neighbor (self-excluded) — Relational19Spec measures
+    // sf0.001; these rows pin sf0.01 and tabulate sf0.1, where the
+    // FIXED 16-entry set faces a 10×/100× corpus (the r14
+    // corpus-independence trade made measurable)
+    def cosv(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val wq = embs.keysIterator.filter(_ % 25 == 0).toSeq.sorted
+    val greedyFound = Similarity.s20m(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val beamTop = Similarity.s20b(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    var g1 = 0; var g5 = 0; var b1 = 0; var b5 = 0; var nnb = 0
+    wq.foreach { q =>
+      val qe = embs(q)
+      val ranked = embs.iterator.collect {
+        case (id, v) if id != q => (cosv(qe, v), id)
+      }.toSeq.sortBy { case (c, id) => (-c, id) }.map(_._2)
+      val top5 = ranked.take(5).toSet
+      if (greedyFound(q) == ranked.head) g1 += 1
+      if (top5(greedyFound(q))) g5 += 1
+      val bt = beamTop(q)
+      if (bt.head == ranked.head) b1 += 1
+      if (top5(bt.head)) b5 += 1
+      if (bt.contains(ranked.head)) nnb += 1
+    }
+    val nW = wq.size.toDouble
+    val walk = Seq(
+      "s20_hit_at1" -> r4(g1 / nW),
+      "s20_found_in_top5" -> r4(g5 / nW),
+      "s20b_hit_at1" -> r4(b1 / nW),
+      "s20b_rank1_in_top5" -> r4(b5 / nW),
+      "s20b_nn_in_beam" -> r4(nnb / nW))
+    (dedup ++ sim ++ q51 ++ ann ++ walk).toMap
   }
 
   /** Prints the SCALING.md markdown rows for one scale factor. */

@@ -61,7 +61,14 @@ class ScaleSpec extends SparkSpec {
       "s03_recall_cos0.50" -> 1.0, "s03_truth_cos0.50" -> 1.0,
       "s03_candidate_fraction" -> 0.2371,
       "s13_recall_at10" -> 0.6333, "s13t_recall_at10" -> 0.6333,
-      "s14_recall_at10" -> 0.5)
+      "s14_recall_at10" -> 0.5,
+      // graph-walk serving quality at sf0.01 (r14): the FIXED
+      // 16-entry set against a 10× corpus at constant 4 hops — both
+      // forms degrade with corpus size at fixed hops (flat-NSW
+      // diameter: hops must scale ~log n; see SCALING.md note)
+      "s20_hit_at1" -> 0.2, "s20_found_in_top5" -> 0.8,
+      "s20b_hit_at1" -> 0.1, "s20b_rank1_in_top5" -> 0.75,
+      "s20b_nn_in_beam" -> 0.1)
     assert(m == published,
       s"recall drifted from the published table:\n measured=$m\n published=$published")
   }
