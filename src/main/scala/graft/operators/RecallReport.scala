@@ -148,7 +148,11 @@ object RecallReport {
     val beamTop = Similarity.s20b(s, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val hierTop = Similarity.s20h(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     var g1 = 0; var g5 = 0; var b1 = 0; var b5 = 0; var nnb = 0
+    var h1 = 0; var h5 = 0; var nnh = 0
     wq.foreach { q =>
       val qe = embs(q)
       val ranked = embs.iterator.collect {
@@ -161,6 +165,10 @@ object RecallReport {
       if (bt.head == ranked.head) b1 += 1
       if (top5(bt.head)) b5 += 1
       if (bt.contains(ranked.head)) nnb += 1
+      val ht = hierTop(q)
+      if (ht.head == ranked.head) h1 += 1
+      if (top5(ht.head)) h5 += 1
+      if (ht.contains(ranked.head)) nnh += 1
     }
     val nW = wq.size.toDouble
     val walk = Seq(
@@ -168,7 +176,10 @@ object RecallReport {
       "s20_found_in_top5" -> r4(g5 / nW),
       "s20b_hit_at1" -> r4(b1 / nW),
       "s20b_rank1_in_top5" -> r4(b5 / nW),
-      "s20b_nn_in_beam" -> r4(nnb / nW))
+      "s20b_nn_in_beam" -> r4(nnb / nW),
+      "s20h_hit_at1" -> r4(h1 / nW),
+      "s20h_rank1_in_top5" -> r4(h5 / nW),
+      "s20h_nn_in_beam" -> r4(nnh / nW))
     (dedup ++ sim ++ q51 ++ ann ++ walk).toMap
   }
 

@@ -1135,10 +1135,21 @@ object Similarity {
       q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val ent = entrySet(e)
-    var beam = q.crossJoin(broadcast(ent))
+    val beam0 = q.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
       .select($"q_id", $"qe", $"qn", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("c"))
+    beamFrom(edges, e, beam0)
+  }
+
+  /** The beam loop from an EXPLICIT hop-0 frontier `(q_id, qe, qn,
+    * node, c)` — split out of [[beamWalk]] so the hierarchical
+    * descent ([[s20h]]) can seed the base-layer beam from the coarse
+    * layer's settled node instead of the global entry set. */
+  private def beamFrom(edges: DataFrame, e: DataFrame,
+      beam0: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    var beam = beam0
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
     val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
@@ -1186,6 +1197,79 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---- s20h: hierarchical (2-layer) graph ANN ----------------------
+
+  private val HIER_MOD = 16  // layer-1 membership: 1/16 of the corpus
+  private val HIER_SEED = 21 // seed of the layer-membership hash
+
+  /** Layer-1 membership: hash64("[[HIER_SEED]]:id") ≡ 0 (mod
+    * [[HIER_MOD]]) — the HNSW level draw (Malkov & Yashunin 2018 §4:
+    * P(level ≥ 1) = 1/M), deterministic so the oracle replays it. */
+  private def inLayer1(idCol: Column): Column =
+    pmod(graft.functions.TextOps.hash64Seeded(HIER_SEED,
+      idCol.cast("string")), lit(HIER_MOD)) === 0
+
+  /** HIERARCHICAL 2-LAYER GRAPH ANN (s20h) — the actual HNSW search
+    * shape the flat forms approximate: the Recall-report rows measure
+    * that s20/s20b quality DECAYS with corpus size at fixed (entries,
+    * hops) because a k-NN graph's diameter grows ~log n; the
+    * hierarchy is the structural answer. Layer 1 is a deterministic
+    * 1/[[HIER_MOD]] hash sample of the corpus with ITS OWN knn graph
+    * (built by the same rotation-bucket machinery, [[KNN_K]] = 3);
+    * the search BEAM-walks layer 1 from the fixed entry set (the
+    * [[entrySet]] rule applied to the sample) to a top-[[BEAM_B]]
+    * coarse frontier per query, then DESCENDS: the base-layer beam
+    * starts from those nodes plus their layer-0 out-neighbors and
+    * runs the [[beamFrom]] loop (ef>1 at EVERY layer — descending
+    * from a single settled winner measured worse than the flat beam:
+    * one wrong coarse region starves the descent). Per-query cost
+    * stays corpus-independent (16 entries × hops × beam-8 on layer 1
+    * + ≤ 8(1+k) seeds × hops × beam-8 on layer 0); the base walk now
+    * STARTS in the query's neighborhood instead of hoping 4 hops
+    * reach it. Deterministic end to end — the DuckDB oracle replays
+    * both layers (a second suffixed knn CTE chain over the sampled
+    * subset, the lb0..lbH coarse beam, the seed expansion, then the
+    * b0..bH base beam), the heaviest full-replay oracle in the repo.
+    * Measured vs the flat forms in Relational19Spec and the Recall
+    * report. */
+  def s20h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val sub = e.filter(inLayer1($"vec_id")).localCheckpoint()
+    val l1edges = knnFromCandidates(sub.select($"vec_id", $"embedding"),
+        candidatePairs(sub.select($"vec_id", $"embedding"))
+          .select($"a_id", $"b_id"))
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val edges0 = materializedKnnEdges(s, dir)
+    val q = e.filter(pmod($"vec_id", lit(GREEDY_QMOD)) === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      .localCheckpoint()
+    // coarse search is a BEAM too (ef>1 at every layer): descending
+    // from one settled winner measured WORSE than the flat beam at
+    // sf0.001 — a single wrong coarse region starves the base beam,
+    // where the coarse top-8 gives it 8 nearby start regions
+    val coarse = beamWalk(l1edges, sub, q)
+      .select($"q_id", $"found_id".as("node"))
+    val seeds = coarse.unionByName(
+        coarse.join(edges0, coarse("node") === edges0("src"))
+          .select(coarse("q_id"), edges0("dst").as("node")))
+      .distinct()
+    val nodeE = e.select($"vec_id".as("node"), $"embedding".as("ne"),
+      $"nrm".as("nn"))
+    val beam0 = seeds.join(nodeE, Seq("node"))
+      .join(q, Seq("q_id"))
+      .filter($"node" =!= $"q_id")
+      .select($"q_id", $"qe", $"qn", $"node",
+        cosine($"qe", $"qn", $"ne", $"nn").as("c"))
+    val settled = beamFrom(edges0, e, beam0).localCheckpoint()
+    Seq(e, sub, l1edges, q)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    settled.orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
@@ -1195,6 +1279,7 @@ object Similarity {
     "s20_greedy_graph_ann" -> (s20 _),
     "s20m_greedy_ann_materialized" -> (s20m _),
     "s20b_beam_ann" -> (s20b _),
+    "s20h_hier_ann" -> (s20h _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -1226,27 +1311,31 @@ object Similarity {
   /** Shared CTE chain for the knn-graph family (s11, s12): the
     * ROTS-rotation candidate structure, symmetrized, exact-cosine
     * scored and per-vector ranked — identical plane literals to the
-    * engine side. */
-  private lazy val sqlKnnBase: String = {
+    * engine side. Parameterized (r14, for [[s20h]]'s coarse layer) by
+    * a CTE-name suffix and a source predicate: suffix "" + empty
+    * predicate reproduces the original chain byte for byte. */
+  private def sqlKnnChain(sfx: String, where: String): String = {
     val rotBranches = (0 until ROTS).map(r =>
-      s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings")
+      s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings$where")
       .mkString("\n  UNION ALL ")
-    s"""e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
-       |b AS ($rotBranches),
-       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-       |  FROM b x JOIN b y
+    s"""e$sfx AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings$where),
+       |b$sfx AS ($rotBranches),
+       |cand$sfx AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM b$sfx x JOIN b$sfx y
        |    ON x.rot = y.rot AND x.key = y.key AND x.vec_id < y.vec_id),
-       |dirs AS (SELECT a_id, b_id FROM cand
-       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
-       |scored AS (SELECT dirs.a_id AS vec_id, dirs.b_id AS neighbor_id,
+       |dirs$sfx AS (SELECT a_id, b_id FROM cand$sfx
+       |  UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand$sfx),
+       |scored$sfx AS (SELECT dirs$sfx.a_id AS vec_id, dirs$sfx.b_id AS neighbor_id,
        |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
        |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
-       |  FROM dirs JOIN e ex ON ex.vec_id = dirs.a_id
-       |    JOIN e ey ON ey.vec_id = dirs.b_id),
-       |ranked AS (SELECT vec_id, neighbor_id, cos,
+       |  FROM dirs$sfx JOIN e$sfx ex ON ex.vec_id = dirs$sfx.a_id
+       |    JOIN e$sfx ey ON ey.vec_id = dirs$sfx.b_id),
+       |ranked$sfx AS (SELECT vec_id, neighbor_id, cos,
        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored$sfx)""".stripMargin
   }
+
+  private lazy val sqlKnnBase: String = sqlKnnChain("", "")
 
   /** The deg/nodes/nn/pr0..prN CTE chain of [[pageRankOver]] in
     * DuckDB SQL, step-for-step the Spark arithmetic; expects the
@@ -1390,28 +1479,37 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** One beam hop-chain in SQL — candidates → pool-with-frontier →
+    * dedupe-by-node → top-[[BEAM_B]] by (c DESC, node) — over the
+    * given edge/embedding CTE names, CTEs prefixed `px` (so the
+    * hierarchical oracle can chain a coarse and a base beam in one
+    * query). Expects `${px}b0` and `q(q_id, qe, qn)` defined. */
+  private def sqlBeamSteps(px: String, edCte: String,
+      eCte: String): String = {
+    val dot = s"list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)\n     for i in range(1, ${DIM + 1})])"
+    (1 to GREEDY_HOPS).map { i =>
+      s"""${px}c$i AS (SELECT b.q_id, $edCte.dst AS node,
+         |  $dot / (q.qn * de.nrm) AS c
+         |  FROM ${px}b${i - 1} b JOIN $edCte ON $edCte.src = b.node
+         |  JOIN $eCte de ON de.vec_id = $edCte.dst
+         |  JOIN q ON q.q_id = b.q_id
+         |  WHERE $edCte.dst <> b.q_id),
+         |${px}u$i AS (SELECT q_id, node, max(c) AS c FROM
+         |  (SELECT q_id, node, c FROM ${px}b${i - 1}
+         |   UNION ALL SELECT q_id, node, c FROM ${px}c$i)
+         |  GROUP BY q_id, node),
+         |${px}b$i AS (SELECT q_id, node, c FROM (SELECT q_id, node, c,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY c DESC, node) AS rn
+         |  FROM ${px}u$i) WHERE rn <= $BEAM_B)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** The beam search replayed step for step: b0 (all entries scored)
     * then per hop candidates → pool-with-frontier → dedupe-by-node →
     * top-[[BEAM_B]] by (c DESC, node) — the same CTE skeleton as the
     * greedy oracle with the argmax replaced by a rank cut. */
   private lazy val s20bOracle: String = {
-    val steps = (1 to GREEDY_HOPS).map { i =>
-      s"""c$i AS (SELECT b.q_id, ed.dst AS node,
-         |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)
-         |     for i in range(1, ${DIM + 1})]) / (q.qn * de.nrm) AS c
-         |  FROM b${i - 1} b JOIN ed ON ed.src = b.node
-         |  JOIN e de ON de.vec_id = ed.dst
-         |  JOIN q ON q.q_id = b.q_id
-         |  WHERE ed.dst <> b.q_id),
-         |u$i AS (SELECT q_id, node, max(c) AS c FROM
-         |  (SELECT q_id, node, c FROM b${i - 1}
-         |   UNION ALL SELECT q_id, node, c FROM c$i)
-         |  GROUP BY q_id, node),
-         |b$i AS (SELECT q_id, node, c FROM (SELECT q_id, node, c,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY c DESC, node) AS rn
-         |  FROM u$i) WHERE rn <= $BEAM_B)""".stripMargin
-    }.mkString(",\n")
     s"""WITH $sqlKnnEdgeCtes,
        |$sqlEntryCte,
        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
@@ -1420,7 +1518,48 @@ object Similarity {
        |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(en.ee[i] AS DOUBLE)
        |     for i in range(1, ${DIM + 1})]) / (q.qn * en.en) AS c
        |  FROM q CROSS JOIN en WHERE en.e0 <> q.q_id),
-       |$steps
+       |${sqlBeamSteps("", "ed", "e")}
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY c DESC, node) AS BIGINT) AS rank,
+       |  node AS found_id
+       |FROM b$GREEDY_HOPS
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Both layers replayed: a second suffixed knn chain over the
+    * hash-sampled subset (eh..rankedh → edh), the lb0..lbH coarse
+    * BEAM from the subset's entry set, the seed expansion through the
+    * base edges, then the b0..bH base beam — the heaviest full-replay
+    * oracle in the repo. */
+  private lazy val s20hOracle: String = {
+    val dot = s"list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)\n     for i in range(1, ${DIM + 1})])"
+    val l1where = s" WHERE ${graft.functions.TextOps.sqlHash64(
+      s"'$HIER_SEED:' || CAST(vec_id AS VARCHAR)")} % $HIER_MOD = 0"
+    s"""WITH $sqlKnnEdgeCtes,
+       |${sqlKnnChain("h", l1where)},
+       |edh AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM rankedh WHERE rank <= $KNN_K),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
+       |  WHERE vec_id % $GREEDY_QMOD = 0),
+       |enh AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM eh
+       |  ORDER BY ${graft.functions.TextOps.sqlHash64(
+          s"'$GREEDY_ESEED:' || CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $GREEDY_ENTRIES),
+       |lb0 AS (SELECT q.q_id, enh.e0 AS node,
+       |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(enh.ee[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q.qn * enh.en) AS c
+       |  FROM q CROSS JOIN enh WHERE enh.e0 <> q.q_id),
+       |${sqlBeamSteps("l", "edh", "eh")},
+       |seeds AS (SELECT DISTINCT q_id, node FROM (
+       |  SELECT q_id, node FROM lb$GREEDY_HOPS
+       |  UNION ALL SELECT l.q_id, ed.dst AS node
+       |  FROM lb$GREEDY_HOPS l JOIN ed ON ed.src = l.node)),
+       |b0 AS (SELECT s.q_id, s.node,
+       |  $dot / (q.qn * de.nrm) AS c
+       |  FROM seeds s JOIN e de ON de.vec_id = s.node
+       |  JOIN q ON q.q_id = s.q_id
+       |  WHERE s.node <> s.q_id),
+       |${sqlBeamSteps("", "ed", "e")}
        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY c DESC, node) AS BIGINT) AS rank,
        |  node AS found_id
@@ -1432,6 +1571,7 @@ object Similarity {
     "s20_greedy_graph_ann" -> s20Oracle,
     "s20m_greedy_ann_materialized" -> s20Oracle,
     "s20b_beam_ann" -> s20bOracle,
+    "s20h_hier_ann" -> s20hOracle,
     "s17_mmr_rerank" -> s17Oracle,
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,

@@ -68,7 +68,12 @@ class ScaleSpec extends SparkSpec {
       // diameter: hops must scale ~log n; see SCALING.md note)
       "s20_hit_at1" -> 0.2, "s20_found_in_top5" -> 0.8,
       "s20b_hit_at1" -> 0.1, "s20b_rank1_in_top5" -> 0.75,
-      "s20b_nn_in_beam" -> 0.1)
+      "s20b_nn_in_beam" -> 0.1,
+      // the 2-layer hierarchy (s20h) beats both flat forms, and its
+      // edge GROWS with corpus size (sf0.1: hit@1 0.25 vs 0.0625) —
+      // the measured case for the HNSW shape
+      "s20h_hit_at1" -> 0.35, "s20h_rank1_in_top5" -> 0.85,
+      "s20h_nn_in_beam" -> 0.35)
     assert(m == published,
       s"recall drifted from the published table:\n measured=$m\n published=$published")
   }
