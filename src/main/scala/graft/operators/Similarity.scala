@@ -1247,10 +1247,22 @@ object Similarity {
     val q = e.filter(pmod($"vec_id", lit(GREEDY_QMOD)) === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
       .localCheckpoint()
-    // coarse search is a BEAM too (ef>1 at every layer): descending
-    // from one settled winner measured WORSE than the flat beam at
-    // sf0.001 — a single wrong coarse region starves the base beam,
-    // where the coarse top-8 gives it 8 nearby start regions
+    val settled = hierWalk(l1edges, sub, edges0, e, q).localCheckpoint()
+    Seq(e, sub, l1edges, q)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    settled.orderBy($"q_id", $"rank")
+  }
+
+  /** The two-layer search body — shared by the registered [[s20h]]
+    * and the streaming serving face ([[hierServe]]), the
+    * greedyWalk/beamWalk split applied to the hierarchy. Coarse
+    * search is a BEAM too (ef>1 at every layer): descending from one
+    * settled winner measured WORSE than the flat beam at sf0.001 — a
+    * single wrong coarse region starves the base beam, where the
+    * coarse top-8 gives it 8 nearby start regions. */
+  private def hierWalk(l1edges: DataFrame, sub: DataFrame,
+      edges0: DataFrame, e: DataFrame, q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val coarse = beamWalk(l1edges, sub, q)
       .select($"q_id", $"found_id".as("node"))
     val seeds = coarse.unionByName(
@@ -1264,10 +1276,40 @@ object Similarity {
       .filter($"node" =!= $"q_id")
       .select($"q_id", $"qe", $"qn", $"node",
         cosine($"qe", $"qn", $"ne", $"nn").as("c"))
-    val settled = beamFrom(edges0, e, beam0).localCheckpoint()
-    Seq(e, sub, l1edges, q)
-      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
-    settled.orderBy($"q_id", $"rank")
+    beamFrom(edges0, e, beam0)
+  }
+
+  /** Once-materialized coarse-layer edge table — the serving asset
+    * behind [[hierServe]], next to [[materializedKnnEdges]] and
+    * [[materializedEmbNorms]]: the 1/[[HIER_MOD]] sample's knn graph
+    * builds once per session, never per refresh. */
+  private[graft] def materializedL1Edges(s: SparkSession,
+      dir: String): DataFrame =
+    Relational4.materialized("l1_edges", s, dir) {
+      import s.implicits._
+      val sub = materializedEmbNorms(s, dir).filter(inLayer1($"vec_id"))
+        .select($"vec_id", $"embedding")
+      knnFromCandidates(sub,
+          candidatePairs(sub).select($"a_id", $"b_id"))
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+        .localCheckpoint()
+    }
+
+  /** Hierarchical ANN SERVING over external query vectors `(q_id,
+    * embedding)` — the best-measured backend ([[s20h]]'s two-layer
+    * search) through the SAME [[hierWalk]] body, over once-
+    * materialized assets only (base edges, coarse edges, norms):
+    * zero corpus-sized work per refresh. */
+  def hierServe(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = materializedEmbNorms(s, dir)
+    val q = queries.select($"q_id", $"embedding".as("qe"),
+      norm($"embedding").as("qn"))
+    hierWalk(materializedL1Edges(s, dir), e.filter(inLayer1($"vec_id")),
+        materializedKnnEdges(s, dir), e, q)
+      .localCheckpoint()
+      .orderBy($"q_id", $"rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -58,6 +58,15 @@ class StreamAnnSpec extends SparkSpec {
       assert(servedBeam == batchBeam,
         s"streamed beam serve diverged from batch s20b: sizes " +
           s"${servedBeam.size}/${batchBeam.size}")
+      // the hierarchical backend ≡ batch s20h (materialized-asset
+      // path vs the fresh-build registered query — same hierWalk)
+      val batchHier = operators.Similarity.s20h(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val servedHier = AnnStream.serveHierRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(servedHier == batchHier,
+        s"streamed hier serve diverged from batch s20h: sizes " +
+          s"${servedHier.size}/${batchHier.size}")
     } finally q.stop()
   }
   test("streaming query admission + frozen-index serve equal batch s14") {
