@@ -179,6 +179,9 @@ object Bench {
         operators.Relational21.maintFixture(spark, sfDir)
         // knn edge table (s12m/s16m/s19m serving forms)
         operators.Similarity.materializedKnnEdges(spark, sfDir).count()
+        // base-graph assets (s21m ingest: non-arrival norms + edges),
+        // so its reps price the per-arrival insert, not the build
+        operators.Similarity.materializedBaseEdges(spark, sfDir).count()
         true
       }
       catch { case e: Throwable =>

@@ -975,7 +975,8 @@ object Similarity {
     * independent of corpus size — against IVF's probe share or brute
     * force's full scan; the corpus-sized cost lives entirely in the
     * one-time graph build (s11, already priced, and incrementally
-    * maintainable — AnnStream's insert path) plus the one-off
+    * maintainable — the [[s21]]/[[insertIntoGraph]] insert path,
+    * streamed by `AnnStream.ingestRefresh`) plus the one-off
     * map-side top-E entry pick, amortized over every query in the
     * batch (at serving, precomputed with the edge table). The plan is
     * windowless: per-hop argmax is a `max(struct)` aggregate keyed by
@@ -1149,6 +1150,20 @@ object Similarity {
   private def beamFrom(edges: DataFrame, e: DataFrame,
       beam0: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
+    val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
+    beamPool(edges, e, beam0).select($"q_id",
+      row_number().over(trim).cast("long").as("rank"),
+      $"node".as("found_id"))
+  }
+
+  /** The raw beam loop — [[beamFrom]] without the final rank-select,
+    * returning the surviving pooled frontier `(q_id, qe, qn, node,
+    * c)` WITH its scores: the insert path ([[insertIntoGraph]]) needs
+    * the candidates' cosines to pick and wire the new node's
+    * out-edges, where the search faces only need the ranked ids. */
+  private def beamPool(edges: DataFrame, e: DataFrame,
+      beam0: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     var beam = beam0
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
@@ -1171,9 +1186,7 @@ object Similarity {
         .filter($"rk" <= BEAM_B)
         .select($"q_id", $"qe", $"qn", $"node", $"c")
     }
-    beam.select($"q_id",
-      row_number().over(trim).cast("long").as("rank"),
-      $"node".as("found_id"))
+    beam
   }
 
   /** [[beamSearchOver]] on the once-materialized edge table — the
@@ -1263,6 +1276,18 @@ object Similarity {
   private def hierWalk(l1edges: DataFrame, sub: DataFrame,
       edges0: DataFrame, e: DataFrame, q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
+    val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
+    hierPool(l1edges, sub, edges0, e, q).select($"q_id",
+      row_number().over(trim).cast("long").as("rank"),
+      $"node".as("found_id"))
+  }
+
+  /** [[hierWalk]] without the final rank-select — the surviving base
+    * beam WITH scores, for the hierarchical insert ([[s21h]]), the
+    * beamFrom/beamPool split applied to the hierarchy. */
+  private def hierPool(l1edges: DataFrame, sub: DataFrame,
+      edges0: DataFrame, e: DataFrame, q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val coarse = beamWalk(l1edges, sub, q)
       .select($"q_id", $"found_id".as("node"))
     val seeds = coarse.unionByName(
@@ -1276,7 +1301,7 @@ object Similarity {
       .filter($"node" =!= $"q_id")
       .select($"q_id", $"qe", $"qn", $"node",
         cosine($"qe", $"qn", $"ne", $"nn").as("c"))
-    beamFrom(edges0, e, beam0)
+    beamPool(edges0, e, beam0)
   }
 
   /** Once-materialized coarse-layer edge table — the serving asset
@@ -1312,6 +1337,371 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---- s21: incremental graph-index insert (the HNSW insert path) --
+
+  private val INS_SEED = 22
+  private val INS_MOD = 8 // arrivals: 1/8 of the corpus by seeded hash
+
+  /** Arrival membership: hash64("[[INS_SEED]]:id") ≡ 0 (mod
+    * [[INS_MOD]]) — the vectors that "arrive after the index was
+    * built", deterministic so the oracle replays the split. */
+  private def isArrival(idCol: Column): Column =
+    pmod(graft.functions.TextOps.hash64Seeded(INS_SEED,
+      idCol.cast("string")), lit(INS_MOD)) === 0
+
+  /** INCREMENTAL GRAPH-INDEX INSERT — the HNSW insert algorithm
+    * (Malkov & Yashunin 2018 §4 alg. 1, applied at layer 0, the layer
+    * the flat s20 family searches): each arriving vector BEAM-SEARCHES
+    * the existing base graph for its neighborhood (the same
+    * [[beamPool]] loop the s20b search runs, from the base entry
+    * set), takes the top-[[KNN_K]] survivors as its out-edges, and
+    * adds the REVERSE edges with each touched base node's out-list
+    * re-pruned to its top-[[KNN_K]] by (cos DESC, dst) — HNSW's
+    * "shrink connections" step. Inserts are defined against the
+    * PINNED base snapshot, which buys two structural properties:
+    *
+    *  1. Order independence: every arrival's out-edges depend only on
+    *     the base graph, so a batch of B inserts is B independent
+    *     constant-cost beams — embarrassingly parallel, one Spark job,
+    *     no sequential dependence to schedule around.
+    *  2. Mergeability: the shrink step is a per-src top-k, and
+    *     top-k(top-k(A ∪ R₁) ∪ R₂) = top-k(A ∪ R₁ ∪ R₂) (a dropped
+    *     candidate loses to k others in a subset of the final set, so
+    *     it loses in the final set too; out-lists only ever shrink) —
+    *     so applying arrivals in micro-batches yields the SAME index
+    *     as one bulk insert (AnnInsertSpec proves it on data). That
+    *     equivalence is what makes the streaming face
+    *     (`AnnStream.ingestRefresh`) exactly-once-replayable: a
+    *     re-delivered arrival is a no-op union into an idempotent
+    *     top-k.
+    *
+    * The trade vs textbook HNSW (which walks the LIVE graph, seeing
+    * earlier inserts): intra-batch arrivals don't link to each other
+    * until the next index rebuild/compaction folds them in — the
+    * standard freshness-vs-determinism trade; the measured cost at
+    * this SF is in AnnInsertSpec (recall over the inserted graph vs a
+    * full rebuild, SCALING.md row).
+    *
+    * At 100 TB: per arrival the cost is one constant beam (entries ×
+    * hops × [[BEAM_B]] × out-degree ≤ [[KNN_K]] scored candidates) —
+    * independent of corpus size; the shrink touches ≤ [[KNN_K]] base
+    * rows per arrival. The corpus-sized build happens once (the base
+    * graph), and the index then absorbs arrivals forever at constant
+    * marginal cost — the missing third face of the ANN tier (build
+    * s11/s20h, serve the AnnStream backends, ingest THIS).
+    *
+    * Output: the complete updated edge table (src, dst, cos_sim) —
+    * base rows re-pruned, arrival rows appended — which the DuckDB
+    * oracle replays in full (base knn chain over the non-arrival
+    * subset, the unrolled beam, both top-k cuts). */
+  private[graft] def insertIntoGraph(baseEdges: DataFrame,
+      baseE: DataFrame, newVecs: DataFrame): DataFrame =
+    finishInsert(baseEdges, baseE,
+      newOutEdges(baseEdges, baseE, newVecs))
+
+  /** The insert tail shared by the flat ([[insertIntoGraph]]) and
+    * hierarchical ([[s21h]]) neighbor selectors: reverse the new
+    * out-edges, shrink the touched base rows, assemble the updated
+    * table. Frees `no` after materializing the result. */
+  private def finishInsert(baseEdges: DataFrame, baseE: DataFrame,
+      no: DataFrame): DataFrame = {
+    import baseE.sparkSession.implicits._
+    val out = shrinkWith(baseEdgeCos(baseEdges, baseE),
+        no.select($"dst".as("src"), $"src".as("dst"), $"cos"))
+      .unionByName(no)
+      .select($"src", $"dst", round($"cos", 4).as("cos_sim"))
+      .orderBy($"src", $"dst")
+      .localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(no)
+    out
+  }
+
+  /** Top-[[KNN_K]] cut of a pooled beam by the (cos DESC, node)
+    * total order — the new node's out-edge selection. Checkpointed —
+    * three consumers (out-rows, reverse rows, the spec's chunk
+    * lemma). */
+  private def cutTopK(pooled: DataFrame): DataFrame = {
+    import pooled.sparkSession.implicits._
+    val wq = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
+    pooled.withColumn("rk", row_number().over(wq))
+      .filter($"rk" <= KNN_K)
+      .select($"q_id".as("src"), $"node".as("dst"), $"c".as("cos"))
+      .localCheckpoint()
+  }
+
+  /** The arrivals' own out-edges `(src, dst, cos)`: one beam per
+    * arrival over the base graph, cut to top-[[KNN_K]]. */
+  private[graft] def newOutEdges(baseEdges: DataFrame, baseE: DataFrame,
+      newVecs: DataFrame): DataFrame = {
+    import baseE.sparkSession.implicits._
+    val ent = entrySet(baseE)
+    val beam0 = newVecs.crossJoin(broadcast(ent))
+      .filter($"e0" =!= $"q_id")
+      .select($"q_id", $"qe", $"qn", $"e0".as("node"),
+        cosine($"qe", $"qn", $"ee", $"en").as("c"))
+    cutTopK(beamPool(baseEdges, baseE, beam0))
+  }
+
+  /** HIERARCHICAL INSERT (s21h) — [[s21]] with the two-layer search
+    * as its neighbor selector: the arrival descends the coarse layer
+    * of the BASE graph (a 1/[[HIER_MOD]] hash sample of the
+    * non-arrival subset with its own knn graph) exactly as the s20h
+    * query search does, and the surviving base beam feeds the SAME
+    * cut + shrink tail as the flat insert — the "quality knob slots
+    * in unchanged" claim as code, not prose: because the insert is
+    * "search, then connect", any search backend upgrades it, and
+    * AnnInsertSpec measures the hierarchical selector's neighbor
+    * recall against the flat one's (hier ≥ flat asserted, the
+    * beam-≥-greedy convention). Per-arrival cost stays
+    * corpus-independent: two constant beams instead of one. The
+    * DuckDB oracle is the repo's heaviest replay — TWO suffixed knn
+    * chains (base, base∩sample) + the coarse beam + the seed
+    * expansion + the base beam + both insert cuts. */
+  def s21h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val baseE = e.filter(!isArrival($"vec_id")).localCheckpoint()
+    val newV = e.filter(isArrival($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val sub = baseE.filter(inLayer1($"vec_id")).localCheckpoint()
+    val l1edges = knnFromCandidates(sub.select($"vec_id", $"embedding"),
+        candidatePairs(sub.select($"vec_id", $"embedding"))
+          .select($"a_id", $"b_id"))
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val edges0 = materializedBaseEdges(s, dir)
+    val out = finishInsert(edges0, baseE,
+      cutTopK(hierPool(l1edges, sub, edges0, baseE, newV)))
+    Seq(e, baseE, sub, l1edges)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
+  /** Exact (unrounded) cosines for an existing `(src, dst)` edge set —
+    * the shrink step ranks base edges against reverse candidates on
+    * the same unrounded total order the oracle uses. */
+  private[graft] def baseEdgeCos(baseEdges: DataFrame,
+      baseE: DataFrame): DataFrame = {
+    import baseE.sparkSession.implicits._
+    val ea = baseE.select($"vec_id".as("src"), $"embedding".as("se"),
+      $"nrm".as("sn"))
+    val eb = baseE.select($"vec_id".as("dst"), $"embedding".as("de"),
+      $"nrm".as("dn"))
+    baseEdges.join(ea, Seq("src")).join(eb, Seq("dst"))
+      .select($"src", $"dst", cosine($"se", $"sn", $"de", $"dn").as("cos"))
+  }
+
+  /** HNSW's shrink: per-src top-[[KNN_K]] of current edges ∪ reverse
+    * candidates by (cos DESC, dst). Mergeable (see
+    * [[insertIntoGraph]] property 2) — AnnInsertSpec asserts
+    * shrink(shrink(A, R₁), R₂) ≡ shrink(A, R₁ ∪ R₂) on data. */
+  private[graft] def shrinkWith(curEdges: DataFrame,
+      rev: DataFrame): DataFrame = {
+    import curEdges.sparkSession.implicits._
+    val ws = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    curEdges.unionByName(rev)
+      .withColumn("rk", row_number().over(ws))
+      .filter($"rk" <= KNN_K)
+      .select($"src", $"dst", $"cos")
+  }
+
+  /** Fresh-build insert: derives the base graph (knn over the
+    * non-arrival subset, the same rotation-bucket machinery) in-query
+    * — the s12/s16/s20 bench convention — then wires the arrivals in. */
+  def s21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val baseE = e.filter(!isArrival($"vec_id")).localCheckpoint()
+    val newV = e.filter(isArrival($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val baseEdges = knnFromCandidates(baseE.select($"vec_id", $"embedding"),
+        candidatePairs(baseE.select($"vec_id", $"embedding"))
+          .select($"a_id", $"b_id"))
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val out = insertIntoGraph(baseEdges, baseE, newV)
+    Seq(e, baseE, baseEdges)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
+  /** Once-materialized non-arrival norms — the base-side serving
+    * asset behind [[s21m]] and the ingest stream. */
+  private[graft] def materializedBaseE(s: SparkSession,
+      dir: String): DataFrame =
+    Relational4.materialized("base_norms", s, dir) {
+      import s.implicits._
+      materializedEmbNorms(s, dir).filter(!isArrival($"vec_id"))
+        .localCheckpoint()
+    }
+
+  /** Once-materialized base-graph edge table (knn over the
+    * non-arrival subset) — built once per session; every ingest
+    * refresh reuses it, so the per-arrival cost is just the beam. */
+  private[graft] def materializedBaseEdges(s: SparkSession,
+      dir: String): DataFrame =
+    Relational4.materialized("base_edges", s, dir) {
+      import s.implicits._
+      val b = materializedBaseE(s, dir).select($"vec_id", $"embedding")
+      knnFromCandidates(b, candidatePairs(b).select($"a_id", $"b_id"))
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+        .localCheckpoint()
+    }
+
+  /** [[s21]] over the once-materialized base assets — the ingest
+    * serving cost (the s20m convention): per refresh, only the
+    * arrivals' beams and the touched-row shrink run. */
+  def s21m(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseE = materializedBaseE(s, dir)
+    val newV = materializedEmbNorms(s, dir).filter(isArrival($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    insertIntoGraph(materializedBaseEdges(s, dir), baseE, newV)
+  }
+
+  /** Index INGEST over external arrival vectors `(q_id, embedding)` —
+    * the [[s21m]] semantics restricted to the given arrival set
+    * through the SAME insert body ([[insertIntoGraph]]), over
+    * once-materialized base assets only: the trigger-side face behind
+    * `AnnStream.ingestRefresh`. */
+  def insertServe(s: SparkSession, dir: String,
+      arrivals: DataFrame): DataFrame = {
+    import s.implicits._
+    insertIntoGraph(materializedBaseEdges(s, dir),
+      materializedBaseE(s, dir),
+      arrivals.select($"q_id", $"embedding".as("qe"),
+        norm($"embedding").as("qn")))
+  }
+
+  // ---- s22: graph-index delete + local repair ----------------------
+
+  private val DEL_SEED = 23
+  private val DEL_MOD = 16 // tombstoned: 1/16 of the corpus by hash
+
+  /** Tombstone membership: hash64("[[DEL_SEED]]:id") ≡ 0 (mod
+    * [[DEL_MOD]]) — deterministic, oracle-replayed. */
+  private def isDeleted(idCol: Column): Column =
+    pmod(graft.functions.TextOps.hash64Seeded(DEL_SEED,
+      idCol.cast("string")), lit(DEL_MOD)) === 0
+
+  /** GRAPH-INDEX DELETE WITH LOCAL REPAIR — the third index-CRUD face
+    * (build s11/s20h, insert [[s21]], delete THIS): tombstoned nodes
+    * leave the graph, and every SURVIVOR that lost an out-edge to a
+    * tombstone is repaired by routing THROUGH the hole — its repair
+    * candidates are the deleted neighbor's own out-neighbors (the
+    * graph already certifies those as near the deleted node, hence
+    * near the damaged edge's direction), minus tombstones, itself,
+    * and dsts it already keeps; ranked by exact cosine with the (cos
+    * DESC, dst) total order, it refills its out-list toward
+    * [[KNN_K]]. A survivor with no viable candidates keeps a smaller
+    * out-list (documented — the next full rebuild restores it), and
+    * surviving edges are NEVER re-ranked: repair is strictly
+    * additive on the kept set, so a delete touches only the damaged
+    * rows.
+    *
+    * This is the index analog of the lakehouse MOR delete (q64):
+    * mark now + local patch, restructure at the next rebuild —
+    * against the alternative of rebuilding a corpus-sized graph per
+    * deletion batch. At 100 TB the repair cost is (in-degree of the
+    * tombstone set) × out-degree ≤ [[KNN_K]] candidate scorings —
+    * proportional to the DELETED data's connectivity, never to the
+    * corpus; the one corpus-sized input (the prior edge table) is
+    * the already-materialized serving asset, and the cosine scoring
+    * joins embeddings only for the damaged-row candidates.
+    *
+    * Output: the complete post-delete edge table (src, dst,
+    * cos_sim), fully replayed by the DuckDB oracle (kept ∪ ranked
+    * fill under the same per-src deficit arithmetic). */
+  private[graft] def deleteFromGraph(edgesCos: DataFrame,
+      e: DataFrame, tombstones: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    // the tombstone set is deletion-batch-sized — broadcast it into
+    // every membership test (never a shuffle on the edge table)
+    val del = broadcast(tombstones.select($"vec_id".as("tomb"))
+      .distinct().localCheckpoint())
+    val liveSrc = edgesCos.join(del, $"src" === $"tomb", "left_anti")
+    val kept = liveSrc.join(del, $"dst" === $"tomb", "left_anti")
+      .localCheckpoint()
+    val damaged = liveSrc.join(del, $"dst" === $"tomb", "left_semi")
+      .select($"src", $"dst".as("d"))
+    // candidates: the deleted neighbor's out-neighbors, de-duped,
+    // minus tombstones / self / already-kept dsts
+    val cand = damaged
+      .join(edgesCos.select($"src".as("d"), $"dst".as("w")), Seq("d"))
+      .join(del, $"w" === $"tomb", "left_anti")
+      .filter($"w" =!= $"src")
+      .select($"src", $"w".as("dst")).distinct()
+      .join(kept.select($"src", $"dst"), Seq("src", "dst"), "left_anti")
+    val ea = e.select($"vec_id".as("src"), $"embedding".as("se"),
+      $"nrm".as("sn"))
+    val eb = e.select($"vec_id".as("dst"), $"embedding".as("de"),
+      $"nrm".as("dn"))
+    val scored = cand.join(ea, Seq("src")).join(eb, Seq("dst"))
+      .select($"src", $"dst", cosine($"se", $"sn", $"de", $"dn").as("cos"))
+    val deficit = kept.groupBy($"src".as("dsrc"))
+      .agg((lit(KNN_K) - count(lit(1))).as("need"))
+    val wr = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    val fill = scored.withColumn("rk", row_number().over(wr))
+      .join(deficit, $"src" === $"dsrc", "left")
+      .filter($"rk" <= coalesce($"need", lit(KNN_K.toLong)))
+      .select($"src", $"dst", $"cos")
+    val out = kept.unionByName(fill)
+      .select($"src", $"dst", round($"cos", 4).as("cos_sim"))
+      .orderBy($"src", $"dst")
+      .localCheckpoint()
+    Seq(kept, del).foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
+  /** The registered tombstone set: every corpus vector matching the
+    * [[isDeleted]] hash rule. */
+  private def registeredTombstones(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter(isDeleted($"vec_id")).select($"vec_id")
+  }
+
+  /** Fresh-build delete: derives the full knn graph in-query (the
+    * bench convention), then tombstones + repairs. */
+  def s22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .localCheckpoint()
+    val edgesCos = s11(s, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val out = deleteFromGraph(baseEdgeCos(edgesCos, e), e,
+      registeredTombstones(e))
+    Seq(e, edgesCos)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
+  /** [[s22]] over the once-materialized edge + norm assets — the
+    * serving-time tombstone cost: only the damaged rows' repair
+    * runs. */
+  def s22m(s: SparkSession, dir: String): DataFrame = {
+    val e = materializedEmbNorms(s, dir)
+    deleteFromGraph(baseEdgeCos(materializedKnnEdges(s, dir), e), e,
+      registeredTombstones(e))
+  }
+
+  /** Tombstone SERVING over an external deletion set `(vec_id)` —
+    * the [[s22m]] semantics restricted to the given tombstones
+    * through the SAME repair body ([[deleteFromGraph]]), over
+    * once-materialized assets: the trigger-side face behind
+    * `AnnStream.tombstoneRefresh`. */
+  def deleteServe(s: SparkSession, dir: String,
+      tombstones: DataFrame): DataFrame = {
+    val e = materializedEmbNorms(s, dir)
+    deleteFromGraph(baseEdgeCos(materializedKnnEdges(s, dir), e), e,
+      tombstones)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
@@ -1322,6 +1712,11 @@ object Similarity {
     "s20m_greedy_ann_materialized" -> (s20m _),
     "s20b_beam_ann" -> (s20b _),
     "s20h_hier_ann" -> (s20h _),
+    "s21_graph_insert" -> (s21 _),
+    "s21m_insert_materialized" -> (s21m _),
+    "s21h_hier_insert" -> (s21h _),
+    "s22_graph_delete" -> (s22 _),
+    "s22m_delete_materialized" -> (s22m _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -1609,11 +2004,156 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The full insert replayed: the knn chain over the NON-arrival
+    * subset (the pinned base graph), the arrivals' unrolled beam over
+    * it, the top-[[KNN_K]] out-edge cut, the reverse union, and the
+    * per-src shrink — both top-k cuts on the same unrounded (cos
+    * DESC, id) total order the engine ranks on. */
+  private lazy val s21Oracle: String = {
+    val arrHash = graft.functions.TextOps.sqlHash64Seeded(INS_SEED,
+      "CAST(vec_id AS VARCHAR)")
+    val entHash = graft.functions.TextOps.sqlHash64Seeded(GREEDY_ESEED,
+      "CAST(vec_id AS VARCHAR)")
+    s"""WITH ${sqlKnnChain("i", s" WHERE $arrHash % $INS_MOD <> 0")},
+       |edi AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM rankedi WHERE rank <= $KNN_K),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, $sqlNormE AS qn
+       |  FROM embeddings WHERE $arrHash % $INS_MOD = 0),
+       |eni AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM ei
+       |  ORDER BY $entHash, vec_id LIMIT $GREEDY_ENTRIES),
+       |b0 AS (SELECT q.q_id, eni.e0 AS node,
+       |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(eni.ee[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q.qn * eni.en) AS c
+       |  FROM q CROSS JOIN eni WHERE eni.e0 <> q.q_id),
+       |${sqlBeamSteps("", "edi", "ei")},
+       |newout AS (SELECT src, dst, cos FROM (
+       |    SELECT q_id AS src, node AS dst, c AS cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY c DESC, node) AS rn
+       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |shrunk AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT vec_id AS src, neighbor_id AS dst, cos
+       |          FROM rankedi WHERE rank <= $KNN_K
+       |          UNION ALL SELECT dst AS src, src AS dst, cos
+       |          FROM newout))
+       |  WHERE rn <= $KNN_K)
+       |SELECT src, dst, round(cos, 4) AS cos_sim FROM
+       |  (SELECT src, dst, cos FROM shrunk
+       |   UNION ALL SELECT src, dst, cos FROM newout)
+       |ORDER BY src, dst""".stripMargin
+  }
+
+  /** The hierarchical insert replayed end to end: two suffixed knn
+    * chains (base = non-arrivals; coarse = base ∩ the layer-1 hash
+    * sample), the coarse entry set + lb0..lbH beam, the seed
+    * expansion through the base edges, the b0..bH base beam, the
+    * top-k out-edge cut, and the shrink — the heaviest full replay
+    * in the repo. */
+  private lazy val s21hOracle: String = {
+    val arrHash = graft.functions.TextOps.sqlHash64Seeded(INS_SEED,
+      "CAST(vec_id AS VARCHAR)")
+    val entHash = graft.functions.TextOps.sqlHash64Seeded(GREEDY_ESEED,
+      "CAST(vec_id AS VARCHAR)")
+    val l1Hash = graft.functions.TextOps.sqlHash64Seeded(HIER_SEED,
+      "CAST(vec_id AS VARCHAR)")
+    val dot = s"list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)\n     for i in range(1, ${DIM + 1})])"
+    s"""WITH ${sqlKnnChain("i", s" WHERE $arrHash % $INS_MOD <> 0")},
+       |edi AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM rankedi WHERE rank <= $KNN_K),
+       |${sqlKnnChain("ih",
+          s" WHERE $arrHash % $INS_MOD <> 0 AND $l1Hash % $HIER_MOD = 0")},
+       |edih AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM rankedih WHERE rank <= $KNN_K),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, $sqlNormE AS qn
+       |  FROM embeddings WHERE $arrHash % $INS_MOD = 0),
+       |enih AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM eih
+       |  ORDER BY $entHash, vec_id LIMIT $GREEDY_ENTRIES),
+       |lb0 AS (SELECT q.q_id, enih.e0 AS node,
+       |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(enih.ee[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q.qn * enih.en) AS c
+       |  FROM q CROSS JOIN enih WHERE enih.e0 <> q.q_id),
+       |${sqlBeamSteps("l", "edih", "eih")},
+       |seeds AS (SELECT DISTINCT q_id, node FROM (
+       |  SELECT q_id, node FROM lb$GREEDY_HOPS
+       |  UNION ALL SELECT l.q_id, edi.dst AS node
+       |  FROM lb$GREEDY_HOPS l JOIN edi ON edi.src = l.node)),
+       |b0 AS (SELECT s.q_id, s.node,
+       |  $dot / (q.qn * de.nrm) AS c
+       |  FROM seeds s JOIN ei de ON de.vec_id = s.node
+       |  JOIN q ON q.q_id = s.q_id
+       |  WHERE s.node <> s.q_id),
+       |${sqlBeamSteps("", "edi", "ei")},
+       |newout AS (SELECT src, dst, cos FROM (
+       |    SELECT q_id AS src, node AS dst, c AS cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY c DESC, node) AS rn
+       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |shrunk AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT vec_id AS src, neighbor_id AS dst, cos
+       |          FROM rankedi WHERE rank <= $KNN_K
+       |          UNION ALL SELECT dst AS src, src AS dst, cos
+       |          FROM newout))
+       |  WHERE rn <= $KNN_K)
+       |SELECT src, dst, round(cos, 4) AS cos_sim FROM
+       |  (SELECT src, dst, cos FROM shrunk
+       |   UNION ALL SELECT src, dst, cos FROM newout)
+       |ORDER BY src, dst""".stripMargin
+  }
+
+  /** The delete+repair replayed: the full knn chain, the tombstone
+    * split, the kept/damaged partition, candidate generation through
+    * the deleted neighbors' out-lists, exact-cosine scoring, and the
+    * per-src deficit-bounded rank fill — same total orders as the
+    * engine. */
+  private lazy val s22Oracle: String = {
+    def delPred(c: String) = s"${graft.functions.TextOps.sqlHash64Seeded(
+      DEL_SEED, s"CAST($c AS VARCHAR)")} % $DEL_MOD"
+    s"""WITH $sqlKnnBase,
+       |ed3 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst, cos
+       |  FROM ranked WHERE rank <= $KNN_K),
+       |kept AS (SELECT src, dst, cos FROM ed3
+       |  WHERE ${delPred("src")} <> 0 AND ${delPred("dst")} <> 0),
+       |dmg AS (SELECT src, dst AS d FROM ed3
+       |  WHERE ${delPred("src")} <> 0 AND ${delPred("dst")} = 0),
+       |cnd AS (SELECT DISTINCT dmg.src, e2.dst FROM dmg
+       |  JOIN ed3 e2 ON e2.src = dmg.d
+       |  WHERE ${delPred("e2.dst")} <> 0 AND e2.dst <> dmg.src
+       |    AND NOT EXISTS (SELECT 1 FROM kept k
+       |      WHERE k.src = dmg.src AND k.dst = e2.dst)),
+       |sc AS (SELECT c.src, c.dst,
+       |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
+       |  FROM cnd c JOIN e ex ON ex.vec_id = c.src
+       |    JOIN e ey ON ey.vec_id = c.dst),
+       |needs AS (SELECT src, $KNN_K - count(*) AS need
+       |  FROM kept GROUP BY src),
+       |fill AS (SELECT src, dst, cos FROM (
+       |    SELECT s.src, s.dst, s.cos,
+       |      row_number() OVER (PARTITION BY s.src
+       |        ORDER BY s.cos DESC, s.dst) AS rk,
+       |      coalesce(n.need, $KNN_K) AS need
+       |    FROM sc s LEFT JOIN needs n ON n.src = s.src)
+       |  WHERE rk <= need)
+       |SELECT src, dst, round(cos, 4) AS cos_sim FROM
+       |  (SELECT src, dst, cos FROM kept
+       |   UNION ALL SELECT src, dst, cos FROM fill)
+       |ORDER BY src, dst""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s20_greedy_graph_ann" -> s20Oracle,
     "s20m_greedy_ann_materialized" -> s20Oracle,
     "s20b_beam_ann" -> s20bOracle,
     "s20h_hier_ann" -> s20hOracle,
+    "s21_graph_insert" -> s21Oracle,
+    "s21m_insert_materialized" -> s21Oracle,
+    "s21h_hier_insert" -> s21hOracle,
+    "s22_graph_delete" -> s22Oracle,
+    "s22m_delete_materialized" -> s22Oracle,
     "s17_mmr_rerank" -> s17Oracle,
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,

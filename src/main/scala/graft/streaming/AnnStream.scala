@@ -153,4 +153,36 @@ object AnnStream {
       admitted: DataFrame): DataFrame =
     graft.operators.Similarity.hierServe(spark, dir,
       admitted.select(col("q_id"), col("embedding")).localCheckpoint())
+
+  /** Trigger-side INDEX INGEST — the write face of the ANN tier: the
+    * admitted ARRIVAL vectors wired into the once-built base graph
+    * through the EXACT batch insert body (`Similarity.insertServe` →
+    * the same `insertIntoGraph` the registered s21/s21m run), so the
+    * updated edge table for arrival set A equals batch s21m
+    * restricted to A row for row. The same replay guard
+    * ([[admittedOnce]]) makes re-delivered arrivals no-ops, and the
+    * insert's pinned-base mergeability (top-k shrink — see the
+    * s21 docstring, proven on data in AnnInsertSpec) means
+    * micro-batched arrivals produce the SAME index as one bulk
+    * insert: admission order cannot change the result. Per refresh
+    * the cost is one constant beam per newly-admitted arrival plus a
+    * ≤ k-row shrink per touched base node — never corpus-sized. */
+  def ingestRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame =
+    graft.operators.Similarity.insertServe(spark, dir,
+      admitted.select(col("q_id"), col("embedding")).localCheckpoint())
+
+  /** Trigger-side TOMBSTONE application — the delete face: the
+    * admitted deletion ids through the EXACT batch repair body
+    * (`Similarity.deleteServe` → the same `deleteFromGraph` the
+    * registered s22/s22m run), so the post-delete edge table for
+    * tombstone set D equals batch s22m with D substituted. Replay-
+    * guarded like every face — a re-delivered tombstone is a no-op
+    * (the set is deduped before it broadcasts). Per refresh the cost
+    * is the damaged rows' local repair (in-degree of D × k candidate
+    * scorings), never corpus-sized. */
+  def tombstoneRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame =
+    graft.operators.Similarity.deleteServe(spark, dir,
+      admitted.select(col("q_id").as("vec_id")).localCheckpoint())
 }

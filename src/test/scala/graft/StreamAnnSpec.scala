@@ -69,6 +69,93 @@ class StreamAnnSpec extends SparkSpec {
           s"${servedHier.size}/${batchHier.size}")
     } finally q.stop()
   }
+  test("streaming index ingest equals batch s21m") {
+    // the WRITE face: arrival vectors stream in (re-delivered across
+    // chunks — the source-replay case), the guard admits each once,
+    // and the trigger-side ingest through the exact batch insert body
+    // yields the SAME updated edge table as registered s21m.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, col}
+    val embs = Tables.load(spark, sf, "embeddings")
+    val arrivals = embs.filter(
+      pmod(graft.functions.TextOps.hash64Seeded(22,
+        col("vec_id").cast("string")), lit(8)) === 0)
+    val nArr = arrivals.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    (0 to 2).foreach { i =>
+      val chunk = arrivals.filter(pmod(col("vec_id"), lit(3)) === i)
+        .unionAll(arrivals.filter(pmod(col("vec_id"), lit(3)) === (i + 2) % 3))
+      StreamTestIO.writeChunk(chunk, dir.resolve(s"c$i.parquet"),
+        base + i * 1000)
+    }
+    val batch = operators.Similarity.s21m(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val q = EventStreams.runToMemory(
+      AnnStream.admittedOnce(
+        AnnStream.queryStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "ingest_stream", mode = "append")
+    try {
+      val admitted = spark.table("ingest_stream")
+      val ids = admitted.select($"q_id").collect().map(_.getLong(0))
+      assert(ids.length == nArr && ids.distinct.length == ids.length,
+        s"replay guard must admit each of the $nArr arrivals once, " +
+          s"got ${ids.length} (${ids.distinct.length} distinct)")
+      val ingested = AnnStream.ingestRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(ingested == batch,
+        s"streamed ingest diverged from batch s21m: sizes " +
+          s"${ingested.size}/${batch.size}, first diff " +
+          s"${ingested.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
+  test("streaming tombstones equal batch s22m") {
+    // the DELETE face: tombstone ids stream in (as the vectors being
+    // removed, re-delivered across chunks), the guard admits each
+    // once, and the trigger-side repair through the exact batch body
+    // yields the SAME post-delete edge table as registered s22m.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, col}
+    val embs = Tables.load(spark, sf, "embeddings")
+    val tombs = embs.filter(
+      pmod(graft.functions.TextOps.hash64Seeded(23,
+        col("vec_id").cast("string")), lit(16)) === 0)
+    val nDel = tombs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-tombstones")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    (0 to 1).foreach { i =>
+      val chunk = tombs.filter(pmod(col("vec_id"), lit(2)) === i)
+        .unionAll(tombs.filter(pmod(col("vec_id"), lit(2)) === 1 - i))
+      StreamTestIO.writeChunk(chunk, dir.resolve(s"c$i.parquet"),
+        base + i * 1000)
+    }
+    val batch = operators.Similarity.s22m(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val q = EventStreams.runToMemory(
+      AnnStream.admittedOnce(
+        AnnStream.queryStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "tomb_stream", mode = "append")
+    try {
+      val admitted = spark.table("tomb_stream")
+      val ids = admitted.select($"q_id").collect().map(_.getLong(0))
+      assert(ids.length == nDel && ids.distinct.length == ids.length,
+        s"replay guard must admit each of the $nDel tombstones once, " +
+          s"got ${ids.length} (${ids.distinct.length} distinct)")
+      val repaired = AnnStream.tombstoneRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(repaired == batch,
+        s"streamed tombstone apply diverged from batch s22m: sizes " +
+          s"${repaired.size}/${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming query admission + frozen-index serve equal batch s14") {
     val s = spark
     import s.implicits._
