@@ -1702,6 +1702,79 @@ object Similarity {
       tombstones)
   }
 
+  // ---- s23: partial re-embedding migration (update = delete ∘ insert)
+
+  private val UPD_SEED = 24
+  private val UPD_MOD = 16 // re-embedded: 1/16 of the corpus by hash
+
+  /** Re-embedded membership: hash64("[[UPD_SEED]]:id") ≡ 0 (mod
+    * [[UPD_MOD]]). */
+  private def isReembedded(idCol: Column): Column =
+    pmod(graft.functions.TextOps.hash64Seeded(UPD_SEED,
+      idCol.cast("string")), lit(UPD_MOD)) === 0
+
+  /** The stand-in re-embedding transform: a deterministic new vector
+    * per updated id (array reversal — norm-preserving, replayed by
+    * DuckDB's list_reverse), standing in for "a new model version
+    * re-embedded this shard". The machinery is what's under test;
+    * any per-row vector function slots in. */
+  private def reembed(e: Column): Column = reverse(e)
+
+  /** PARTIAL RE-EMBEDDING MIGRATION (s23) — the UPDATE face, and the
+    * real shape behind it: a model-version bump re-embeds a SHARD of
+    * the corpus, and the index must absorb it without a
+    * corpus-sized rebuild. Update = delete ∘ insert, literally: the
+    * updated ids tombstone out of the live graph through the EXACT
+    * s22 repair body ([[deleteFromGraph]] — survivors patch through
+    * the holes), then re-enter with their NEW vectors through the
+    * EXACT s21 insert body ([[insertIntoGraph]] — one constant beam
+    * each over the repaired survivor graph, reverse edges shrunk).
+    * Composing the two verified faces is the point: no third
+    * mutation primitive exists to get wrong, and the cost is the sum
+    * of the two local costs — repair ∝ the shard's in-degree, insert
+    * ∝ one beam per updated id — never the corpus. The DuckDB oracle
+    * replays the whole migration: the s22 chain (kept/damaged/fill)
+    * over the update shard, then the s21 beam over the REPAIRED
+    * edge set with the re-embedded query vectors, then both top-k
+    * cuts. At 100 TB this is the nightly "re-embed 1/16th of the
+    * corpus on the new encoder" job as an index-local operation. */
+  def s23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = materializedEmbNorms(s, dir)
+    val liveE = e.filter(!isReembedded($"vec_id")).localCheckpoint()
+    val updated = e.filter(isReembedded($"vec_id"))
+      .select($"vec_id".as("q_id"), reembed($"embedding").as("qe"))
+      .select($"q_id", $"qe", norm($"qe").as("qn"))
+    val repaired = deleteFromGraph(
+      baseEdgeCos(materializedKnnEdges(s, dir), e), e,
+      e.filter(isReembedded($"vec_id")).select($"vec_id"))
+    val out = insertIntoGraph(
+      repaired.select($"src", $"dst"), liveE, updated)
+    Seq(liveE, repaired)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
+  /** Migration SERVING over an external re-embedding batch `(q_id,
+    * embedding)` — [[s23]] restricted to the given shard through the
+    * same two bodies, for `AnnStream.reembedRefresh`: delete the
+    * ids, re-insert the new vectors. */
+  def reembedServe(s: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = materializedEmbNorms(s, dir)
+    val ids = batch.select($"q_id".as("vec_id")).localCheckpoint()
+    val liveE = e.join(ids, Seq("vec_id"), "left_anti").localCheckpoint()
+    val repaired = deleteFromGraph(
+      baseEdgeCos(materializedKnnEdges(s, dir), e), e, ids)
+    val out = insertIntoGraph(repaired.select($"src", $"dst"), liveE,
+      batch.select($"q_id", $"embedding".as("qe"),
+        norm($"embedding").as("qn")))
+    Seq(ids, liveE, repaired)
+      .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_knn_graph" -> (s11 _),
     "s12_pagerank" -> (s12 _),
@@ -1717,6 +1790,7 @@ object Similarity {
     "s21h_hier_insert" -> (s21h _),
     "s22_graph_delete" -> (s22 _),
     "s22m_delete_materialized" -> (s22m _),
+    "s23_reembed_migration" -> (s23 _),
     "s01_topk_cosine" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
@@ -2144,6 +2218,74 @@ object Similarity {
        |ORDER BY src, dst""".stripMargin
   }
 
+  /** The migration replayed end to end: the full knn chain, the s22
+    * delete chain over the update shard (kept/damaged/candidates/
+    * deficit fill), the repaired edge set as the beam's graph, the
+    * re-embedded (list_reverse) query vectors through the unrolled
+    * beam, and both insert cuts. */
+  private lazy val s23Oracle: String = {
+    def updPred(c: String) = s"${graft.functions.TextOps.sqlHash64Seeded(
+      UPD_SEED, s"CAST($c AS VARCHAR)")} % $UPD_MOD"
+    val entHash = graft.functions.TextOps.sqlHash64Seeded(GREEDY_ESEED,
+      "CAST(vec_id AS VARCHAR)")
+    s"""WITH $sqlKnnBase,
+       |ed3 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst, cos
+       |  FROM ranked WHERE rank <= $KNN_K),
+       |kept AS (SELECT src, dst, cos FROM ed3
+       |  WHERE ${updPred("src")} <> 0 AND ${updPred("dst")} <> 0),
+       |dmg AS (SELECT src, dst AS d FROM ed3
+       |  WHERE ${updPred("src")} <> 0 AND ${updPred("dst")} = 0),
+       |cnd AS (SELECT DISTINCT dmg.src, e2.dst FROM dmg
+       |  JOIN ed3 e2 ON e2.src = dmg.d
+       |  WHERE ${updPred("e2.dst")} <> 0 AND e2.dst <> dmg.src
+       |    AND NOT EXISTS (SELECT 1 FROM kept k
+       |      WHERE k.src = dmg.src AND k.dst = e2.dst)),
+       |sc AS (SELECT c.src, c.dst,
+       |  list_sum([CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
+       |  FROM cnd c JOIN e ex ON ex.vec_id = c.src
+       |    JOIN e ey ON ey.vec_id = c.dst),
+       |needs AS (SELECT src, $KNN_K - count(*) AS need
+       |  FROM kept GROUP BY src),
+       |fill AS (SELECT src, dst, cos FROM (
+       |    SELECT s.src, s.dst, s.cos,
+       |      row_number() OVER (PARTITION BY s.src
+       |        ORDER BY s.cos DESC, s.dst) AS rk,
+       |      coalesce(n.need, $KNN_K) AS need
+       |    FROM sc s LEFT JOIN needs n ON n.src = s.src)
+       |  WHERE rk <= need),
+       |edr AS MATERIALIZED (SELECT src, dst, cos FROM kept
+       |  UNION ALL SELECT src, dst, cos FROM fill),
+       |er AS (SELECT vec_id, embedding, nrm FROM e
+       |  WHERE ${updPred("vec_id")} <> 0),
+       |q0 AS (SELECT vec_id AS q_id, list_reverse(embedding) AS embedding
+       |  FROM embeddings WHERE ${updPred("vec_id")} = 0),
+       |q AS (SELECT q_id, embedding AS qe, $sqlNormE AS qn FROM q0),
+       |enr AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM er
+       |  ORDER BY $entHash, vec_id LIMIT $GREEDY_ENTRIES),
+       |b0 AS (SELECT q.q_id, enr.e0 AS node,
+       |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(enr.ee[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q.qn * enr.en) AS c
+       |  FROM q CROSS JOIN enr WHERE enr.e0 <> q.q_id),
+       |${sqlBeamSteps("", "edr", "er")},
+       |newout AS (SELECT src, dst, cos FROM (
+       |    SELECT q_id AS src, node AS dst, c AS cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY c DESC, node) AS rn
+       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |shrunk AS (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT src, dst, cos FROM edr
+       |          UNION ALL SELECT dst AS src, src AS dst, cos
+       |          FROM newout))
+       |  WHERE rn <= $KNN_K)
+       |SELECT src, dst, round(cos, 4) AS cos_sim FROM
+       |  (SELECT src, dst, cos FROM shrunk
+       |   UNION ALL SELECT src, dst, cos FROM newout)
+       |ORDER BY src, dst""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s20_greedy_graph_ann" -> s20Oracle,
     "s20m_greedy_ann_materialized" -> s20Oracle,
@@ -2154,6 +2296,7 @@ object Similarity {
     "s21h_hier_insert" -> s21hOracle,
     "s22_graph_delete" -> s22Oracle,
     "s22m_delete_materialized" -> s22Oracle,
+    "s23_reembed_migration" -> s23Oracle,
     "s17_mmr_rerank" -> s17Oracle,
     "s07_kmeans_step" -> s07Oracle,
     "s09_random_projection" -> s09Oracle,

@@ -185,4 +185,17 @@ object AnnStream {
       admitted: DataFrame): DataFrame =
     graft.operators.Similarity.deleteServe(spark, dir,
       admitted.select(col("q_id").as("vec_id")).localCheckpoint())
+
+  /** Trigger-side RE-EMBEDDING migration — the update face: the
+    * admitted `(q_id, embedding)` rows are ids re-embedded by a new
+    * encoder, applied through the EXACT batch composition
+    * (`Similarity.reembedServe` → the same deleteFromGraph +
+    * insertIntoGraph the registered s23 runs): tombstone + repair the
+    * ids, then one constant beam each to re-wire the new vectors —
+    * so the migrated edge table for shard U equals batch s23 with U
+    * substituted. Replay-guarded like every face. */
+  def reembedRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame =
+    graft.operators.Similarity.reembedServe(spark, dir,
+      admitted.select(col("q_id"), col("embedding")).localCheckpoint())
 }

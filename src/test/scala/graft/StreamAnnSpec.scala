@@ -156,6 +156,51 @@ class StreamAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming re-embedding migration equals batch s23") {
+    // the UPDATE face: the registered shard's ids arrive carrying
+    // their NEW vectors (the s23 stand-in transform), re-delivered
+    // across chunks; the admitted batch through reembedRefresh must
+    // reproduce registered s23 row for row.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, col, reverse}
+    val embs = Tables.load(spark, sf, "embeddings")
+    val shard = embs.filter(
+        pmod(graft.functions.TextOps.hash64Seeded(24,
+          col("vec_id").cast("string")), lit(16)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        col("label"))
+    val nUpd = shard.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-reembed")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    (0 to 1).foreach { i =>
+      val chunk = shard.filter(pmod(col("vec_id"), lit(2)) === i)
+        .unionAll(shard.filter(pmod(col("vec_id"), lit(2)) === 1 - i))
+      StreamTestIO.writeChunk(chunk, dir.resolve(s"c$i.parquet"),
+        base + i * 1000)
+    }
+    val batch = operators.Similarity.s23(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val q = EventStreams.runToMemory(
+      AnnStream.admittedOnce(
+        AnnStream.queryStream(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1"))).toDF(),
+      "reembed_stream", mode = "append")
+    try {
+      val admitted = spark.table("reembed_stream")
+      val ids = admitted.select($"q_id").collect().map(_.getLong(0))
+      assert(ids.length == nUpd && ids.distinct.length == ids.length,
+        s"replay guard must admit each of the $nUpd re-embeddings once, " +
+          s"got ${ids.length} (${ids.distinct.length} distinct)")
+      val migrated = AnnStream.reembedRefresh(spark, sf, admitted)
+        .collect().map(_.toSeq).toSeq
+      assert(migrated == batch,
+        s"streamed migration diverged from batch s23: sizes " +
+          s"${migrated.size}/${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming query admission + frozen-index serve equal batch s14") {
     val s = spark
     import s.implicits._
