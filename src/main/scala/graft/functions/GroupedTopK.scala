@@ -73,6 +73,30 @@ object GroupedTopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredDoc]]()
   }
 
+  /** Minimal scored-id variant (score DESC, id ASC) — the conjunctive
+    * retrieval shape (t45): only the integer score and the id ride
+    * the bounded buffer, so a stopword-heavy query whose candidate
+    * set is corpus-sized still shuffles ≤ k·partitions rows per
+    * query instead of one corpus-sized window partition. */
+  final case class ScoredId(score: Long, id: Long)
+
+  val siOrd: Ordering[ScoredId] = Ordering.by((r: ScoredId) => (-r.score, r.id))
+
+  final case class TopIds(k: Int)
+      extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    override def zero: Seq[ScoredId] = Vector.empty
+    override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
+      if (buf.length == k && siOrd.gteq(in, buf.last)) buf
+      else ((buf :+ in).sorted(siOrd)).take(k)
+    override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+      (a ++ b).sorted(siOrd).take(k)
+    override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf.sorted(siOrd)
+    override def bufferEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
   /** Weighted-term variant (weight DESC, term ASC) — the TF-IDF
     * top-terms shape: keep the k heaviest terms per document with a
     * total, engine-portable tie-break. */

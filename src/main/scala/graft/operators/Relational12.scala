@@ -38,6 +38,47 @@ object Relational12 {
   private val QDOCS = 3  // query terms = vocabulary of doc_id < QDOCS
   private val TOPD = 5   // docs kept per term
 
+  /** The inverted index's tf table — ONE tokenize pass per corpus
+    * scan (shared by t38 and t45's conjunctive search). */
+  private[operators] def docTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(word_tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Document lengths from the tf aggregate (no second corpus scan). */
+  private[operators] def docDl(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** The guarded (tl, n_docs) corpus totals.
+    * ⌊Long.MaxValue / 22e6⌋: largest tf·TL whose ppm numerator fits
+    * int64. tf ≤ max(dl), so max(dl)·TL bounds every row's tf·TL;
+    * the tl > 3·10⁹ disjunct keeps the guard product itself from
+    * wrapping (tl ≤ 3·10⁹ ∧ max_dl ≤ tl ⇒ max_dl·tl ≤ 9·10¹⁸ < 2⁶³).
+    * The guard lives in the `tl` column expression itself so Catalyst
+    * cannot prune it. */
+  private[operators] def guardedTot(dl: DataFrame, tag: String): DataFrame =
+    dl.agg(sum(col("dl")).as("tl"), count(lit(1)).as("n_docs"),
+        max(col("dl")).as("max_dl"))
+      .select(
+        when(col("tl") > lit(3000000000L) ||
+            col("max_dl") * col("tl") > lit(419244183493L),
+          raise_error(concat(
+            lit(s"$tag: BM25 score_ppm numerator would overflow int64 "),
+            lit("(max_dl*tl = "), (col("max_dl") * col("tl")).cast("string"),
+            lit(" > 419244183493); shard the corpus statistics or "),
+            lit("widen the numerator to DECIMAL(38,0)"))))
+          .otherwise(col("tl")).as("tl"),
+        col("n_docs"))
+
+  /** The exact-integer BM25 tf-saturation score (k1 = 1.2, b = 0.75
+    * multiplied through to the rational form — see [[t38]]'s
+    * derivation), in ppm via floor division; identical text runs in
+    * DuckDB with `div` → `//`. */
+  private[operators] val BM25_PPM_EXPR =
+    "(22 * tf * tl * 1000000) div (10 * tf * tl + 3 * tl + 9 * dl * n_docs)"
+
   /** BM25 (k1 = 1.2, b = 0.75) top-[[TOPD]] documents per query term.
     * Per term, the BM25 idf factor is a positive per-term CONSTANT, so
     * the within-term ranking is fully determined by the tf-saturation
@@ -75,34 +116,16 @@ object Relational12 {
     * — the inverted-index build every retrieval system pays once. */
   def t38(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = t(s, dir, "documents")
-      .select($"doc_id", explode(word_tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    // ⌊Long.MaxValue / 22e6⌋: largest tf·TL whose ppm numerator fits
-    // int64. tf ≤ max(dl), so max(dl)·TL bounds every row's tf·TL;
-    // the tl > 3·10⁹ disjunct keeps the guard product itself from
-    // wrapping (tl ≤ 3·10⁹ ∧ max_dl ≤ tl ⇒ max_dl·tl ≤ 9·10¹⁸ < 2⁶³).
-    val tot = dl.agg(sum($"dl").as("tl"), count(lit(1)).as("n_docs"),
-        max($"dl").as("max_dl"))
-      .select(
-        when($"tl" > lit(3000000000L) ||
-            $"max_dl" * $"tl" > lit(419244183493L),
-          raise_error(concat(
-            lit("t38: BM25 score_ppm numerator would overflow int64 "),
-            lit("(max_dl*tl = "), ($"max_dl" * $"tl").cast("string"),
-            lit(" > 419244183493); shard the corpus statistics or "),
-            lit("widen the numerator to DECIMAL(38,0)"))))
-          .otherwise($"tl").as("tl"),
-        $"n_docs")
+    val tf = docTf(s, dir)
+    val dl = docDl(tf)
+    val tot = guardedTot(dl, "t38")
     val qterms = t(s, dir, "documents").filter($"doc_id" < QDOCS)
       .select(explode(word_tokens($"text")).as("term")).distinct()
     val scored = tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
       .select($"term", $"doc_id", $"tf", $"dl",
-        expr("(22 * tf * tl * 1000000) div (10 * tf * tl + 3 * tl + 9 * dl * n_docs)")
-          .as("score_ppm"))
+        expr(BM25_PPM_EXPR).as("score_ppm"))
     val topk = udaf(graft.functions.GroupedTopK.TopDocs(TOPD))
     scored.groupBy($"term")
       .agg(topk($"score_ppm", $"doc_id", $"tf", $"dl").as("top"))

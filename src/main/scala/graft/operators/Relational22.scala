@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Twenty-second tranche — RETRACTABLE join-view maintenance: the
+  * signed-multiplicity delta algebra (DBSP / differential-dataflow
+  * bilinearity: Budiu et al., "DBSP: Automatic Incremental View
+  * Maintenance for Rich Query Languages", VLDB 2023; McSherry et al.,
+  * "Differential Dataflow", CIDR 2013) that q74's insert-only form
+  * and q69's single-table CDC fold both specialize. q81 maintains a
+  * join view under a changelog containing DELETES ON BOTH SIDES plus
+  * inserts, where the inclusion-exclusion cross term is the whole
+  * difficulty: deleting an order AND one of its lineitems retracts
+  * the same join row twice through the two linear legs, and only the
+  * ΔO⋈ΔL product term (multiplicities MULTIPLIED: (−1)·(−1) = +1)
+  * restores it. The oracle restates the final view DIRECTLY over the
+  * post-change tables, so the hash match proves the signed algebra —
+  * not that two Spark plans agree.
+  *
+  * The reference has no view maintenance (its sink is a stateless
+  * HTTP upsert, `/root/reference/src/Datalake2Anomali.py:246-253`);
+  * this extends the SURVEY §7.2 lakehouse/IVM tier. Live face:
+  * [[graft.streaming.IvmStream]] (a signed changelog is one mergeable
+  * aggregate away from the view — order- and batch-split-free because
+  * every maintained statistic is a SUM).
+  */
+object Relational22 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    graft.Tables.load(s, dir, n)
+
+  /** Clone keys land above every real key at any tested SF (orders
+    * keys reach ~6·10⁶ at sf1), so inserted rows join ONLY to
+    * inserted rows — the ΔO⋈ΔL (+1)·(+1) product — never by
+    * accident to a pre-existing row. */
+  private[graft] val RETRACT_SHIFT = 1000000000L
+
+  /** Deterministic changelog, chosen so every sign product occurs:
+    * orders ≡ [[DEL_O_RES]] (mod 13) are deleted; orders ≡
+    * [[INS_O_RES]] (mod 13) are cloned (key+shift) as inserts;
+    * lineitems with returnflag 'R' and key ≡ 2 (mod 7) are deleted
+    * (keys ≡ 16 mod 91 hit BOTH deletes — the cross term's
+    * (−1)·(−1)); lineitems of cloned orders are cloned with them
+    * (cents+11) so the (+1)·(+1) product is exercised too. */
+  private[graft] val DEL_O_RES = 3L
+  private[graft] val INS_O_RES = 5L
+
+  private def cents(price: Column, disc: Column): Column =
+    round(price * (lit(1) - disc) * lit(100)).cast("long")
+
+  /** The three signed relations of the changelog plus the two old
+    * sides, shared by q81 and the [[graft.streaming.IvmStream]]
+    * parity spec. Columns: orders side (o_orderkey, o_orderpriority,
+    * o_year, mo), lineitem side (l_orderkey, cents, ml). */
+  private[graft] def sides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
+      year($"o_orderdate").cast("long").as("o_year"))
+    val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_returnflag",
+      cents($"l_extendedprice", $"l_discount").as("cents"))
+    val oOld = o.withColumn("mo", lit(1L))
+    val lOld = l.select($"l_orderkey", $"cents").withColumn("ml", lit(1L))
+    val dO = o.filter($"o_orderkey" % 13 === DEL_O_RES)
+      .withColumn("mo", lit(-1L))
+      .unionByName(o.filter($"o_orderkey" % 13 === INS_O_RES)
+        .select(($"o_orderkey" + RETRACT_SHIFT).as("o_orderkey"),
+          $"o_orderpriority", $"o_year")
+        .withColumn("mo", lit(1L)))
+    val dL = l.filter($"l_returnflag" === "R" && $"l_orderkey" % 7 === 2)
+      .select($"l_orderkey", $"cents").withColumn("ml", lit(-1L))
+      .unionByName(l.filter($"l_orderkey" % 13 === INS_O_RES)
+        .select(($"l_orderkey" + RETRACT_SHIFT).as("l_orderkey"),
+          ($"cents" + 11L).as("cents"))
+        .withColumn("ml", lit(1L)))
+    (oOld, lOld, dO, dL)
+  }
+
+  /** γ over signed join rows: every statistic is a SUM WEIGHTED BY
+    * MULTIPLICITY (n = Σm, revenue = Σ m·cents) — which is what makes
+    * the fold mergeable, order-free, and retraction-capable at once.
+    * Shared with the streaming face. */
+  private[graft] def viewAgg(rows: DataFrame): DataFrame =
+    rows.groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("m") * col("cents")).as("revenue_cents"),
+        sum(col("m")).as("n_items"))
+
+  private def joined(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .withColumn("m", col("mo") * col("ml"))
+
+  /** The batch-computed signed join-row delta Δ(O⋈L) — the bilinear
+    * expansion ΔO⋈L ⊎ O⋈ΔL ⊎ ΔO⋈ΔL with multiplicities multiplied.
+    * Exposed for the streaming face, whose contract is "given this
+    * changelog, maintenance is one signed aggregate". */
+  private[graft] def signedDelta(oOld: DataFrame, lOld: DataFrame,
+      dO: DataFrame, dL: DataFrame): DataFrame =
+    joined(dO, lOld).unionByName(joined(oOld, dL))
+      .unionByName(joined(dO, dL))
+
+  /** The FULL signed history — old join rows (m = +1) ⊎ the signed
+    * delta — projected to the [[graft.streaming.SignedJoinRow]]
+    * shape: the feed whose one-aggregate fold IS the view (the
+    * streaming face's input; StreamIvmSpec replays it chunked). */
+  private[graft] def signedHistory(s: SparkSession, dir: String): DataFrame = {
+    val (oOld, lOld, dO, dL) = sides(s, dir)
+    joined(oOld, lOld).unionByName(signedDelta(oOld, lOld, dO, dL))
+      .select(col("o_orderpriority"), col("o_year"), col("cents"),
+        col("m"))
+  }
+
+  /** Retractable join-view IVM: V = γ_{priority,year}(O ⋈ L)
+    * maintained from a pre-change state by a changelog with deletes
+    * on BOTH sides (plus inserts), via signed multiplicities.
+    *
+    * Correctness hinges on three things the oracle's direct
+    * restatement gates on: (1) the bilinear CROSS TERM — a join row
+    * hit by an order delete and a lineitem delete is retracted twice
+    * by the linear legs and restored once by ΔO⋈ΔL's (−1)·(−1); (2)
+    * exact cents (one IEEE product chain, one half-away round, then
+    * long sums — the q74 rule, because delta maintenance reorders
+    * additions); (3) groups whose membership cancels to zero must
+    * VANISH, not linger as (0, 0) rows (`n_items > 0`, the q69
+    * filter).
+    *
+    * At 100 TB: the two linear delta joins each touch one ingest
+    * window against one full side — partition-pruned on the delta
+    * predicate and exchange-free under q58's orderkey bucketing; the
+    * cross term is delta×delta (broadcastable); state is view-sized
+    * and never re-derived. Recompute touches every row ever
+    * ingested. Deletes cost the same as inserts — no tombstone
+    * compaction, no state rebuild — because every statistic is a
+    * signed sum; min/max-style statistics are NOT maintainable this
+    * way (a retraction can expose a second-place value the state
+    * never kept), the honest boundary every retraction engine
+    * documents. */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oOld, lOld, dO, dL) = sides(s, dir)
+    val state = viewAgg(joined(oOld, lOld)).localCheckpoint()
+    val out = state.unionByName(viewAgg(signedDelta(oOld, lOld, dO, dL)))
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(sum($"revenue_cents").as("revenue_cents"),
+        sum($"n_items").as("n_items"))
+      .filter($"n_items" > 0)
+      .orderBy($"o_orderpriority", $"o_year")
+    // state stays cached: the returned frame reads it lazily (the
+    // s13t/q74 convention for lineage-less checkpoints).
+    out
+  }
+
+  private val q81Oracle =
+    s"""WITH o2 AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT) AS o_year
+       |  FROM orders WHERE o_orderkey % 13 <> $DEL_O_RES
+       |  UNION ALL
+       |  SELECT o_orderkey + $RETRACT_SHIFT, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT)
+       |  FROM orders WHERE o_orderkey % 13 = $INS_O_RES),
+       |l2 AS (
+       |  SELECT l_orderkey,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      AS cents
+       |  FROM lineitem
+       |  WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 2)
+       |  UNION ALL
+       |  SELECT l_orderkey + $RETRACT_SHIFT,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      + 11
+       |  FROM lineitem WHERE l_orderkey % 13 = $INS_O_RES)
+       |SELECT o_orderpriority, o_year,
+       |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority, o_year
+       |ORDER BY o_orderpriority, o_year""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_ivm_retract" -> (q81 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_ivm_retract" -> q81Oracle)
+}

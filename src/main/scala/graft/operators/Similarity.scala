@@ -812,6 +812,30 @@ object Similarity {
         .localCheckpoint()
     }
 
+  /** The knn graph with INTEGER edge weights — w = 10000 − ⌊cos_sim ×
+    * 10⁴⌉, i.e. the 4-dp cosine similarity s11 already emits mapped
+    * onto an exact long distance grid (0 = identical, 20000 =
+    * antipodal). Path costs are then exact integer SUMS, so the s24
+    * min-plus relaxation never meets a cross-engine float-summation
+    * edge (the q74/q81 cents discipline applied to graph weights).
+    * The ×10⁴-then-round of an already-4-dp double is exact in both
+    * engines (the operand sits ~1e-12 from an integer, never near a
+    * .5 boundary). */
+  private[graft] def weightedKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s11(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"),
+      (lit(10000L) - round($"cos_sim" * 10000).cast("long")).as("w"))
+  }
+
+  /** [[weightedKnnEdges]] as a once-materialized asset (the
+    * knn_edges convention): graph consumers that charge only their
+    * own iterations read this. */
+  private[graft] def materializedWeightedKnnEdges(
+      s: SparkSession, dir: String): DataFrame =
+    Relational4.materialized("knn_edges_w", s, dir) {
+      weightedKnnEdges(s, dir).localCheckpoint()
+    }
+
   /** [[s12]] over the once-materialized edge table — the pipeline-cost
     * form: the graph build amortizes across every consumer, and the
     * bench row prices just the 10 iterations. */
@@ -1880,6 +1904,15 @@ object Similarity {
   private[operators] lazy val sqlKnnEdgeCtes: String =
     s"""$sqlKnnBase,
        |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= $KNN_K)""".stripMargin
+
+  /** The WEIGHTED edge CTE — [[weightedKnnEdges]]'s exact grid in
+    * DuckDB text (round(cos, 4) is the engine-side `cos_sim`); s24's
+    * min-plus oracle prepends this. */
+  private[operators] lazy val sqlKnnWeightedEdgeCtes: String =
+    s"""$sqlKnnBase,
+       |edw AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst,
+       |  10000 - CAST(round(round(cos, 4) * 10000) AS BIGINT) AS w
        |  FROM ranked WHERE rank <= $KNN_K)""".stripMargin
 
   private lazy val s12Oracle: String =

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One signed join-row delta — what Δ(O⋈L) emits batch-side
+  * ([[graft.operators.Relational22.signedDelta]]) and what a
+  * database's CDC feed emits for a join view's base rows: the group
+  * key, the measure, and a multiplicity (+1 insert / −1 retract). */
+case class SignedJoinRow(o_orderpriority: String, o_year: Long,
+    cents: Long, m: Long)
+
+/** Running signed view state per group: n = Σm, revenue = Σ m·cents.
+  * `upd` is the batch ordinal (the ProfileStream convention: an
+  * append log's last emission per key is current). */
+case class ViewState(upd: Long, n: Long, revenue_cents: Long)
+
+/** One emitted view row; `live` = the group currently has members —
+  * a group whose multiplicities cancel to zero must read as ABSENT
+  * (q81's `n_items > 0` filter), and the state face additionally
+  * FREES its state. */
+case class ViewRow(o_orderpriority: String, o_year: Long, upd: Long,
+    revenue_cents: Long, n_items: Long, live: Boolean)
+
+/** Streaming face of q81's retractable join-view maintenance (the
+  * DBSP consumption contract): GIVEN a signed join-row changelog,
+  * keeping the view current is ONE mergeable aggregate — every
+  * maintained statistic is a sum weighted by multiplicity, so any
+  * arrival order and any micro-batch split fold to the identical
+  * view (StreamIvmSpec feeds the full signed history, old rows and
+  * deltas interleaved, and asserts bit parity with batch q81).
+  *
+  * Two faces, both reading the SAME signed-sum definition as the
+  * batch query (the ProfileStream convention — the faces cannot
+  * drift):
+  *
+  *  - [[viewAgg]]: one complete-mode groupBy whose state IS the view
+  *    (view-sized, the cheapest face);
+  *  - [[view]]: flatMapGroupsWithState keyed by group with explicit
+  *    [[ViewState]], whose retraction-specific behavior the
+  *    aggregate face can't show: a group whose membership cancels to
+  *    zero has its state REMOVED (not kept as a zero row) — at
+  *    100 TB a churn-heavy changelog otherwise accretes dead groups
+  *    forever.
+  *
+  * The honest boundary (stated at q81 too): only SIGNED-SUM
+  * statistics maintain this way. A min/max under retraction needs
+  * the full value multiset — that face stays batch.
+  *
+  * At 100 TB: state is live-group-sized; each micro-batch shuffles
+  * its own delta rows once on the group key. Deletes cost what
+  * inserts cost. */
+object IvmStream {
+
+  /** The view as a streaming aggregate (complete mode) — the same
+    * signed sums as `Relational22.viewAgg`; works identically on a
+    * batch frame (the parity twin). Read with `n_items > 0`. */
+  def viewAgg(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("m") * col("cents")).as("revenue_cents"),
+        sum(col("m")).as("n_items"))
+
+  /** Fold one batch of signed rows into a group's running state —
+    * the shared pure core. Commutative and associative across any
+    * batch split. */
+  def foldSigned(prev: ViewState, upd: Long,
+      rows: Iterator[SignedJoinRow]): ViewState =
+    rows.foldLeft(prev.copy(upd = upd)) { (p, r) =>
+      p.copy(n = p.n + r.m, revenue_cents = p.revenue_cents + r.m * r.cents)
+    }
+
+  private val empty = ViewState(-1L, 0L, 0L)
+
+  /** flatMapGroupsWithState face: (priority, year) → running signed
+    * state; emits the updated view row each batch and REMOVES the
+    * state of a group whose membership cancelled to zero (emitting
+    * one final `live = false` tombstone row so a downstream sink can
+    * retract its copy). */
+  def view(deltas: Dataset[SignedJoinRow]): Dataset[ViewRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val s = deltas.sparkSession
+    import s.implicits._
+    deltas.groupByKey(r => (r.o_orderpriority, r.o_year))
+      .flatMapGroupsWithState[ViewState, ViewRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[SignedJoinRow],
+            state: GroupState[ViewState]) =>
+          val prev = state.getOption.getOrElse(empty)
+          val next = foldSigned(prev, prev.upd + 1, rows)
+          if (next.n == 0L) state.remove() else state.update(next)
+          Iterator(ViewRow(key._1, key._2, next.upd,
+            next.revenue_cents, next.n, next.n != 0L))
+      }
+  }
+}
