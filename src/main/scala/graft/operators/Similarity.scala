@@ -1373,6 +1373,14 @@ object Similarity {
     pmod(graft.functions.TextOps.hash64Seeded(INS_SEED,
       idCol.cast("string")), lit(INS_MOD)) === 0
 
+  /** The arrival rule / its DuckDB predicate, exposed for the index
+    * maintenance policy (s25) so the fixture can never drift from
+    * the insert face's own membership. */
+  private[graft] def arrivalRule(idCol: Column): Column = isArrival(idCol)
+  private[graft] def sqlArrivalPred(col: String): String =
+    s"${graft.functions.TextOps.sqlHash64Seeded(INS_SEED,
+      s"CAST($col AS VARCHAR)")} % $INS_MOD = 0"
+
   /** INCREMENTAL GRAPH-INDEX INSERT — the HNSW insert algorithm
     * (Malkov & Yashunin 2018 §4 alg. 1, applied at layer 0, the layer
     * the flat s20 family searches): each arriving vector BEAM-SEARCHES
@@ -1611,6 +1619,14 @@ object Similarity {
   private def isDeleted(idCol: Column): Column =
     pmod(graft.functions.TextOps.hash64Seeded(DEL_SEED,
       idCol.cast("string")), lit(DEL_MOD)) === 0
+
+  /** The tombstone rule / its DuckDB predicate, exposed for the
+    * index maintenance policy (s25) — same anti-drift contract as
+    * [[arrivalRule]]. */
+  private[graft] def tombstoneRule(idCol: Column): Column = isDeleted(idCol)
+  private[graft] def sqlTombstonePred(col: String): String =
+    s"${graft.functions.TextOps.sqlHash64Seeded(DEL_SEED,
+      s"CAST($col AS VARCHAR)")} % $DEL_MOD = 0"
 
   /** GRAPH-INDEX DELETE WITH LOCAL REPAIR — the third index-CRUD face
     * (build s11/s20h, insert [[s21]], delete THIS): tombstoned nodes
