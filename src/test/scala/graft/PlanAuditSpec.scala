@@ -321,8 +321,12 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("d09_cc_largestar", "d14_incremental_clusters")
     // intended multi-branch kernel use, not rewrite-duplicated chains:
     //   x06 — CMS depth D=3 hash rows on both counter and query side
+    //   s25 — 3 DISTINCT membership tests (arrival rule on vec_id,
+    //         tombstone rule on vec_id and on dst) × the partial+final
+    //         aggregate pair = 6; each hash runs once per row per rule
     val allowTok = Map.empty[String, Int].withDefaultValue(4)
-    val allowMd5 = Map("x06_countmin" -> 6).withDefaultValue(4)
+    val allowMd5 = Map("x06_countmin" -> 6, "s25_index_policy" -> 6)
+      .withDefaultValue(4)
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !exempt(name) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
