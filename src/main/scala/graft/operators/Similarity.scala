@@ -80,6 +80,78 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The s26 metadata predicate: French-language documents (~16% of
+    * the corpus) — selective enough that filtered and unfiltered
+    * rankings genuinely differ, common enough that every query still
+    * fills its top-k. */
+  private val FILTER_LANG = "fr"
+
+  /** FILTERED vector search — s01's exact top-k under a metadata
+    * predicate (the "search only documents where lang = 'fr'"
+    * query every retrieval deployment serves): the predicate is
+    * applied as a PRE-FILTER — a semi-join of the corpus against the
+    * qualifying metadata ids BEFORE any vector arithmetic — so the
+    * result is the true top-k of the qualifying subset.
+    *
+    * The alternative every naive stack ships first, POST-filtering
+    * the unfiltered top-k, is structurally broken under a selective
+    * predicate: a global top-5 contains ~selectivity·5 qualifying
+    * rows in expectation, so most queries come back short (the spec
+    * DEMONSTRATES the recall loss on this corpus rather than just
+    * asserting it). Pre-filtering costs selectivity× the scan — less
+    * than unfiltered — at full recall.
+    *
+    * At 100 TB: the predicate pushes to the metadata table's scan
+    * (or the embedding table's own metadata column under q68-style
+    * schema evolution); the qualifying-id side is
+    * selectivity-bounded, and with an IVF layout the same semi-join
+    * applies INSIDE each probed cell (filtered-ANN's standard
+    * composition), so filtered serving inherits s14's probe-share
+    * economics unchanged. */
+  def s26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val allowed = graft.Tables.load(s, dir, "documents")
+      .filter($"lang" === FILTER_LANG).select($"doc_id".as("vec_id"))
+    val corpus = e.join(allowed, Seq("vec_id"), "left_semi")
+    val q = e.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = corpus.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosine($"q_emb", $"q_nrm", $"embedding", $"nrm").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TOPK)
+      .select($"q_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private lazy val s26Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
+       |c AS (SELECT e.* FROM e WHERE e.vec_id IN
+       |  (SELECT doc_id FROM documents WHERE lang = '$FILTER_LANG')),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id < $NQUERIES),
+       |scored AS (SELECT q_id, c.vec_id AS neighbor_id,
+       |  list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (q_nrm * nrm) AS cos
+       |  FROM c JOIN q ON c.vec_id <> q.q_id),
+       |ranked AS (SELECT q_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+       |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin
+
+  /** Post-filter recall loss, exposed for the spec: how many of
+    * s01's UNFILTERED top-k survive the predicate, per query. */
+  private[graft] def s26PostFilterHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allowed = graft.Tables.load(s, dir, "documents")
+      .filter($"lang" === FILTER_LANG).select($"doc_id".as("neighbor_id"))
+    s01(s, dir).join(allowed, Seq("neighbor_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Sign-pattern LSH bucket id of an embedding column under rotation
     * `r` (rotation 0 = s02's buckets). */
   private def bucketOfRot(e: Column, r: Int): Column =
@@ -1832,6 +1904,7 @@ object Similarity {
     "s22m_delete_materialized" -> (s22m _),
     "s23_reembed_migration" -> (s23 _),
     "s01_topk_cosine" -> (s01 _),
+    "s26_filtered_ann" -> (s26 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_embedding_neardup" -> (s03 _),
     "s04_ann_ivf" -> (s04 _),
@@ -2363,6 +2436,7 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          |FROM ranked WHERE rank <= $TOPK ORDER BY q_id, rank""".stripMargin,
+    "s26_filtered_ann" -> s26Oracle,
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm,
          |  $sqlBucket AS bucket FROM embeddings),
