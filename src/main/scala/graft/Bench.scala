@@ -179,6 +179,8 @@ object Bench {
         operators.Relational21.maintFixture(spark, sfDir)
         // knn edge table (s12m/s16m/s19m serving forms)
         operators.Similarity.materializedKnnEdges(spark, sfDir).count()
+        // weighted edge asset (s24m's relaxation-only serving form)
+        operators.Similarity.materializedWeightedKnnEdges(spark, sfDir).count()
         // base-graph assets (s21m ingest: non-arrival norms + edges),
         // so its reps price the per-arrival insert, not the build
         operators.Similarity.materializedBaseEdges(spark, sfDir).count()

@@ -64,20 +64,38 @@ object Relational23 {
     * corpus-sized work is the index build, amortized over every
     * query in the batch (and maintained live by
     * [[graft.streaming.IndexStream]]). */
-  def t45(s: SparkSession, dir: String): DataFrame = {
+  def t45(s: SparkSession, dir: String): DataFrame =
+    conjunctiveServe(s, dir,
+      t45QueryArrays(s, dir)
+        .select(col("q_id"), size(col("terms")).cast("long").as("n_terms"),
+          explode(col("terms")).as("term")))
+
+  /** The registered query set as (q_id, terms) arrays — per qdoc, the
+    * [[CONJ_TERMS]] smallest distinct tokens (also the streaming
+    * fixture's feed, so stream ≡ batch parity compares like for
+    * like). */
+  private[graft] def t45QueryArrays(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Relational12.docTf(s, dir)
-    val dl = Relational12.docDl(tf)
-    val tot = Relational12.guardedTot(dl, "t45")
-    // query terms: per qdoc, the CONJ_TERMS smallest distinct tokens
-    val qt = t(s, dir, "documents").filter($"doc_id" < CONJ_QDOCS)
+    t(s, dir, "documents").filter($"doc_id" < CONJ_QDOCS)
       .select($"doc_id".as("q_id"),
         explode(word_tokens($"text")).as("term")).distinct()
       .groupBy($"q_id")
       .agg(slice(array_sort(collect_set($"term")), 1, CONJ_TERMS)
-        .as("qterms"))
-      .select($"q_id", size($"qterms").cast("long").as("n_terms"),
-        explode($"qterms").as("term"))
+        .as("terms"))
+  }
+
+  /** The conjunctive serve BODY over an external query-term frame
+    * (q_id, n_terms, term) — shared verbatim by the registered [[t45]]
+    * and the streaming face
+    * ([[graft.streaming.SearchStream.serveRefresh]]), so stream ≡
+    * batch parity is structural (the AnnStream convention: one
+    * scoring body, never a reimplementation that could drift). */
+  private[graft] def conjunctiveServe(s: SparkSession, dir: String,
+      qt: DataFrame): DataFrame = {
+    import s.implicits._
+    val tf = Relational12.docTf(s, dir)
+    val dl = Relational12.docDl(tf)
+    val tot = Relational12.guardedTot(dl, "t45")
     val matched = tf.join(broadcast(qt), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))

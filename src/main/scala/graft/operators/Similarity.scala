@@ -1103,14 +1103,20 @@ object Similarity {
       q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val ent = entrySet(e)
+    // per-hop localCheckpoint (the beamPool/d09 discipline): the hop
+    // references `cur` twice (probe + carry), so an uncheckpointed
+    // loop doubles the plan per hop — 2^hops branches over the walk
+    // frame. Superseded hops freed; the final hop backs the result.
     var cur = q.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
       .select($"q_id", $"e0", $"qe", $"qn", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("cur_cos"),
         lit(0L).as("n_moves"))
+      .localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
     for (_ <- 1 to GREEDY_HOPS) {
+      val prev = cur
       val probe = cur.select($"q_id", $"e0", $"qe", $"qn", $"node")
       val best = probe
         .join(edges, probe("node") === edges("src"))
@@ -1129,6 +1135,8 @@ object Similarity {
             .as("cur_cos"),
           when($"bc" > $"cur_cos", $"n_moves" + 1L).otherwise($"n_moves")
             .as("n_moves"))
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
     }
     // best walk per query: (cos DESC, node ASC, moves DESC) total order
     cur
@@ -1260,13 +1268,24 @@ object Similarity {
   private def beamPool(edges: DataFrame, e: DataFrame,
       beam0: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    var beam = beam0
+    // per-hop localCheckpoint (the d09/s12/labelProp iterative
+    // discipline): each hop references the previous beam TWICE
+    // (frontier ∪ expansion), so an uncheckpointed loop doubles the
+    // plan per hop — 2^hops branches, and when beam0 itself wraps an
+    // expensive derivation (the hierarchical descent seeds beam0
+    // with the WHOLE coarse walk) every branch re-runs it: s20h
+    // first benched 68.6 s at sf0.1, re-priced ~6 s flat once the
+    // loop checkpoints. Superseded hops are freed; the final hop's
+    // checkpoint backs the returned frame (the khopOver convention:
+    // it stays cached, ≤ NQ·B rows).
+    var beam = beam0.localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
     val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
     for (_ <- 1 to GREEDY_HOPS) {
-      val cand = beam
-        .join(edges, beam("node") === edges("src"))
+      val prev = beam
+      val cand = prev
+        .join(edges, prev("node") === edges("src"))
         .join(dstE, Seq("dst"))
         .filter($"dst" =!= $"q_id")
         .select($"q_id", $"qe", $"qn", $"dst".as("node"),
@@ -1274,13 +1293,15 @@ object Similarity {
       // pool frontier ∪ expansions, dedupe by node (identical
       // arithmetic → identical c on every path, max is a no-op
       // dedup), keep top-B per query
-      beam = beam.unionByName(cand)
+      beam = prev.unionByName(cand)
         .groupBy($"q_id", $"node")
         .agg(max($"c").as("c"), first($"qe").as("qe"),
           first($"qn").as("qn"))
         .withColumn("rk", row_number().over(trim))
         .filter($"rk" <= BEAM_B)
         .select($"q_id", $"qe", $"qn", $"node", $"c")
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
     }
     beam
   }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One arriving keyword query: an id and its term set. */
+case class TermQuery(q_id: Long, terms: Seq[String])
+
+/** Streaming face of the KEYWORD retrieval tier (t45's serving side —
+  * the AnnStream pattern applied to text): conjunctive term-set
+  * queries arrive as a stream, a replay guard admits each q_id
+  * AT MOST ONCE (8 B of keyed state per served query; a re-delivered
+  * or duplicated query is a no-op), and the trigger-side refresh runs
+  * the admitted queries through the EXACT batch serving body
+  * ([[graft.operators.Relational23.conjunctiveServe]] — posting
+  * semi-join, AND-aggregate, bounded top-k), so the answer for query
+  * set Q equals batch t45 restricted to Q row for row. One scoring
+  * body, structural parity — never a streaming reimplementation.
+  *
+  * At 100 TB: the per-refresh cost is the admitted queries' posting
+  * lists (document-frequency-sized); the corpus-sized index build is
+  * paid once and maintained live by [[IndexStream]] (df/cf
+  * statistics) — a production deployment materializes the (doc,
+  * term, tf) postings as a table asset the refresh reads instead of
+  * re-deriving (the s12m/knn_edges convention); the replay-guard
+  * state is one flag per query ever served. */
+object SearchStream {
+
+  val querySchema: StructType = StructType(Seq(
+    StructField("q_id", LongType),
+    StructField("terms", ArrayType(StringType))))
+
+  /** Arriving term-set queries from a parquet directory feed. */
+  def queryStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(querySchema).options(options).parquet(dir)
+
+  /** The at-most-once replay guard (the AnnStream shape): admit each
+    * q_id's first arrival, drop every replay. */
+  def admittedOnce(q: DataFrame): Dataset[TermQuery] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.as[TermQuery].groupByKey(_.q_id)
+      .flatMapGroupsWithState[Boolean, TermQuery](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TermQuery], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
+  /** Trigger-side serving: the admitted queries through the batch
+    * conjunctive body. Terms are de-duplicated defensively (the AND
+    * count compares against n_terms, so a duplicated term would
+    * otherwise demand itself twice). */
+  def serveRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame = {
+    val qt = admitted
+      .select(col("q_id"), array_distinct(col("terms")).as("terms"))
+      .select(col("q_id"), size(col("terms")).cast("long").as("n_terms"),
+        explode(col("terms")).as("term"))
+      .localCheckpoint()
+    graft.operators.Relational23.conjunctiveServe(spark, dir, qt)
+  }
+}
