@@ -30,12 +30,25 @@ import graft.Tables
   * identically on exact types (the repo's fixed-point discipline):
   * long counts/sums on the cents grid, min/max on longs and strings,
   * integer modulo on positive keys, year() on timestamps, string
-  * equality. No doubles, no floats, no division, no nulls in any
-  * touched column — divergence can only mean a real semantics bug.
+  * equality. In fz01-fz12 no touched column is nullable — divergence
+  * can only mean a real semantics bug.
+  *
+  * fz13-fz20 (r14 verdict #6) point the gate at NULL semantics — the
+  * classic cross-engine divergence axis: a LEFT JOIN against a
+  * seed-filtered orders subset manufactures null right-side columns,
+  * and the grammar then exercises IS [NOT] NULL predicates,
+  * null-skipping COUNT(col) vs COUNT(*), GROUP BY a null-holding key,
+  * and MIN over an all-null group — still on exact types only. Every
+  * NULLABLE output column is COALESCEd in BOTH renderers (to a
+  * sentinel outside the domain), because the gate sorts result rows
+  * as Python tuples, where None is unordered against values — the
+  * null semantics under test all happen INSIDE the plan, before the
+  * output coalesce.
   */
 object Fuzz {
 
   private val N_QUERIES = 12
+  private val NULL_SEEDS = 13 to 20
 
   // ---- the tiny AST ---------------------------------------------------
 
@@ -73,7 +86,10 @@ object Fuzz {
       .toArray.toSeq.map(keyPool)
     val predPool = Seq[Int => Pred](
       _ => QtyLe(10 + r.nextInt(31)),
-      _ => KeyMod(2 + r.nextInt(6), 0),
+      // remainder drawn from [0, m) (ADVICE r14: pinning it to 0
+      // never exercised non-zero residues — keys are positive, so
+      // both engines' % agree on the whole range)
+      _ => { val m = 2 + r.nextInt(6); KeyMod(m, r.nextInt(m)) },
       _ => ShipGe(DATES(r.nextInt(DATES.size))),
       _ => FlagNe(FLAGS(r.nextInt(FLAGS.size)))) ++
       (if (join) Seq[Int => Pred](_ => PrioEq(PRIOS(r.nextInt(PRIOS.size))))
@@ -160,25 +176,157 @@ object Fuzz {
     s"SELECT $sel\n$from$where$group$having$order"
   }
 
+  // ---- the nullable axis (fz13-fz20) ----------------------------------
+
+  /** NULL sentinel for coalesced outputs — outside every real domain
+    * (priorities start with a digit; years are ≥ 1992). */
+  private val NULL_PRI = "<null>"
+  private val NULL_YEAR = -1L
+
+  private case class NAst(
+      rightPrio: Option[String],  // right-side filter o_orderpriority = v
+      rightYearLe: Option[Int],   // right-side filter o_year <= y
+      nullPred: Int,              // 0 none, 1 IS NULL, 2 IS NOT NULL (o_orderpriority)
+      linePreds: Seq[Pred],       // lineitem-side conjuncts (never-null columns)
+      keyPri: Boolean,            // group by the NULLABLE o_orderpriority
+      keyFlag: Boolean,           // group by l_returnflag (never null)
+      wantMinYear: Boolean,       // coalesce(min(o_year), -1) — all-null groups
+      havingN: Option[Int])
+
+  /** Deterministic nullable-axis AST: the right side of a LEFT JOIN
+    * is pre-filtered (at least one filter is forced), so unmatched
+    * lineitem rows carry NULL o_* columns into predicates, grouping,
+    * and aggregation. */
+  private def nastFor(seed: Int): NAst = {
+    val r = new java.util.Random(seed.toLong * 0x9E3779B9L + 29)
+    val rp0 = if (r.nextBoolean()) Some(PRIOS(r.nextInt(PRIOS.size))) else None
+    val ry0 = if (r.nextBoolean()) Some(1993 + r.nextInt(4)) else None
+    // at least one right-side filter, or the join manufactures no nulls
+    val (rp, ry) =
+      if (rp0.isEmpty && ry0.isEmpty) (Some(PRIOS(r.nextInt(PRIOS.size))), None)
+      else (rp0, ry0)
+    val linePool = Seq[() => Pred](
+      () => QtyLe(10 + r.nextInt(31)),
+      () => { val m = 2 + r.nextInt(6); KeyMod(m, r.nextInt(m)) },
+      () => ShipGe(DATES(r.nextInt(DATES.size))),
+      () => FlagNe(FLAGS(r.nextInt(FLAGS.size))))
+    val nLine = r.nextInt(3)
+    val linePreds = r.ints(0, linePool.size).distinct().limit(nLine.toLong)
+      .toArray.toSeq.map(i => linePool(i)())
+    val keyPri = r.nextBoolean()
+    val keyFlag = r.nextBoolean()
+    NAst(rp, ry, r.nextInt(3), linePreds, keyPri, keyFlag,
+      wantMinYear = r.nextBoolean(),
+      havingN = if ((keyPri || keyFlag) && r.nextInt(3) == 0)
+        Some(1 + r.nextInt(5)) else None)
+  }
+
+  private def sparkNullQuery(a: NAst)(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o0 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val o1 = a.rightPrio.fold(o0)(v => o0.filter(col("o_orderpriority") === v))
+    val oF = a.rightYearLe.fold(o1)(y => o1.filter(col("o_year") <= y.toLong))
+    val joined = l.join(oF, l("l_orderkey") === oF("o_orderkey"), "left")
+    val nulled = a.nullPred match {
+      case 1 => joined.filter(col("o_orderpriority").isNull)
+      case 2 => joined.filter(col("o_orderpriority").isNotNull)
+      case _ => joined
+    }
+    val base = a.linePreds.foldLeft(nulled)((d, p) => d.filter(sparkPred(p)))
+    val keys =
+      (if (a.keyPri) Seq(col("o_orderpriority")) else Nil) ++
+        (if (a.keyFlag) Seq(col("l_returnflag")) else Nil)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("n_match"),   // null-skipping count
+      sum(cents).as("sum_cents")) ++
+      (if (a.wantMinYear)
+        Seq(coalesce(min(col("o_year")), lit(NULL_YEAR)).as("mn_year"))
+      else Nil)
+    val grouped =
+      if (keys.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val cut = a.havingN.fold(grouped)(h => grouped.filter(col("n") >= h))
+    // output projection: the nullable key leaves the plan COALESCEd
+    // (the gate sorts rows as Python tuples — None is unordered there)
+    val outKeys =
+      (if (a.keyPri)
+        Seq(coalesce(col("o_orderpriority"), lit(NULL_PRI)).as("k_pri"))
+      else Nil) ++
+        (if (a.keyFlag) Seq(col("l_returnflag")) else Nil)
+    val outAggCols = Seq(col("n"), col("n_match"), col("sum_cents")) ++
+      (if (a.wantMinYear) Seq(col("mn_year")) else Nil)
+    cut.select(outKeys ++ outAggCols: _*)
+  }
+
+  private def sqlNullQuery(a: NAst): String = {
+    val rightWhere = (a.rightPrio.map(v => s"o_orderpriority = '$v'") ++
+      a.rightYearLe.map(y => s"CAST(year(o_orderdate) AS BIGINT) <= $y")).toSeq
+    val sub = "SELECT o_orderkey, o_orderpriority, " +
+      "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders" +
+      (if (rightWhere.isEmpty) "" else rightWhere.mkString(" WHERE ", " AND ", ""))
+    val nullW = a.nullPred match {
+      case 1 => Seq("o_orderpriority IS NULL")
+      case 2 => Seq("o_orderpriority IS NOT NULL")
+      case _ => Nil
+    }
+    val where = nullW ++ a.linePreds.map(sqlPred)
+    val keys =
+      (if (a.keyPri) Seq("o_orderpriority") else Nil) ++
+        (if (a.keyFlag) Seq("l_returnflag") else Nil)
+    val outKeys =
+      (if (a.keyPri) Seq(s"coalesce(o_orderpriority, '$NULL_PRI') AS k_pri")
+      else Nil) ++
+        (if (a.keyFlag) Seq("l_returnflag") else Nil)
+    val meas = Seq(
+      "CAST(count(*) AS BIGINT) AS n",
+      "CAST(count(o_orderkey) AS BIGINT) AS n_match",
+      "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+        "AS BIGINT)) AS BIGINT) AS sum_cents") ++
+      (if (a.wantMinYear) Seq(s"coalesce(min(o_year), $NULL_YEAR) AS mn_year")
+      else Nil)
+    val sel = (outKeys ++ meas).mkString(",\n  ")
+    s"""SELECT $sel
+       |FROM lineitem LEFT JOIN ($sub) o ON l_orderkey = o_orderkey""".stripMargin +
+      (if (where.isEmpty) "" else "\nWHERE " + where.mkString(" AND ")) +
+      (if (keys.isEmpty) "" else "\nGROUP BY " + keys.mkString(", ")) +
+      a.havingN.fold("")(h => s"\nHAVING count(*) >= $h")
+  }
+
   // ---- registration ---------------------------------------------------
 
   /** Human-auditable description of each generated plan (the spec
     * prints these; COVERAGE.md records the committed set). */
-  private[graft] def describe(seed: Int): String = {
-    val a = astFor(seed)
-    s"seed=$seed join=${a.join} keys=${a.keys.mkString("[", ",", "]")} " +
-      s"preds=${a.preds.mkString("[", ",", "]")} min=${a.wantMin} " +
-      s"max=${a.wantMax} having=${a.havingN}"
-  }
+  private[graft] def describe(seed: Int): String =
+    if (NULL_SEEDS.contains(seed)) {
+      val a = nastFor(seed)
+      s"seed=$seed leftjoin rightPrio=${a.rightPrio} rightYearLe=${a.rightYearLe} " +
+        s"nullPred=${a.nullPred} linePreds=${a.linePreds.mkString("[", ",", "]")} " +
+        s"keyPri=${a.keyPri} keyFlag=${a.keyFlag} minYear=${a.wantMinYear} " +
+        s"having=${a.havingN}"
+    } else {
+      val a = astFor(seed)
+      s"seed=$seed join=${a.join} keys=${a.keys.mkString("[", ",", "]")} " +
+        s"preds=${a.preds.mkString("[", ",", "]")} min=${a.wantMin} " +
+        s"max=${a.wantMax} having=${a.havingN}"
+    }
 
-  private[graft] def sqlFor(seed: Int): String = sqlQuery(astFor(seed))
+  private[graft] def sqlFor(seed: Int): String =
+    if (NULL_SEEDS.contains(seed)) sqlNullQuery(nastFor(seed))
+    else sqlQuery(astFor(seed))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     (1 to N_QUERIES).map { i =>
       f"fz$i%02d_differential" ->
         ((s: SparkSession, dir: String) => sparkQuery(astFor(i))(s, dir))
+    }.toMap ++ NULL_SEEDS.map { i =>
+      f"fz$i%02d_differential_null" ->
+        ((s: SparkSession, dir: String) => sparkNullQuery(nastFor(i))(s, dir))
     }.toMap
 
   val oracles: Map[String, String] =
-    (1 to N_QUERIES).map(i => f"fz$i%02d_differential" -> sqlFor(i)).toMap
+    (1 to N_QUERIES).map(i => f"fz$i%02d_differential" -> sqlFor(i)).toMap ++
+      NULL_SEEDS.map(i => f"fz$i%02d_differential_null" -> sqlFor(i)).toMap
 }

@@ -33,8 +33,19 @@ object Relational22 {
   /** Clone keys land above every real key at any tested SF (orders
     * keys reach ~6·10⁶ at sf1), so inserted rows join ONLY to
     * inserted rows — the ΔO⋈ΔL (+1)·(+1) product — never by
-    * accident to a pre-existing row. */
+    * accident to a pre-existing row. ENFORCED, not assumed (ADVICE
+    * r14): [[guardedKey]] raises in-plan on any real key ≥ the shift
+    * (reachable at SF ≳ 170), so a larger-SF run fails loudly
+    * instead of silently corrupting the changelog. */
   private[graft] val RETRACT_SHIFT = 1000000000L
+
+  /** The key column, guarded: raises if a real key would collide
+    * with the clone range (the guardedTot convention — both fixture
+    * legs read keys through this). */
+  private def guardedKey(k: Column, tag: String): Column =
+    when(k >= RETRACT_SHIFT, raise_error(concat(
+      lit(s"$tag: real key collides with RETRACT_SHIFT clone range: "),
+      k.cast("string")))).otherwise(k)
 
   /** Deterministic changelog, chosen so every sign product occurs:
     * orders ≡ [[DEL_O_RES]] (mod 13) are deleted; orders ≡
@@ -56,9 +67,11 @@ object Relational22 {
   private[graft] def sides(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
+    val o = t(s, dir, "orders").select(
+      guardedKey($"o_orderkey", "q81").as("o_orderkey"), $"o_orderpriority",
       year($"o_orderdate").cast("long").as("o_year"))
-    val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_returnflag",
+    val l = t(s, dir, "lineitem").select(
+      guardedKey($"l_orderkey", "q81").as("l_orderkey"), $"l_returnflag",
       cents($"l_extendedprice", $"l_discount").as("cents"))
     val oOld = o.withColumn("mo", lit(1L))
     val lOld = l.select($"l_orderkey", $"cents").withColumn("ml", lit(1L))
@@ -134,7 +147,8 @@ object Relational22 {
     * signed sum; min/max-style statistics are NOT maintainable this
     * way (a retraction can expose a second-place value the state
     * never kept), the honest boundary every retraction engine
-    * documents. */
+    * documents — [[q82]] maintains THOSE with the two-level value-
+    * multiset state, at (group × distinct value) state cost. */
   def q81(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (oOld, lOld, dO, dL) = sides(s, dir)
@@ -149,6 +163,77 @@ object Relational22 {
     // s13t/q74 convention for lineage-less checkpoints).
     out
   }
+
+  /** Retraction-safe MIN/MAX maintenance (q82) — the statistic q81's
+    * signed sums honestly exclude, maintained the standard DBSP-
+    * progression way: a TWO-LEVEL aggregate whose first level is the
+    * VALUE MULTISET as state — signed multiplicity per (group, value)
+    * — and whose second level re-derives min/max over the values
+    * still present (multiplicity > 0). A retraction that removes the
+    * current minimum exposes the runner-up because the runner-up IS
+    * in the state; the single-row (min, max) state q81 keeps cannot
+    * do that, which is why its live face stays sum-only
+    * ([[graft.streaming.IvmStream]] note).
+    *
+    * State cost — the documented trade: level 1 is (group × distinct
+    * value)-sized, not group-sized; on the cents grid that is bounded
+    * by the value domain actually observed per group. Both levels are
+    * signed-sum mergeable (level 1 is literally q81's algebra keyed
+    * one column finer), so deltas fold in at the same cost as q81's;
+    * only the second-level min/max re-derives, and it reads ONLY the
+    * level-1 state, never the base tables. The oracle restates the
+    * view directly over the post-change tables — the hash proves the
+    * multiset algebra survives both-side deletes and the cross term,
+    * exactly as q81's does. */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oOld, lOld, dO, dL) = sides(s, dir)
+    // level-1 state: signed multiplicity per (group, value)
+    val state = joined(oOld, lOld)
+      .groupBy($"o_orderpriority", $"o_year", $"cents")
+      .agg(sum($"m").as("mult"))
+      .localCheckpoint()
+    val delta = joined(dO, lOld).unionByName(joined(oOld, dL))
+      .unionByName(joined(dO, dL))
+      .groupBy($"o_orderpriority", $"o_year", $"cents")
+      .agg(sum($"m").as("mult"))
+    val multiset = state.unionByName(delta)
+      .groupBy($"o_orderpriority", $"o_year", $"cents")
+      .agg(sum($"mult").as("mult"))
+      .filter($"mult" > 0)
+    // level 2: re-derive extrema from the surviving multiset only
+    multiset.groupBy($"o_orderpriority", $"o_year")
+      .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
+        sum($"mult").as("n_items"))
+      .orderBy($"o_orderpriority", $"o_year")
+  }
+
+  private val q82Oracle =
+    s"""WITH o2 AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT) AS o_year
+       |  FROM orders WHERE o_orderkey % 13 <> $DEL_O_RES
+       |  UNION ALL
+       |  SELECT o_orderkey + $RETRACT_SHIFT, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT)
+       |  FROM orders WHERE o_orderkey % 13 = $INS_O_RES),
+       |l2 AS (
+       |  SELECT l_orderkey,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      AS cents
+       |  FROM lineitem
+       |  WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 2)
+       |  UNION ALL
+       |  SELECT l_orderkey + $RETRACT_SHIFT,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      + 11
+       |  FROM lineitem WHERE l_orderkey % 13 = $INS_O_RES)
+       |SELECT o_orderpriority, o_year,
+       |  min(cents) AS min_cents, max(cents) AS max_cents,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority, o_year
+       |ORDER BY o_orderpriority, o_year""".stripMargin
 
   private val q81Oracle =
     s"""WITH o2 AS (
@@ -178,8 +263,10 @@ object Relational22 {
        |ORDER BY o_orderpriority, o_year""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_ivm_retract" -> (q81 _))
+    "q81_ivm_retract" -> (q81 _),
+    "q82_ivm_minmax" -> (q82 _))
 
   val oracles: Map[String, String] = Map(
-    "q81_ivm_retract" -> q81Oracle)
+    "q81_ivm_retract" -> q81Oracle,
+    "q82_ivm_minmax" -> q82Oracle)
 }

@@ -82,10 +82,24 @@ object Relational24 {
       count(lit(1)).as("n_edges"),
       sum(when(Similarity.tombstoneRule($"dst"), 1L).otherwise(0L))
         .as("n_dmg"))
-    val v = cnt.crossJoin(ec).select(
-      expr("(n_arr * 1000000) div (n_corpus - n_arr)").as("ins_ppm"),
-      expr("(n_tomb * 1000000) div n_corpus").as("del_ppm"),
-      expr("(n_dmg * 1000000) div n_edges").as("dmg_ppm"))
+    // zero-denominator guard (ADVICE r14): Spark `div` returns NULL on
+    // a zero divisor where DuckDB `//` raises — a degenerate fixture
+    // (all rows arrivals, or an empty edge table) must fail LOUDLY and
+    // identically in both renderers, not hash-diverge. The guard lives
+    // in the denominator expression itself (the guardedTot pattern) so
+    // Catalyst cannot prune it.
+    def guardedDen(den: org.apache.spark.sql.Column, tag: String) =
+      when(den <= 0L, raise_error(concat(
+        lit(s"s25: $tag denominator is zero/negative (degenerate fixture): "),
+        den.cast("string")))).otherwise(den)
+    val g = cnt.crossJoin(ec).select($"n_arr", $"n_tomb", $"n_dmg",
+      guardedDen($"n_corpus" - $"n_arr", "ins_ppm").as("ins_den"),
+      guardedDen($"n_corpus", "del_ppm").as("del_den"),
+      guardedDen($"n_edges", "dmg_ppm").as("dmg_den"))
+    val v = g.select(
+      expr("(n_arr * 1000000) div ins_den").as("ins_ppm"),
+      expr("(n_tomb * 1000000) div del_den").as("del_ppm"),
+      expr("(n_dmg * 1000000) div dmg_den").as("dmg_ppm"))
     val rows = v.select(explode(array(
         struct(lit("delete_frac").as("metric"), $"del_ppm".as("value_ppm"),
           lit(DEL_REBUILD_PPM).as("threshold_ppm"),

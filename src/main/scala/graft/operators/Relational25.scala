@@ -50,6 +50,35 @@ object Relational25 {
       .select($"doc_id".as("q_id"),
         $"tk".getItem(0).as("t1"), $"tk".getItem(1).as("t2"),
         $"tk".getItem(2).as("t3"))
+    phraseServe(s, dir, ph)
+  }
+
+  /** Phrase length of the serving face, shared with
+    * [[graft.streaming.SearchStream]]. */
+  private[graft] val PHRASE_LEN: Int = PH_LEN
+
+  /** t46's phrase queries as `(q_id, terms)` array rows — the
+    * arriving-query fixture for the streaming face's parity spec
+    * (the t45QueryArrays convention). */
+  private[graft] def t46QueryArrays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", word_tokens($"text").as("tk"))
+      .filter($"doc_id" < PH_QDOCS && size($"tk") >= PH_LEN)
+      .select($"doc_id".as("q_id"), slice($"tk", 1, PH_LEN).as("terms"))
+  }
+
+  /** The phrase-match body over an EXPLICIT phrase frame `(q_id, t1,
+    * t2, t3)` — the shared tail of batch [[t46]] and the streaming
+    * serving face ([[graft.streaming.SearchStream.phraseRefresh]]):
+    * one serving body, so stream ≡ batch parity is structural (the
+    * conjunctiveServe convention). The phrase side is query-sized →
+    * broadcast; the corpus side is one tokenize pass. */
+  private[graft] def phraseServe(s: SparkSession, dir: String,
+      ph: DataFrame): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .select($"doc_id", word_tokens($"text").as("tk"))
     d.crossJoin(broadcast(ph))
       .select($"q_id", $"doc_id",
         when(size($"tk") >= PH_LEN,

@@ -778,27 +778,49 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
-  private val KNN_K = 3
+  private[graft] val KNN_K = 8 // out-degree of the knn graph (r14 verdict #1:
+                            // k=3 capped every serving face — HNSW runs
+                            // M=8-48; raised with diversity pruning below)
+  private val KNN_CAND = 24 // diversity-selection candidate pool per node
+                            // (3×KNN_K — bounds the pairwise-cos work)
 
   /** k-nearest-neighbor graph (k = [[KNN_K]]) over the rotation-bucket
-    * candidate structure: every vector ranks the candidates it shares
-    * ANY of the [[ROTS]] sign-pattern buckets with by exact cosine and
-    * keeps its top k — the adjacency every graph-based ANN index
-    * (HNSW/NSG-style) and graph-clustering stage starts from, where
-    * s01/s02 answer ad-hoc queries. Reuses [[candidatePairs]]
+    * candidate structure, with DIVERSITY-PRUNED neighbor selection:
+    * every vector ranks the candidates it shares ANY of the [[ROTS]]
+    * sign-pattern buckets with by exact cosine, keeps the top
+    * [[KNN_CAND]] as its selection pool, and picks [[KNN_K]] out-edges
+    * by the relative-neighborhood rule — a candidate is DOMINATED if
+    * some strictly closer candidate is closer to IT than the node is
+    * (cos(s, c) > cos(v, c)); non-dominated candidates win first (in
+    * cosine order), dominated ones fill remaining slots (HNSW's
+    * `keepPrunedConnections`, Malkov & Yashunin 2018 Alg. 4; the
+    * one-shot dominated-by-any-closer-candidate variant is the RNG
+    * edge rule of NSG, Fu et al. VLDB 2019, chosen here because it is
+    * fully declarative — one pairwise test, no sequential selected-set
+    * loop — so it parallelizes as a single Spark pass and replays in
+    * the oracle as one EXISTS). Diversity is what makes the raised k
+    * navigable: plain top-k spends all 8 slots on one tight cluster;
+    * the RNG rule forces edges to span distinct directions, which is
+    * what the s20 walk family climbs. Reuses [[candidatePairs]]
     * verbatim: pair generation stays the bucketed groupBy+PairExpand
     * shape (no O(n²) self-join — plan-asserted with the s03 family),
     * symmetrized AFTER dedup so each undirected candidate is scored
     * twice (once per endpoint), never re-generated. Cosine + round(4)
     * + neighbor_id tie-break is the s01 determinism contract; the
-    * oracle mirrors the same rotations with identical plane literals.
+    * oracle mirrors the same rotations with identical plane literals
+    * and the same dominance test (bit-equal cosines, so the strict >
+    * cannot diverge).
     *
     * At 100 TB: candidate degree is bounded by bucket occupancy (the
     * `maxBucket`-style cap measured for d02), so the per-vector rank
     * window is over a SMALL candidate list, not the corpus; the
-    * explode carries only (rot, key, vec_id). A vector sharing no
-    * bucket has no row — the isolated-node convention downstream
-    * consumers (d08's CC, graph walks) already handle. */
+    * explode carries only (rot, key, vec_id). The dominance test runs
+    * INSIDE one per-node array (≤ [[KNN_CAND]] candidates collected
+    * per node — ≤ C² pairwise cosines per node, a constant), never as
+    * a self-join that would re-derive candidate generation twice. A
+    * vector sharing no bucket has no row — the isolated-node
+    * convention downstream consumers (d08's CC, graph walks) already
+    * handle. */
   def s11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
@@ -806,13 +828,22 @@ object Similarity {
       candidatePairs(e.select($"vec_id", $"embedding")).select($"a_id", $"b_id"))
   }
 
-  /** Directed top-k cut over an undirected candidate pair set — the
-    * shared tail of batch [[s11]] and the streaming face's
-    * trigger-side refresh ([[graft.streaming.GraphStream]]): mirror
-    * each pair, join the embeddings back on, score with the exact
-    * cosine kernel, rank per node. Keeping this in ONE place means
-    * the stream and batch rankings can only differ if their candidate
-    * sets do — which is exactly what the parity spec pins. */
+  /** Directed diversity-pruned top-k cut over an undirected candidate
+    * pair set — the shared tail of batch [[s11]] and the streaming
+    * face's trigger-side refresh ([[graft.streaming.GraphStream]]):
+    * mirror each pair, join the embeddings back on, score with the
+    * exact cosine kernel, rank per node, cut to the [[KNN_CAND]]
+    * pool, then apply the RNG dominance rule per node INSIDE one
+    * collected array (higher-order functions over ≤ [[KNN_CAND]]
+    * structs — no self-join, so candidate generation derives exactly
+    * once). Keeping this in ONE place means the stream and batch
+    * rankings can only differ if their candidate sets do — which is
+    * exactly what the parity spec pins.
+    *
+    * Final rank order is (dominated ASC, cosine-rank ASC): the
+    * non-dominated (diverse) edges first, then the best dominated
+    * fill — a total order (the cosine rank is already total), so the
+    * oracle's row_number replays it exactly. */
   private[graft] def knnFromCandidates(embs: DataFrame,
       und: DataFrame): DataFrame = {
     val s = embs.sparkSession
@@ -823,11 +854,31 @@ object Similarity {
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), Seq("a_id"))
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")), Seq("b_id"))
       .select($"a_id".as("vec_id"), $"b_id".as("neighbor_id"),
-        cosine($"ea", $"na", $"eb", $"nb").as("cos"))
+        cosine($"ea", $"na", $"eb", $"nb").as("cos"),
+        $"eb".as("ne"), $"nb".as("nn"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= KNN_K)
-      .select($"vec_id", $"neighbor_id", round($"cos", 4).as("cos_sim"), $"rank")
+    val pool = scored.withColumn("rank0", row_number().over(w))
+      .filter($"rank0" <= KNN_CAND)
+    // per-node diversity selection inside one array: dominance flag
+    // per candidate (∃ closer candidate s with cos(s,c) > cos(v,c)),
+    // then sort by (dom, rank0) and keep the first KNN_K. The window
+    // and the groupBy share the vec_id partitioning — one shuffle.
+    val sel = pool
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(
+        struct($"rank0", $"neighbor_id", $"cos", $"ne", $"nn"))).as("cands"))
+      .select($"vec_id", posexplode(slice(sort_array(transform($"cands", c =>
+        struct(
+          exists($"cands", sp =>
+            sp.getField("rank0") < c.getField("rank0") &&
+              vec_dot(sp.getField("ne"), c.getField("ne")) /
+                (sp.getField("nn") * c.getField("nn")) > c.getField("cos"))
+            .as("dom"),
+          c.getField("rank0").as("rank0"),
+          c.getField("neighbor_id").as("neighbor_id"),
+          c.getField("cos").as("cos")))), 1, KNN_K)).as(Seq("pos", "sel")))
+    sel.select($"vec_id", $"sel.neighbor_id".as("neighbor_id"),
+        round($"sel.cos", 4).as("cos_sim"), ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"vec_id", $"rank")
   }
 
@@ -1019,9 +1070,14 @@ object Similarity {
   private val GREEDY_QMOD = 25    // query vectors: vec_id ≡ 0 (mod 25)
   private val GREEDY_ENTRIES = 16 // FIXED-size entry set — never corpus-sized
   private val GREEDY_ESEED = 20   // seed of the entry-selection hash order
-  private val BEAM_B = 8          // s20b beam width (ef in HNSW terms; 5 measured
-                                  // BELOW greedy hit@1 — trimming 16 pooled
-                                  // entries to 5 discards climbable frontier)
+  private[graft] val BEAM_B = 16  // s20b beam width (ef in HNSW terms). Two
+                                  // measured lessons: 5 ran BELOW greedy hit@1
+                                  // (trimming 16 pooled entries to 5 discards
+                                  // climbable frontier), and on the r15 k=8
+                                  // diversity graph ef=8 ALSO lost to greedy
+                                  // (16 independent walks out-explore an
+                                  // 8-wide pooled frontier) — ef must be ≥ the
+                                  // entry count for pooling to dominate, so 16.
 
   /** The fixed-size entry set shared by [[s20]]/[[s20m]]/[[s20b]]:
     * the [[GREEDY_ENTRIES]] vectors FIRST in the seeded-hash total
@@ -1963,6 +2019,12 @@ object Similarity {
     val rotBranches = (0 until ROTS).map(r =>
       s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings$where")
       .mkString("\n  UNION ALL ")
+    // pool0 = the KNN_CAND cosine-ranked pool; dompr = the dominated
+    // pairs under the RNG rule (some strictly closer candidate is
+    // closer to c than the node is — identical arithmetic to the
+    // engine's per-array dominance test); ranked = final rank by
+    // (dominated ASC, cosine-rank ASC), the diversity order every
+    // downstream `WHERE rank <= KNN_K` cut consumes.
     s"""e$sfx AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings$where),
        |b$sfx AS ($rotBranches),
        |cand$sfx AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -1975,9 +2037,23 @@ object Similarity {
        |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
        |  FROM dirs$sfx JOIN e$sfx ex ON ex.vec_id = dirs$sfx.a_id
        |    JOIN e$sfx ey ON ey.vec_id = dirs$sfx.b_id),
-       |ranked$sfx AS (SELECT vec_id, neighbor_id, cos,
-       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM scored$sfx)""".stripMargin
+       |pool$sfx AS MATERIALIZED (SELECT vec_id, neighbor_id, cos, rank0 FROM (
+       |  SELECT vec_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank0
+       |  FROM scored$sfx) WHERE rank0 <= $KNN_CAND),
+       |dompr$sfx AS (SELECT c.vec_id, c.neighbor_id
+       |  FROM pool$sfx c JOIN pool$sfx s
+       |    ON s.vec_id = c.vec_id AND s.rank0 < c.rank0
+       |  JOIN e$sfx es ON es.vec_id = s.neighbor_id
+       |  JOIN e$sfx ec ON ec.vec_id = c.neighbor_id
+       |  WHERE list_sum([CAST(es.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)
+       |     for i in range(1, ${DIM + 1})]) / (es.nrm * ec.nrm) > c.cos
+       |  GROUP BY 1, 2),
+       |ranked$sfx AS (SELECT c.vec_id, c.neighbor_id, c.cos,
+       |  CAST(row_number() OVER (PARTITION BY c.vec_id
+       |    ORDER BY (d.neighbor_id IS NOT NULL), c.rank0) AS BIGINT) AS rank
+       |  FROM pool$sfx c LEFT JOIN dompr$sfx d
+       |    ON d.vec_id = c.vec_id AND d.neighbor_id = c.neighbor_id)""".stripMargin
   }
 
   private lazy val sqlKnnBase: String = sqlKnnChain("", "")

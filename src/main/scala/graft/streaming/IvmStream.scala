@@ -45,20 +45,26 @@ case class ViewRow(o_orderpriority: String, o_year: Long, upd: Long,
   *
   * The honest boundary (stated at q81 too): only SIGNED-SUM
   * statistics maintain this way. A min/max under retraction needs
-  * the full value multiset — that face stays batch.
+  * the full value multiset — batch q82 maintains exactly that (a
+  * two-level aggregate whose level-1 state is the signed multiset);
+  * ITS live face stays batch because streaming it would make the
+  * per-group state value-domain-sized where everything here is
+  * constant per group — the state-cost cliff is the boundary, not
+  * expressibility.
   *
   * At 100 TB: state is live-group-sized; each micro-batch shuffles
   * its own delta rows once on the group key. Deletes cost what
   * inserts cost. */
 object IvmStream {
 
-  /** The view as a streaming aggregate (complete mode) — the same
-    * signed sums as `Relational22.viewAgg`; works identically on a
-    * batch frame (the parity twin). Read with `n_items > 0`. */
+  /** The view as a streaming aggregate (complete mode) — DELEGATES to
+    * `Relational22.viewAgg` (ADVICE r14: the anti-drift claim must be
+    * structural, the SearchStream/conjunctiveServe pattern — a copy
+    * here could silently diverge from the batch definition); works
+    * identically on a batch frame (the parity twin). Read with
+    * `n_items > 0`. */
   def viewAgg(deltas: DataFrame): DataFrame =
-    deltas.groupBy(col("o_orderpriority"), col("o_year"))
-      .agg(sum(col("m") * col("cents")).as("revenue_cents"),
-        sum(col("m")).as("n_items"))
+    graft.operators.Relational22.viewAgg(deltas)
 
   /** Fold one batch of signed rows into a group's running state —
     * the shared pure core. Commutative and associative across any

@@ -38,7 +38,18 @@ object SearchStream {
     spark.readStream.schema(querySchema).options(options).parquet(dir)
 
   /** The at-most-once replay guard (the AnnStream shape): admit each
-    * q_id's first arrival, drop every replay. */
+    * q_id's first arrival, drop every replay.
+    *
+    * CONTRACT (ADVICE r14): replay identity is the q_id ALONE — the
+    * state is one Boolean per served id, and a re-delivered q_id is
+    * dropped even if it arrives with a DIFFERENT term set (q_id is
+    * the query's identity; re-issuing changed terms under the same id
+    * is a producer bug, and "which version wins" within one batch
+    * follows file/row order exactly as any at-most-once dedup does).
+    * A deployment that wants changed-terms detection stores a terms
+    * hash in this state and alerts on mismatch — not silently
+    * re-serving, which would break the at-most-once guarantee the
+    * guard exists to give. */
   def admittedOnce(q: DataFrame): Dataset[TermQuery] = {
     val spark = q.sparkSession
     import spark.implicits._
@@ -66,5 +77,29 @@ object SearchStream {
         explode(col("terms")).as("term"))
       .localCheckpoint()
     graft.operators.Relational23.conjunctiveServe(spark, dir, qt)
+  }
+
+  /** Trigger-side PHRASE serving (t46's live face — r14 verdict #7):
+    * admitted queries whose `terms` is an exact-phrase token sequence
+    * go through the SAME batch phrase body
+    * ([[graft.operators.Relational25.phraseServe]] — per-row array
+    * sweep over a broadcast phrase table), so the answer for phrase
+    * set Q equals batch t46 restricted to Q row for row. The replay
+    * guard is [[admittedOnce]] UNCHANGED — a phrase query is a
+    * TermQuery whose term order is significant; only the serving body
+    * differs. Arrivals that are not exactly PHRASE_LEN tokens are
+    * dropped (the fixed-length phrase is t46's contract; a variable-
+    * length face would be a different operator, not a laxer parse). */
+  def phraseRefresh(spark: SparkSession, dir: String,
+      admitted: DataFrame): DataFrame = {
+    val phLen = graft.operators.Relational25.PHRASE_LEN
+    val ph = admitted
+      .filter(size(col("terms")) === phLen)
+      .select(col("q_id"),
+        col("terms").getItem(0).as("t1"),
+        col("terms").getItem(1).as("t2"),
+        col("terms").getItem(2).as("t3"))
+      .localCheckpoint()
+    graft.operators.Relational25.phraseServe(spark, dir, ph)
   }
 }

@@ -9,7 +9,7 @@ import graft.operators.Similarity
   * what the hash can't express. */
 class AnnDeleteSpec extends SparkSpec {
 
-  private val KNN_K = 3
+  private val KNN_K = graft.operators.Similarity.KNN_K
   private val DEL_SEED = 23
   private val DEL_MOD = 16
 

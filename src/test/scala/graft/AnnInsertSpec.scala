@@ -13,7 +13,7 @@ import graft.operators.Similarity
   * express. */
 class AnnInsertSpec extends SparkSpec {
 
-  private val KNN_K = 3
+  private val KNN_K = graft.operators.Similarity.KNN_K
   private val INS_SEED = 22
   private val INS_MOD = 8
 

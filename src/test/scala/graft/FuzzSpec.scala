@@ -11,7 +11,7 @@ import graft.operators.Fuzz
 class FuzzSpec extends SparkSpec {
 
   test("generator is a pure function of the seed") {
-    (1 to 12).foreach { i =>
+    (1 to 20).foreach { i =>
       assert(Fuzz.describe(i) == Fuzz.describe(i))
       assert(Fuzz.sqlFor(i) == Fuzz.sqlFor(i))
     }
@@ -27,6 +27,30 @@ class FuzzSpec extends SparkSpec {
     assert(descs.exists(_.contains("preds=[]")), "no filterless shape")
     assert(descs.exists(d => d.contains("QtyLe") || d.contains("KeyMod") ||
       d.contains("ShipGe") || d.contains("FlagNe")), "no predicates at all")
+    // the ADVICE-r14 widening: at least one committed KeyMod carries a
+    // NON-ZERO remainder (the modulo-residue surface was never hit
+    // when the remainder was pinned to 0)
+    val all = (1 to 20).map(Fuzz.describe)
+    assert(all.exists(d => "KeyMod\\((\\d+),([1-9]\\d*)\\)".r
+      .findFirstIn(d).isDefined), "no non-zero KeyMod remainder committed")
+  }
+
+  test("the nullable seeds (fz13-fz20) cover the null-semantics axes") {
+    val descs = (13 to 20).map(Fuzz.describe)
+    assert(descs.forall(_.contains("leftjoin")), "null axis must LEFT JOIN")
+    assert(descs.exists(_.contains("nullPred=1")), "no IS NULL shape")
+    assert(descs.exists(_.contains("nullPred=2")), "no IS NOT NULL shape")
+    assert(descs.exists(_.contains("nullPred=0")), "no unfiltered-null shape")
+    assert(descs.exists(_.contains("keyPri=true")),
+      "no GROUP BY nullable-key shape")
+    assert(descs.exists(_.contains("minYear=true")),
+      "no MIN-over-nullable shape")
+    // every nullable output column is coalesced in the SQL renderer —
+    // the gate sorts rows as Python tuples, where None is unordered
+    (13 to 20).map(Fuzz.sqlFor).foreach { sql =>
+      if (sql.contains("AS k_pri")) assert(sql.contains("coalesce(o_orderpriority"))
+      if (sql.contains("AS mn_year")) assert(sql.contains("coalesce(min(o_year)"))
+    }
   }
 
   test("every generated plan executes and the renderers agree on columns") {

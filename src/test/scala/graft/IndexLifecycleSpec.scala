@@ -12,7 +12,7 @@ import graft.operators.Similarity
   * bodies the registered s21/s22/s23 run. */
 class IndexLifecycleSpec extends SparkSpec {
 
-  private val KNN_K = 3
+  private val KNN_K = graft.operators.Similarity.KNN_K
 
   private def hashRule(seed: Int, m: Int)(c: org.apache.spark.sql.Column) =
     pmod(graft.functions.TextOps.hash64Seeded(seed, c.cast("string")),

@@ -324,7 +324,7 @@ class Relational19Spec extends SparkSpec {
     val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
     // the frontier replay: hop 0 = all entries scored; each hop pools
     // frontier ∪ out-neighbor expansions, dedupes by node, keeps the
-    // top-8 by (cos DESC, node)
+    // top-BEAM_B by (cos DESC, node)
     val want = queries.flatMap { q =>
       var beam = entries.filter(_ != q)
         .map(e => (cos(vecs(q), vecs(e)), e))
@@ -336,7 +336,7 @@ class Relational19Spec extends SparkSpec {
         }
         beam = (beam ++ cands).groupBy(_._2)
           .map { case (n, vs) => (vs.map(_._1).max, n) }.toSeq
-          .sortBy { case (c, n) => (-c, n) }.take(8)
+          .sortBy { case (c, n) => (-c, n) }.take(operators.Similarity.BEAM_B)
       }
       beam.zipWithIndex.map { case ((_, n), i) => (q, (i + 1).toLong, n) }
     }
@@ -418,7 +418,7 @@ class Relational19Spec extends SparkSpec {
         }
         beam = (beam ++ cands).groupBy(_._2)
           .map { case (n, vs) => (vs.map(_._1).max, n) }.toSeq
-          .sortBy { case (c, n) => (-c, n) }.take(8)
+          .sortBy { case (c, n) => (-c, n) }.take(operators.Similarity.BEAM_B)
       }
       beam
     }
