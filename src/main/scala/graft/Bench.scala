@@ -35,7 +35,15 @@ import java.util.Locale
   * more than an absolute jitter floor) gets escalated reps, and the
   * reported (median, spread) come from the tightest consecutive
   * cluster of its sorted reps — so a transient host spike on one
-  * query no longer ships as that query's number.
+  * query no longer ships as that query's number. Since r15 a BAND
+  * gate closes the hole the spread gate left (r14: t44 shipped 4.08 s
+  * with spread 0.75 — steadily slow under sustained contention, so
+  * spread-only passed it): each query's quiet median is compared to
+  * its last COMMITTED quiet capture (BENCH_BASELINE.json,
+  * regenerated at round close by tools/make_bench_baseline.py),
+  * scaled by the calibration ratio; above ~2× it escalates reps, and
+  * if still above it ships with a band_violation marker in
+  * BENCH_QUERIES.json plus a "band" count on the stdout line.
   *
   * Failure visibility: a query that throws records `-1` (not its
   * elapsed time — a failing query would otherwise bench as "fast",
@@ -92,6 +100,47 @@ object Bench {
   private val REPS = 3
   private val CAL_DRIFT_BAR = 0.10  // |post−pre|/pre, the r8 quiet bar
   private val CAL_SPREAD_BAR = 0.10 // seconds, max−min across 6 probes
+  // per-query BAND gate (r14 verdict #3 — the half the spread gate
+  // can't see): a query that is STEADILY slow in a contended window
+  // has a tight spread and passes the spread gate (r14 driver
+  // artifact: t44 4.08 s spread 0.75 vs 1.42 s isolated steady).
+  // The band gate compares each query's quiet median against its
+  // LAST COMMITTED QUIET CAPTURE (BENCH_BASELINE.json), scaled by
+  // the calibration ratio (cal moves with the host, medians should
+  // move with it): median > BAND_FACTOR × baseline × (cal/base_cal)
+  // first escalates reps (contention may price out), and a query
+  // still above ships with a band_violation marker — visible, never
+  // silently renormalized. Floor: below BAND_FLOOR seconds the
+  // 2×-band is job-launch jitter, not signal. The gate only applies
+  // when the run's SF equals the baseline's (cross-SF medians are
+  // incomparable), and only to queries present in the baseline.
+  private val BAND_FACTOR = 2.0
+  private val BAND_FLOOR = 0.15 // seconds
+
+  /** (sf, cal, query → median) from BENCH_BASELINE.json, parsed with
+    * a regex (the file is machine-written by
+    * tools/make_bench_baseline.py — flat, sorted, one line). */
+  private def loadBaseline(): Option[(String, Double, Map[String, Double])] =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val cal = """"cal":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        val qsec = """"queries":\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        val qs = qsec.map { body =>
+          """"([A-Za-z0-9_]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        for (s <- sf; c <- cal; q <- qs) yield (s, c, q)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not read BENCH_BASELINE.json: $e")
+      None
+    }
   // per-query quiet bar (r13 verdict #2): a query whose reps spread
   // more than half its median was measured under contention/warm-up,
   // not steady state — escalate ITS reps instead of accepting the
@@ -209,9 +258,22 @@ object Bench {
       }
     }
 
+    // the committed per-query baseline for the band gate (None → the
+    // gate is off; a query absent from the baseline is ungated)
+    val baseline = loadBaseline()
+    val bandOn = baseline.exists(_._1 == sfDir)
+    baseline match {
+      case Some((bsf, _, qs)) if bandOn =>
+        System.err.println(s"[bench] band gate ON: ${qs.size} baselines at $bsf")
+      case Some((bsf, _, _)) =>
+        System.err.println(s"[bench] band gate OFF: baseline sf $bsf != run sf $sfDir")
+      case None =>
+        System.err.println("[bench] band gate OFF: no BENCH_BASELINE.json")
+    }
+
     // one suite attempt: pre-probe window, all queries, post-probe
     // window. The quiet bar is judged per attempt.
-    case class Attempt(results: Seq[(String, Double, Double)],
+    case class Attempt(results: Seq[(String, Double, Double, Boolean)],
         calPre: Seq[Double], calPost: Seq[Double]) {
       val calPreMed: Double = median(calPre)
       val calPostMed: Double = median(calPost)
@@ -239,6 +301,17 @@ object Bench {
 
     def runAttempt(): Attempt = {
       val calPre = (1 to REPS).map(_ => calibrate(spark))
+      // band allowance per query, scaled to THIS attempt's host speed
+      // via the calibration ratio (pre-window — known before queries)
+      val calPreM = median(calPre)
+      def allowedFor(name: String): Option[Double] =
+        if (!bandOn) None
+        else baseline.flatMap { case (_, bCal, qs) =>
+          qs.get(name).map { b =>
+            val scaled = b * (calPreM / math.max(bCal, 1e-9))
+            math.max(BAND_FACTOR * scaled, scaled + BAND_FLOOR)
+          }
+        }
       val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // one UNMEASURED warm-up rep per query: suite-position JIT and
         // any remaining fixture first-touch land here, so the timed
@@ -285,11 +358,31 @@ object Bench {
             f"escalating reps ($escal/$PQ_MAX_ESCALATIONS)")
           times = times ++ (1 to REPS).map(_ => rep())
         }
+        // BAND escalation (r14 verdict #3): a quiet-but-slow median —
+        // the sustained-contention signature the spread gate admits —
+        // gets more reps too; if the quiet median stays above the
+        // scaled band, the query ships FLAGGED, never renormalized
+        val allowed = allowedFor(name)
+        while (times.forall(_ >= 0) &&
+            allowed.exists(a => median(window(times)) > a) &&
+            escal < PQ_MAX_ESCALATIONS) {
+          escal += 1
+          val w = window(times)
+          System.err.println(f"[bench] query $name above band (median " +
+            f"${median(w)}%.2f s > allowed ${allowed.get}%.2f s); " +
+            f"escalating reps ($escal/$PQ_MAX_ESCALATIONS)")
+          times = times ++ (1 to REPS).map(_ => rep())
+        }
         // any failed rep marks the query failed: -1, never a timing
-        if (times.exists(_ < 0)) (name, -1.0, -1.0)
+        if (times.exists(_ < 0)) (name, -1.0, -1.0, false)
         else {
           val w = window(times)
-          (name, median(w), w.last - w.head)
+          val banded = allowed.exists(a => median(w) > a)
+          if (banded)
+            System.err.println(f"[bench] query $name BAND VIOLATION: " +
+              f"median ${median(w)}%.2f s > allowed ${allowed.get}%.2f s " +
+              "(vs committed baseline, cal-scaled)")
+          (name, median(w), w.last - w.head, banded)
         }
       }
       val calPost = (1 to REPS).map(_ => calibrate(spark))
@@ -323,10 +416,14 @@ object Bench {
     // entry: total_sec = sum of non-failed queries values, exactly
     // reproducible by a consumer summing the map (ADVICE r4)
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spreads = results
-      .map { case (k, _, sp) => "\"" + k + "\":" + fmt(sp) }
+      .map { case (k, _, sp, _) => "\"" + k + "\":" + fmt(sp) }
+      .mkString("{", ",", "}")
+    val banded = results.filter(_._4)
+    val bandJson = banded
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0) + (if (matOk) 0 else 1)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -337,6 +434,7 @@ object Bench {
         s""""calibration_robust_spread_sec":${fmt(best.calRobustSpread)},""" +
         s""""calibration_pre_sec":${fmt(calPreMed)},"calibration_post_sec":${fmt(calPostMed)},""" +
         s""""noisy":$noisy,"attempts":${attempts.length},""" +
+        s""""band_gate":${bandOn},"band_violations":$bandJson,""" +
         s""""queries":$qs,"spread":$spreads}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -344,7 +442,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e") }
     System.err.println(s"[bench] per-query: $perQueryJson")
     // the ONE stdout line — short enough that no tail capture truncates it
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"noisy":$noisy,"attempts":${attempts.length},"queries_file":"BENCH_QUERIES.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"noisy":$noisy,"attempts":${attempts.length},"band":${banded.size},"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }

@@ -129,6 +129,37 @@ object RecallReport {
       "s13_recall_at10" -> annRecall(Relational13.s13(s, dir)),
       "s13t_recall_at10" -> annRecall(Relational13.s13t(s, dir)),
       "s14_recall_at10" -> annRecall(Relational13.s14(s, dir)))
+    // s26i: filtered IVF-PQ vs the exact FILTERED L2 top-10 (truth
+    // restricted to the predicate's qualifying ids) — the pre-filter
+    // vs in-cell comparison: s26's pre-filter scan is exact on the
+    // qualifying subset BY CONSTRUCTION (recall 1.0 at selectivity×
+    // scan cost); the in-cell form pays only probe-share×selectivity
+    // and THESE rows price its recall loss (probed cells can be thin
+    // in qualifying members).
+    val allowedIds = graft.Tables.load(s, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") ===
+        Similarity.FILTER_LANG)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def exactFilteredTop10(q: Long): Set[Long] = {
+      val qe = embs(q)
+      embs.keysIterator.filter(id => id != q && allowedIds(id)).map { id =>
+        val v = embs(id)
+        var d = 0.0
+        var i = 0
+        while (i < qe.length) {
+          val t = qe(i).toDouble - v(i).toDouble; d += t * t; i += 1
+        }
+        (d, id)
+      }.toSeq.sorted.take(10).map(_._2).toSet
+    }
+    val s26iGot = Relational13.s26i(s, dir)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val s26iRs = s26iGot.map { case (q, ids) =>
+      ids.intersect(exactFilteredTop10(q)).size / 10.0 }
+    val filtered = Seq(
+      "s26i_recall_at10" -> r4(s26iRs.sum / math.max(1, s26iRs.size)),
+      "s26i_answered" -> s26iGot.map(_._2.size).sum.toDouble)
     // s20/s20b: graph-walk serving quality vs the exact COSINE
     // nearest neighbor (self-excluded) — Relational19Spec measures
     // sf0.001; these rows pin sf0.01 and tabulate sf0.1, where the
@@ -180,7 +211,7 @@ object RecallReport {
       "s20h_hit_at1" -> r4(h1 / nW),
       "s20h_rank1_in_top5" -> r4(h5 / nW),
       "s20h_nn_in_beam" -> r4(nnh / nW))
-    (dedup ++ sim ++ q51 ++ ann ++ walk).toMap
+    (dedup ++ sim ++ q51 ++ ann ++ filtered ++ walk).toMap
   }
 
   /** Prints the SCALING.md markdown rows for one scale factor. */

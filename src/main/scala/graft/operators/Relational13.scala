@@ -764,7 +764,37 @@ object Relational13 {
     ivfServe(ix, q, ivfRoute(ix.cent, q))
   }
 
-  private val s14Oracle = {
+  /** FILTERED IVF-PQ ANN (s26i) — s26's metadata predicate composed
+    * INSIDE [[s14]]'s probed cells, registered as its own query (r14
+    * verdict #4: the s26 docstring stated this composition; now the
+    * gate checks it). The qualifying-id semi-join applies to the
+    * INVERTED FILE (the per-cell code lists) before the ADC stage, so
+    * a query pays probe-share × selectivity of the corpus — the
+    * billion-vector filtered-serving shape: routing still sees every
+    * cell (centroids are corpus statistics, not per-predicate
+    * assets), ADC and rerank touch only qualifying members of probed
+    * cells. vs s26's exact pre-filter scan: same predicate semantics,
+    * probe-share economics, and the recall cost of cells whose
+    * qualifying population is thin (a probed cell with no qualifying
+    * member contributes nothing — the standard filtered-IVF loss,
+    * measured in the Recall report against the exact filtered
+    * ranking). */
+  def s26i(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = ivfIndex(s, dir)
+    val allowed = t(s, dir, "documents")
+      .filter($"lang" === Similarity.FILTER_LANG)
+      .select($"doc_id".as("vec_id"))
+    val fIx = ix.copy(codes = ix.codes.join(allowed, Seq("vec_id"), "left_semi"))
+    val q = ix.e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding")
+    ivfServe(fIx, q, ivfRoute(ix.cent, q))
+  }
+
+  /** The s14 replay, parameterized by an inverted-file predicate so
+    * the filtered composition (s26i) shares every other CTE byte for
+    * byte — the suffix-chain convention applied to IVF. */
+  private def s14OracleFor(codesWhere: String): String = {
     val sqdSql = (a: String, b: String, len: Int) =>
       s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
          |      * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
@@ -806,7 +836,7 @@ object Relational13 {
        |  FROM (SELECT vec_id, m, code FROM (SELECT vec_id, m,
        |      code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code)
        |        AS rn FROM cd) WHERE rn = 1) c0
-       |  JOIN asn ON asn.vec_id = c0.vec_id),
+       |  JOIN asn ON asn.vec_id = c0.vec_id$codesWhere),
        |qs AS (SELECT vec_id AS q_id, m,
        |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qvec
        |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_NQ),
@@ -837,12 +867,20 @@ object Relational13 {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  private val s14Oracle = s14OracleFor("")
+
+  private val s26iOracle = s14OracleFor(
+    s"""
+       |  WHERE c0.vec_id IN (SELECT doc_id FROM documents
+       |    WHERE lang = '${Similarity.FILTER_LANG}')""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_incremental_rollup" -> (q57 _),
     "x08_bottomk_quantiles" -> (x08 _),
     "x08s_bottomk_sql" -> (x08s _),
     "s13_pq_adc_topk" -> (s13 _),
     "s14_ivf_pq" -> (s14 _),
+    "s26i_filtered_ivf" -> (s26i _),
     "s13t_pq_trained" -> (s13t _),
     "s13tm_pq_trained_serving" -> (s13tm _),
     "e11_window_topk" -> (e11 _))
@@ -853,6 +891,7 @@ object Relational13 {
     "x08s_bottomk_sql" -> x08Oracle,
     "s13_pq_adc_topk" -> s13Oracle,
     "s14_ivf_pq" -> s14Oracle,
+    "s26i_filtered_ivf" -> s26iOracle,
     "s13t_pq_trained" -> s13tOracle,
     "s13tm_pq_trained_serving" -> s13tOracle,
     "e11_window_topk" -> e11Oracle)

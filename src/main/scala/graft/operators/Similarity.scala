@@ -84,7 +84,7 @@ object Similarity {
     * the corpus) — selective enough that filtered and unfiltered
     * rankings genuinely differ, common enough that every query still
     * fills its top-k. */
-  private val FILTER_LANG = "fr"
+  private[graft] val FILTER_LANG = "fr"
 
   /** FILTERED vector search — s01's exact top-k under a metadata
     * predicate (the "search only documents where lang = 'fr'"
@@ -107,7 +107,9 @@ object Similarity {
     * selectivity-bounded, and with an IVF layout the same semi-join
     * applies INSIDE each probed cell (filtered-ANN's standard
     * composition), so filtered serving inherits s14's probe-share
-    * economics unchanged. */
+    * economics unchanged — REGISTERED as that composed form in
+    * [[Relational13.s26i]] (r14 verdict #4), with its own full DuckDB
+    * replay and measured in-cell recall rows in the Recall report. */
   def s26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))

@@ -62,6 +62,11 @@ class ScaleSpec extends SparkSpec {
       "s03_candidate_fraction" -> 0.2371,
       "s13_recall_at10" -> 0.6333, "s13t_recall_at10" -> 0.6333,
       "s14_recall_at10" -> 0.5,
+      // filtered IVF (r15): in-cell predicate semi-join vs the exact
+      // FILTERED L2 top-10 (s26's pre-filter scan is exact on the
+      // qualifying subset by construction — these rows price what the
+      // probe-share economics give up)
+      "s26i_recall_at10" -> 0.6, "s26i_answered" -> 30.0,
       // graph-walk serving quality at sf0.01 (r15): the k=8
       // diversity-pruned graph (KNN_K, RNG rule) + ef=16 beam — the
       // r14 verdict-#1 densification, up from (0.2, 0.1, 0.35) hit@1
