@@ -273,10 +273,10 @@ class Relational19Spec extends SparkSpec {
     assert(got.toSeq == want, "greedy walk diverges from the replay")
     // the walk genuinely navigates: most queries move off the entry
     assert(got.count(_._3 > 0) >= got.length * 3 / 4)
-    // MEASURED quality: beam-1 greedy over a k=3 graph vs the exact
-    // (self-excluded) nearest neighbor — a real recall floor, not a
-    // vacuous one; the honest number for the base case the docstring
-    // prescribes widening via beam-k
+    // MEASURED quality: beam-1 greedy over the k=8 diversity graph vs
+    // the exact (self-excluded) nearest neighbor — a real recall
+    // floor, not a vacuous one; the honest number for the base case
+    // the docstring prescribes widening via beam-k
     val exactRank = queries.map { q =>
       q -> vecs.collect { case (id, v) if id != q => (cos(vecs(q), v), id) }
         .toSeq.sortBy { case (c, d) => (-c, d) }.map(_._2).zipWithIndex
@@ -288,12 +288,15 @@ class Relational19Spec extends SparkSpec {
       .toDouble / got.length
     info(f"s20 hit@1 $hit1/${got.length}, found-in-exact-top5 " +
       f"$hit5/${got.length}, mean exact-rank of found $meanRank%.1f")
-    // measured floors for THIS graph (k=3 bucketed candidates, 16
-    // fixed entries, 4 hops): the walk lands a genuinely close
-    // neighbor (top-5 mostly), not reliably THE nearest — the honest
-    // beam-1 base-case quality s20b widens
-    assert(hit5.toDouble / got.length >= 0.3,
+    // measured floors for THIS graph (k=8 diversity-pruned bucketed
+    // candidates, 16 fixed entries, 4 hops — r15 measured hit@1
+    // 16/20, top-5 20/20 at sf0.001): floors pinned well below the
+    // measurement but far above the k=3 era's (0.3), so a future
+    // change that silently degrades the graph fails here
+    assert(hit5.toDouble / got.length >= 0.8,
       f"greedy top-5 quality collapsed: $hit5/${got.length}")
+    assert(hit1.toDouble / got.length >= 0.5,
+      f"greedy hit@1 collapsed: $hit1/${got.length}")
     assert(meanRank < vecs.size / 10.0,
       f"found nodes are no better than random: mean rank $meanRank%.1f")
   }
