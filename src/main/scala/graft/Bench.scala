@@ -135,7 +135,19 @@ object Bench {
           """"([A-Za-z0-9_]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-        for (s <- sf; c <- cal; q <- qs) yield (s, c, q)
+        // cross-check the regex parse against the writer's own count
+        // (ADVICE r15: a format drift must DISABLE the gate loudly —
+        // a silently partial baseline would mis-price every band)
+        val nQ = """"n_queries":\s*([0-9]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+        val parsed = for (s <- sf; c <- cal; q <- qs) yield (s, c, q)
+        parsed.filter { case (_, _, q) =>
+          val ok = nQ.forall(_ == q.size)
+          if (!ok) System.err.println(
+            s"[bench] BENCH_BASELINE.json parse mismatch: n_queries=${nQ.get} " +
+              s"but parsed ${q.size} - band gate DISABLED")
+          ok
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not read BENCH_BASELINE.json: $e")

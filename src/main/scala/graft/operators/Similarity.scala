@@ -1403,7 +1403,8 @@ object Similarity {
     * hops) because a k-NN graph's diameter grows ~log n; the
     * hierarchy is the structural answer. Layer 1 is a deterministic
     * 1/[[HIER_MOD]] hash sample of the corpus with ITS OWN knn graph
-    * (built by the same rotation-bucket machinery, [[KNN_K]] = 3);
+    * (built by the same rotation-bucket machinery — k = [[KNN_K]]
+    * with the same RNG diversity pruning as the base graph);
     * the search BEAM-walks layer 1 from the fixed entry set (the
     * [[entrySet]] rule applied to the sample) to a top-[[BEAM_B]]
     * coarse frontier per query, then DESCENDS: the base-layer beam

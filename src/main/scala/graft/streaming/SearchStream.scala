@@ -93,12 +93,13 @@ object SearchStream {
   def phraseRefresh(spark: SparkSession, dir: String,
       admitted: DataFrame): DataFrame = {
     val phLen = graft.operators.Relational25.PHRASE_LEN
+    // projection derived from PHRASE_LEN (ADVICE r15: a hardcoded
+    // t1..t3 would silently truncate if the phrase length ever moved)
+    val termCols = (0 until phLen).map(i =>
+      col("terms").getItem(i).as(s"t${i + 1}"))
     val ph = admitted
       .filter(size(col("terms")) === phLen)
-      .select(col("q_id"),
-        col("terms").getItem(0).as("t1"),
-        col("terms").getItem(1).as("t2"),
-        col("terms").getItem(2).as("t3"))
+      .select(col("q_id") +: termCols: _*)
       .localCheckpoint()
     graft.operators.Relational25.phraseServe(spark, dir, ph)
   }
