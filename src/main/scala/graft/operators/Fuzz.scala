@@ -44,11 +44,23 @@ import graft.Tables
   * as Python tuples, where None is unordered against values — the
   * null semantics under test all happen INSIDE the plan, before the
   * output coalesce.
+  *
+  * fz21-fz28 (r15 verdict #6) point the gate at STRING semantics —
+  * the other classic divergence farm: LIKE prefix/infix predicates,
+  * substr/concat/lower projections as GROUP BY keys, string min/max,
+  * and length arithmetic, over an orders ⋈ customer join. The
+  * columns are ASCII-only by construction (TPC-H enums and
+  * 'Customer#<digits>' names — no collation surprises), every
+  * operation is one both engines define identically on ASCII
+  * (1-indexed substr, binary-order min/max, %-wildcard LIKE), and
+  * lengths sum as exact longs — so a hash divergence is a real
+  * semantics bug, never an encoding artifact.
   */
 object Fuzz {
 
   private val N_QUERIES = 12
   private val NULL_SEEDS = 13 to 20
+  private val STR_SEEDS = 21 to 28
 
   // ---- the tiny AST ---------------------------------------------------
 
@@ -295,12 +307,113 @@ object Fuzz {
       a.havingN.fold("")(h => s"\nHAVING count(*) >= $h")
   }
 
+  // ---- the string axis (fz21-fz28) ------------------------------------
+
+  private case class SAst(
+      preds: Seq[Int],     // indices into the pred pool (rendered below)
+      predArgs: Seq[String],
+      keyKind: Int,        // 0 global, 1 substr(mkt), 2 concat, 3 lower(mkt), 4 prio
+      subLen: Int,         // substr key length 1..3
+      wantMin: Boolean,    // min(c_name)
+      wantMax: Boolean,    // max(o_orderstatus || '-' || o_orderpriority)
+      havingN: Option[Int])
+
+  private val SEGS = Seq("A", "B", "F", "H", "M")   // segment initials
+  private val STATS = Seq("O", "F", "P")
+
+  /** Deterministic string-axis AST (the nastFor convention). */
+  private def sastFor(seed: Int): SAst = {
+    val r = new java.util.Random(seed.toLong * 0x9E3779B9L + 41)
+    val nPreds = r.nextInt(3)
+    val picks = r.ints(0, 5).distinct().limit(nPreds.toLong).toArray.toSeq
+    val args = picks.map {
+      case 0 => (1 + r.nextInt(5)).toString         // priority digit
+      case 1 => SEGS(r.nextInt(SEGS.size))          // segment initial
+      case 2 => f"${r.nextInt(100)}%02d"            // two digits in c_name
+      case 3 => STATS(r.nextInt(STATS.size))        // order status
+      case _ => (1 + r.nextInt(9)).toString         // c_name digit at pos 10
+    }
+    SAst(picks, args, keyKind = r.nextInt(5), subLen = 1 + r.nextInt(3),
+      wantMin = r.nextBoolean(), wantMax = r.nextBoolean(),
+      havingN = if (r.nextInt(3) == 0) Some(1 + r.nextInt(5)) else None)
+  }
+
+  private def sparkStrQuery(a: SAst)(s: SparkSession, dir: String): DataFrame = {
+    val base0 = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+    val base = a.preds.zip(a.predArgs).foldLeft(base0) { case (d, (p, v)) =>
+      d.filter(p match {
+        case 0 => col("o_orderpriority").like(s"$v%")
+        case 1 => col("c_mktsegment").like(s"$v%")
+        case 2 => col("c_name").like(s"%$v%")
+        case 3 => col("o_orderstatus") === v
+        case _ => substring(col("c_name"), 10, 1) === v
+      })
+    }
+    val key = a.keyKind match {
+      case 1 => Some(substring(col("c_mktsegment"), 1, a.subLen).as("k1"))
+      case 2 => Some(concat(col("o_orderstatus"), lit("|"),
+        substring(col("o_orderpriority"), 1, 1)).as("k1"))
+      case 3 => Some(lower(col("c_mktsegment")).as("k1"))
+      case 4 => Some(col("o_orderpriority").as("k1"))
+      case _ => None
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(length(col("c_name")).cast("long")).as("len_sum")) ++
+      (if (a.wantMin) Seq(min(col("c_name")).as("mn")) else Nil) ++
+      (if (a.wantMax) Seq(max(concat(col("o_orderstatus"), lit("-"),
+        col("o_orderpriority"))).as("mx")) else Nil)
+    val grouped = key match {
+      case Some(k) => base.groupBy(k).agg(aggs.head, aggs.tail: _*)
+      case None => base.agg(aggs.head, aggs.tail: _*)
+    }
+    val cut = a.havingN.fold(grouped)(h => grouped.filter(col("n") >= h))
+    if (key.isEmpty) cut else cut.orderBy(col("k1"))
+  }
+
+  private def sqlStrQuery(a: SAst): String = {
+    val where = a.preds.zip(a.predArgs).map {
+      case (0, v) => s"o_orderpriority LIKE '$v%'"
+      case (1, v) => s"c_mktsegment LIKE '$v%'"
+      case (2, v) => s"c_name LIKE '%$v%'"
+      case (3, v) => s"o_orderstatus = '$v'"
+      case (_, v) => s"substr(c_name, 10, 1) = '$v'"
+    }
+    val key = a.keyKind match {
+      case 1 => Some(s"substr(c_mktsegment, 1, ${a.subLen})")
+      case 2 => Some("concat(o_orderstatus, '|', substr(o_orderpriority, 1, 1))")
+      case 3 => Some("lower(c_mktsegment)")
+      case 4 => Some("o_orderpriority")
+      case _ => None
+    }
+    val meas = Seq(
+      "CAST(count(*) AS BIGINT) AS n",
+      "CAST(sum(length(c_name)) AS BIGINT) AS len_sum") ++
+      (if (a.wantMin) Seq("min(c_name) AS mn") else Nil) ++
+      (if (a.wantMax)
+        Seq("max(concat(o_orderstatus, '-', o_orderpriority)) AS mx")
+      else Nil)
+    val sel = (key.map(k => s"$k AS k1").toSeq ++ meas).mkString(",\n  ")
+    s"SELECT $sel\nFROM orders JOIN customer ON o_custkey = c_custkey" +
+      (if (where.isEmpty) "" else "\nWHERE " + where.mkString(" AND ")) +
+      key.fold("")(k => s"\nGROUP BY $k") +
+      a.havingN.fold("")(h => s"\nHAVING count(*) >= $h") +
+      key.fold("")(_ => "\nORDER BY k1")
+  }
+
   // ---- registration ---------------------------------------------------
 
   /** Human-auditable description of each generated plan (the spec
     * prints these; COVERAGE.md records the committed set). */
   private[graft] def describe(seed: Int): String =
-    if (NULL_SEEDS.contains(seed)) {
+    if (STR_SEEDS.contains(seed)) {
+      val a = sastFor(seed)
+      s"seed=$seed strjoin preds=${a.preds.zip(a.predArgs).mkString("[", ",", "]")} " +
+        s"keyKind=${a.keyKind} subLen=${a.subLen} min=${a.wantMin} " +
+        s"max=${a.wantMax} having=${a.havingN}"
+    } else if (NULL_SEEDS.contains(seed)) {
       val a = nastFor(seed)
       s"seed=$seed leftjoin rightPrio=${a.rightPrio} rightYearLe=${a.rightYearLe} " +
         s"nullPred=${a.nullPred} linePreds=${a.linePreds.mkString("[", ",", "]")} " +
@@ -314,7 +427,8 @@ object Fuzz {
     }
 
   private[graft] def sqlFor(seed: Int): String =
-    if (NULL_SEEDS.contains(seed)) sqlNullQuery(nastFor(seed))
+    if (STR_SEEDS.contains(seed)) sqlStrQuery(sastFor(seed))
+    else if (NULL_SEEDS.contains(seed)) sqlNullQuery(nastFor(seed))
     else sqlQuery(astFor(seed))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -324,9 +438,13 @@ object Fuzz {
     }.toMap ++ NULL_SEEDS.map { i =>
       f"fz$i%02d_differential_null" ->
         ((s: SparkSession, dir: String) => sparkNullQuery(nastFor(i))(s, dir))
+    }.toMap ++ STR_SEEDS.map { i =>
+      f"fz$i%02d_differential_str" ->
+        ((s: SparkSession, dir: String) => sparkStrQuery(sastFor(i))(s, dir))
     }.toMap
 
   val oracles: Map[String, String] =
     (1 to N_QUERIES).map(i => f"fz$i%02d_differential" -> sqlFor(i)).toMap ++
-      NULL_SEEDS.map(i => f"fz$i%02d_differential_null" -> sqlFor(i)).toMap
+      NULL_SEEDS.map(i => f"fz$i%02d_differential_null" -> sqlFor(i)).toMap ++
+      STR_SEEDS.map(i => f"fz$i%02d_differential_str" -> sqlFor(i)).toMap
 }

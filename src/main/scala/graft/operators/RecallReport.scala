@@ -40,8 +40,17 @@ object RecallReport {
 
   private def r4(x: Double): Double = math.rint(x * 10000) / 10000
 
-  /** metric name → value, all rounded to 4 decimals. */
-  def compute(s: SparkSession, dir: String): Map[String, Double] = {
+  private val ALL_SECTIONS =
+    Set("dedup", "q51", "s03", "ann", "filtered", "walk")
+
+  /** metric name → value, all rounded to 4 decimals. `sections`
+    * restricts the (expensive) computation to named families — the
+    * full set is the published table; a single section is the
+    * iteration loop (`runMain ... <dir> walk`). */
+  def compute(s: SparkSession, dir: String,
+      sections: Set[String] = ALL_SECTIONS): Map[String, Double] = {
+    val caps = Seq(16, 64)
+    val dedup = if (!sections("dedup")) Nil else {
     val d02u = pairSet(Dedup.d02(s, dir))
     val d03u = pairSet(Dedup.d03(s, dir))
     val d11u = pairSet(Relational7.d11(s, dir), "cand_id", "ref_id")
@@ -50,8 +59,7 @@ object RecallReport {
     // algebra at Multimodal.AHASH_BANDS), so they ARE the truth sets
     val m05u = pairSet(Multimodal.m05(s, dir))
     val m06u = pairSet(Multimodal.m06(s, dir))
-    val caps = Seq(16, 64)
-    val dedup = caps.flatMap { m =>
+    caps.flatMap { m =>
       Seq(
         s"d02_recall_cap$m" -> r4(recall(pairSet(Dedup.d02(s, dir, Some(m))), d02u)),
         s"d03_recall_cap$m" -> r4(recall(pairSet(Dedup.d03(s, dir, Some(m))), d03u)),
@@ -64,6 +72,7 @@ object RecallReport {
         s"m06_recall_cap$m" -> r4(recall(
           pairSet(Multimodal.m06(s, dir, Some(m))), m06u)))
     }
+    }
     // q51: the blocked best-match vs the unblocked argmin over the
     // full cand × ref cross product (same prefix, same tie-break).
     // match_rate = of the candidates q51 answers, how many get the
@@ -72,13 +81,14 @@ object RecallReport {
     // no shingle collision with the reference corpus — by
     // construction not near-dups, so "unanswered" is the correct
     // output for them, but the number belongs in the report).
+    val q51 = if (!sections("q51")) Nil else {
     val q51Got = Relational7.q51(s, dir)
       .select("cand_id", "best_ref_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val q51True = Relational7.q51Exact(s, dir)
       .select("cand_id", "best_ref_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val q51 = Seq(
+    Seq(
       "q51_answered_fraction" -> r4(
         if (q51True.isEmpty) 1.0 else q51Got.size.toDouble / q51True.size),
       "q51_match_rate" -> r4(
@@ -86,22 +96,25 @@ object RecallReport {
         else q51Got.count { case (c, r) => q51True.get(c).contains(r) }
           .toDouble / q51Got.size),
       "q51_answered" -> q51Got.size.toDouble)
+    }
     // s03: exact pairs at the output threshold carry their cosine, so
     // higher thresholds are subsets of one all-pairs evaluation.
     // Truth-set SIZES are reported alongside recall: a recall of 1.0
     // over an empty truth set is vacuous, not a measurement (the r3-r4
     // comments claimed recall at cos ≥0.8/0.9 — thresholds this
     // synthetic corpus never reaches; max pair cosine ≈0.51).
+    val sim = if (!sections("s03")) Nil else {
     val exactRows = Similarity.s03Exact(s, dir)
       .select("a_id", "b_id", "cos_sim").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val cand = pairSet(Similarity.s03Candidates(s, dir))
     val n = Similarity.embCount(s, dir).toDouble
-    val sim = Seq(0.4, 0.45, 0.5).flatMap { t =>
+    Seq(0.4, 0.45, 0.5).flatMap { t =>
       val truth = exactRows.collect { case (p, c) if c >= t => p }.toSet
       Seq(f"s03_recall_cos$t%.2f" -> r4(recall(cand, truth)),
         f"s03_truth_cos$t%.2f" -> truth.size.toDouble)
     } :+ ("s03_candidate_fraction" -> r4(cand.size / (n * (n - 1) / 2)))
+    }
     // s13/s14: ANN recall@10 (mean over the 3 fixed queries) vs the
     // exact L2 top-10 — driver-side brute force over the collected
     // embedding table (diagnostic scale, like every ground truth here)
@@ -125,7 +138,7 @@ object RecallReport {
         ids.intersect(exactTop10(q)).size / 10.0 }
       r4(rs.sum / rs.size)
     }
-    val ann = Seq(
+    val ann = if (!sections("ann")) Nil else Seq(
       "s13_recall_at10" -> annRecall(Relational13.s13(s, dir)),
       "s13t_recall_at10" -> annRecall(Relational13.s13t(s, dir)),
       "s14_recall_at10" -> annRecall(Relational13.s14(s, dir)))
@@ -152,14 +165,16 @@ object RecallReport {
         (d, id)
       }.toSeq.sorted.take(10).map(_._2).toSet
     }
+    val filtered = if (!sections("filtered")) Nil else {
     val s26iGot = Relational13.s26i(s, dir)
       .select("q_id", "neighbor_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
     val s26iRs = s26iGot.map { case (q, ids) =>
       ids.intersect(exactFilteredTop10(q)).size / 10.0 }
-    val filtered = Seq(
+    Seq(
       "s26i_recall_at10" -> r4(s26iRs.sum / math.max(1, s26iRs.size)),
       "s26i_answered" -> s26iGot.map(_._2.size).sum.toDouble)
+    }
     // s20/s20b: graph-walk serving quality vs the exact COSINE
     // nearest neighbor (self-excluded) — Relational19Spec measures
     // sf0.001; these rows pin sf0.01 and tabulate sf0.1, where the
@@ -173,6 +188,7 @@ object RecallReport {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
+    val walk = if (!sections("walk")) Nil else {
     val wq = embs.keysIterator.filter(_ % 25 == 0).toSeq.sorted
     val greedyFound = Similarity.s20m(s, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -202,7 +218,7 @@ object RecallReport {
       if (ht.contains(ranked.head)) nnh += 1
     }
     val nW = wq.size.toDouble
-    val walk = Seq(
+    Seq(
       "s20_hit_at1" -> r4(g1 / nW),
       "s20_found_in_top5" -> r4(g5 / nW),
       "s20b_hit_at1" -> r4(b1 / nW),
@@ -211,12 +227,18 @@ object RecallReport {
       "s20h_hit_at1" -> r4(h1 / nW),
       "s20h_rank1_in_top5" -> r4(h5 / nW),
       "s20h_nn_in_beam" -> r4(nnh / nW))
+    }
     (dedup ++ sim ++ q51 ++ ann ++ filtered ++ walk).toMap
   }
 
-  /** Prints the SCALING.md markdown rows for one scale factor. */
+  /** Prints the SCALING.md markdown rows for one scale factor;
+    * optional second arg = comma-separated section names
+    * (dedup,q51,s03,ann,filtered,walk) for the iteration loop. */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sections = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(ALL_SECTIONS)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-recall")
@@ -225,7 +247,7 @@ object RecallReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
-      val m = compute(spark, dir)
+      val m = compute(spark, dir, sections)
       println(s"| metric | $dir |")
       println("|---|---|")
       m.toSeq.sortBy(_._1).foreach { case (k, v) => println(f"| $k | $v%.4f |") }

@@ -539,7 +539,14 @@ object Relational13 {
     out
   }
 
-  private val s13tOracle: String = {
+  /** The trained-PQ CTE chain SHARED by the s13t and s14/s26i/s26d
+    * oracles (r15 verdict #2 moved s14's fine stage onto the trained
+    * codebook, so the replay is one chain — the suffix-chain
+    * convention): expects an `e(vec_id, embedding, ...)` CTE; defines
+    * the Q20 subspace rows (`sub`), the unrolled integer-Lloyd rounds
+    * (`cb0`..`cbN`), the per-vector codes (`pqc`) and the integer
+    * query LUT (`lut`, vec_id < [[PQ_NQ]]). */
+  private lazy val sqlTrainedPqChain: String = {
     val isq = (a: String, b: String) =>
       s"CAST(list_sum([($a[j] - $b[j]) * ($a[j] - $b[j]) for j in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
     val iters = (1 to PQ_TRAIN_ITERS).map { i =>
@@ -559,8 +566,7 @@ object Relational13 {
         .stripMargin
     }.mkString(",\n")
     val cbN = s"cb$PQ_TRAIN_ITERS"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
+    s"""mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
        |pp AS (SELECT CAST(unnest(range(1, ${PQ_SUB + 1})) AS BIGINT) AS pos),
        |sub AS (SELECT vec_id, m,
        |  [CAST(round(CAST(embedding[m*$PQ_SUB+i] AS DOUBLE) * $Q20L) AS BIGINT)
@@ -571,13 +577,19 @@ object Relational13 {
        |$iters,
        |cd AS (SELECT vec_id, sub.m AS m, code, ${isq("sq", "cq")} AS d
        |  FROM sub JOIN $cbN ON sub.m = $cbN.m),
-       |codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+       |pqc AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
        |  FROM cd) WHERE rn = 1),
        |lut AS (SELECT q.vec_id AS q_id, q.m AS m, code, ${isq("q.sq", "cq")} AS ld2
-       |  FROM sub q JOIN $cbN ON q.m = $cbN.m WHERE q.vec_id < $PQ_NQ),
+       |  FROM sub q JOIN $cbN ON q.m = $cbN.m WHERE q.vec_id < $PQ_NQ)"""
+      .stripMargin
+  }
+
+  private lazy val s13tOracle: String = {
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$sqlTrainedPqChain,
        |adc AS (SELECT q_id, vec_id, CAST(sum(ld2) AS BIGINT) AS adc
-       |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |  FROM pqc JOIN lut ON pqc.m = lut.m AND pqc.code = lut.code
        |  WHERE vec_id <> q_id GROUP BY q_id, vec_id),
        |rk AS (SELECT q_id, vec_id AS neighbor_id, adc AS adc_d2q,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
@@ -643,37 +655,51 @@ object Relational13 {
 
   // ---- s14: IVF-PQ (cell-probed ADC + exact rerank) -----------------
 
-  private val IVF_PROBE = 4   // cells probed per query
-  private val IVF_POOL = 30   // ADC pool within the probed cells
+  private val IVF_CELLS = 32  // inverted-file cells (r16: the 10 label
+                              // cells were the measured router bottleneck —
+                              // finer Voronoi cells raise coverage at a
+                              // LOWER probe share: 8/32 = 25% vs 4/10 = 40%)
+  private val IVF_PROBE = 8   // cells probed per query (BASE cut — see
+                              // [[adaptiveProbe]] for the filtered form)
+  private val IVF_POOL = 50   // ADC pool within the probed cells (= PQ_POOL:
+                              // r15 verdict #2 — the 30-pool gave away
+                              // pool recall the probe cut hadn't already cost)
+  private val IVF_TRAIN_ITERS = 2 // coarse-centroid Lloyd rounds (r15 #2)
   private val Q20 = 1048576.0 // fixed-point scale for centroid routing
 
   /** IVF-PQ — the composition a billion-vector serving system
     * actually runs (Jégou et al. 2011 §V: inverted file for the
     * coarse cut, product codes for the fine distance): route each
     * query to its [[IVF_PROBE]] nearest cells, ADC-score ONLY the
-    * probed cells' members against the [[s13]] codebooks, pool, and
-    * exact-rerank the pool. Cell centroids seed from the label
-    * groups (deterministic "training", the s04 convention), but
-    * MEMBERSHIP is geometric — every vector assigns to its nearest
-    * centroid, the actual IVF inverted-file build (a label is
-    * metadata; a cell is a Voronoi region).
+    * probed cells' members, pool, and exact-rerank the pool. Both
+    * quantizers are TRAINED (r15 verdict #2 — the static label-mean
+    * router + seed codebook capped recall@10 at 0.333 at sf0.1):
+    * the coarse centroids seed from the label-group means and take
+    * [[IVF_TRAIN_ITERS]] integer-Lloyd rounds on the full-dim Q20
+    * grid ([[ivfTrainCentroids]]); the fine distances use the s13t
+    * trained per-subspace codebook ([[materializedTrainedPQ]] —
+    * measured +10pp over seed slices). MEMBERSHIP is geometric —
+    * every vector assigns to its nearest trained centroid, the
+    * actual IVF inverted-file build (a label is metadata; a cell is
+    * a Voronoi region).
     *
-    * Routing and assignment are exact integer arithmetic end to
-    * end: cell centroids AND vectors quantize to Q20 fixed point
-    * (round(v·2²⁰) — ~1e-6 grid against a ~1e-16 cross-engine avg
-    * wobble), so both decisions Σ(qq−cq)² are sums of LONGS with a
-    * total (dist, cell) tie-break — deterministic on any engine, no
-    * double-ranking gate anywhere in the query (the s09/VecDotQ
-    * discipline applied to the router, where s04 accepts the
-    * rounded-double risk).
+    * Training, routing, assignment, and ADC are exact integer
+    * arithmetic end to end: centroids AND vectors quantize to Q20
+    * fixed point (round(v·2²⁰) — ~1e-6 grid against a ~1e-16
+    * cross-engine avg wobble), Lloyd updates divide long sums with
+    * truncating `DIV` ≡ `//`, so every decision is a sum of LONGS
+    * with a total tie-break — deterministic on any engine, no
+    * double-ranking gate anywhere (the s09/VecDotQ discipline;
+    * `adc_d2q` is in Q40 area units, the s13t convention).
     *
     * Scale: the probe cut means the ADC stage touches
-    * nProbe/nCells of the corpus (2/10 here; 1/1000s in production)
+    * nProbe/nCells of the corpus (8/32 here; 1/1000s in production)
     * — the knob that makes exhaustive-scan ANN a per-cell scan; the
-    * centroid table is nCells·DIM longs broadcast; everything
-    * downstream is s13's bounded machinery on the restricted
-    * candidate set. Recall decomposes as router recall × PQ-pool
-    * recall, both measured in the spec. */
+    * centroid table is nCells·DIM longs broadcast; training adds
+    * [[IVF_TRAIN_ITERS]] × (one broadcast-argmin scan + one
+    * (cell, pos) aggregate) to the BUILD, nothing to the query.
+    * Recall decomposes as router recall × PQ-pool recall, both
+    * measured in the spec and the Recall report. */
   /** The FROZEN serving index for [[s14]] and the streaming face
     * ([[graft.streaming.AnnStream]]): corpus embeddings, Q20 cell
     * centroids, PQ codebook, and the cell-joined PQ codes — built
@@ -689,41 +715,116 @@ object Relational13 {
   private def q20(v: Column): Column =
     transform(v, x => round(x.cast("double") * Q20).cast("long"))
 
+  /** [[IVF_TRAIN_ITERS]] rounds of Lloyd on the COARSE centroids over
+    * the full-dim Q20 grid (r15 verdict #2 — the same integer-Lloyd
+    * discipline [[pqTrainCodebook]] applies per subspace, applied to
+    * the router): assignment is the exact-long argmin with a (dist,
+    * cell) total tie-break; the update divides per-position long sums
+    * with truncating `DIV` (≡ DuckDB `//`), so the trained centroids
+    * land on identical grid points on both engines; an emptied cell
+    * keeps its previous centroid via the left-join coalesce. Seeded
+    * from the label-group means (the previous static router), so
+    * training can only move centroids toward the data's actual
+    * Voronoi structure. Per-round snapshots freed (lloydIterate/d09).
+    * Scale: each round is one broadcast-centroid argmin scan + one
+    * (cell, pos)-keyed aggregate — nCells·DIM state, corpus scanned
+    * twice per round. */
+  private[graft] def ivfTrainCentroids(vq: DataFrame,
+      seed: DataFrame): DataFrame = {
+    var cent = seed.localCheckpoint()
+    for (_ <- 1 to IVF_TRAIN_ITERS) {
+      val asn = vq.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cell"),
+          isqdRoute(col("qq"), col("cq")).as("rdist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("rdist"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"))
+      val upd = asn.join(vq, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("qq")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), expr("sv DIV n").as("q")))),
+          x => x.getField("q")).as("ncq"))
+      val next = cent.join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ncq"), col("cq")).as("cq"))
+        .localCheckpoint()
+      graft.functions.CheckpointOps.freeLocalCheckpoint(cent)
+      cent = next
+    }
+    cent
+  }
+
   private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     import s.implicits._
     val e0 = t(s, dir, "embeddings")
     val e = e0.select($"vec_id", $"embedding")
-    // Q20 cell centroids: per-(cell, pos) mean, rounded once
-    val cent = e0.select($"label".cast("int").as("cell"),
-        posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"cell", $"pos").agg(avg($"v".cast("double")).as("c"))
-      .groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-        x => round(x.getField("c") * Q20).cast("long")).as("cq"))
-    // inverted-file build: every vector to its nearest centroid —
-    // min(struct) argmin (an aggregate, not a rank window; s08)
-    val asn = e.select($"vec_id", q20($"embedding").as("qq"))
+    val vq = e.select($"vec_id", q20($"embedding").as("qq")).localCheckpoint()
+    // the first [[IVF_CELLS]] quantized vectors SEED the centroids
+    // (the s07/PQ_K deterministic convention), then integer Lloyd
+    // (r15 verdict #2 / r16: the 10 static label-mean cells were the
+    // measured router bottleneck — labels are metadata, Voronoi
+    // regions are geometry, and 32 trained cells cover a query's
+    // neighborhood at a lower probe share)
+    val seed = vq.filter($"vec_id" < IVF_CELLS)
+      .select($"vec_id".cast("int").as("cell"), $"qq".as("cq"))
+    val cent = ivfTrainCentroids(vq, seed)
+    // inverted-file build: every vector to its nearest TRAINED
+    // centroid — min(struct) argmin (an aggregate, not a rank window)
+    val asn = vq
       .crossJoin(broadcast(cent))
       .select($"vec_id", $"cell", isqdRoute($"qq", $"cq").as("rdist"))
       .groupBy($"vec_id")
       .agg(min(struct($"rdist", $"cell")).as("best"))
       .select($"vec_id", $"best.cell".as("cell"))
-    val cb = pqCodebook(e)
-    IvfIndex(e, cent, cb, pqCodes(e, cb).join(asn, Seq("vec_id")))
+    // fine distances: the TRAINED per-subspace codebook (s13t's
+    // integer Lloyd — measured +10pp over seed slices at sf0.1), so
+    // every downstream distance is exact long arithmetic on the grid
+    val (sub, cb) = materializedTrainedPQ(s, dir)
+    val codes = sub.join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m", $"code", isqdL($"sq", $"cq").as("d"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"))
+      .join(asn, Seq("vec_id"))
+      .localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(vq)
+    IvfIndex(e, cent, cb, codes)
   }
 
   /** Integer-routed probe cut for a (q_id, embedding) query frame:
-    * each query's [[IVF_PROBE]] nearest cells by exact long
-    * arithmetic on the Q20 grid. */
-  private[graft] def ivfRoute(cent: DataFrame, q: DataFrame): DataFrame = {
+    * each query's `nProbe` nearest cells by exact long arithmetic on
+    * the Q20 grid (default [[IVF_PROBE]] — the unfiltered serving
+    * cut). */
+  private[graft] def ivfRoute(cent: DataFrame, q: DataFrame,
+      nProbe: Int = IVF_PROBE): DataFrame = {
     val wP = Window.partitionBy(col("q_id")).orderBy(col("rdist"), col("cell"))
     q.select(col("q_id"), q20(col("embedding")).as("qq"))
       .crossJoin(broadcast(cent))
       .select(col("q_id"), col("cell"), isqdRoute(col("qq"), col("cq")).as("rdist"))
       .withColumn("prn", row_number().over(wP))
-      .filter(col("prn") <= IVF_PROBE)
+      .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("cell"))
   }
+
+  /** SELECTIVITY-ADAPTIVE nProbe (r15 verdict #2, the fix the s26i
+    * docstring named): under a predicate that qualifies only a
+    * `qualifying / total` share of the corpus, the probe cut must
+    * widen to keep the EXPECTED number of qualifying candidates
+    * scanned constant — nProbe = min(nCells, ⌈[[IVF_PROBE]] ·
+    * total / qualifying⌉), integer-exact ceiling division on both
+    * engines. At selectivity 1 this is exactly [[IVF_PROBE]]; at the
+    * production <1% selectivities it saturates at nCells, where the
+    * ADC stage still touches only selectivity× the corpus (the
+    * inverted file is pre-filtered) — probe-share economics preserved
+    * at constant recall instead of constant cell count. The counts
+    * are two metadata-sized aggregates (one per side), the q71/q77
+    * driver-read convention. */
+  private[graft] def adaptiveProbe(nCells: Long, total: Long,
+      qualifying: Long): Int =
+    math.min(nCells,
+      (IVF_PROBE.toLong * total + qualifying - 1L) / qualifying).toInt
 
   /** ADC over the probed cells + exact full-dim rerank — the s14
     * tail for an arbitrary query frame against a frozen index. The
@@ -733,7 +834,13 @@ object Relational13 {
       probes: DataFrame): DataFrame = {
     val s = ix.e.sparkSession
     import s.implicits._
-    val lut = pqLutFor(q, ix.cb)
+    // integer query LUT against the TRAINED codebook: query subspaces
+    // snapped to the same Q20 grid, distances exact longs (Q40 area
+    // units, `adc_d2q` — the s13t discipline; no float, no round)
+    val lut = pqSubQ(q.select(col("q_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sq"))
+      .join(broadcast(ix.cb), Seq("m"))
+      .select($"q_id", $"m", $"code", isqdL($"sq", $"cq").as("ld2"))
     val pool = udaf(graft.functions.GroupedTopK.TopDocs(IVF_POOL))
     val adc = ix.codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
@@ -744,12 +851,12 @@ object Relational13 {
       .agg(pool(-$"adc", $"vec_id", $"cell".cast("long"), lit(0L)).as("cand"))
       .select($"q_id", posexplode($"cand").as(Seq("pos", "r")))
       .select($"q_id", $"r.doc_id".as("neighbor_id"),
-        (-$"r.score_ppm").as("adc_d2_micro"), $"r.tf".cast("int").as("cell"))
+        (-$"r.score_ppm").as("adc_d2q"), $"r.tf".cast("int").as("cell"))
     val qe = q.select($"q_id", $"embedding".as("q_emb"))
     val wR = Window.partitionBy($"q_id").orderBy($"exact_d2_micro", $"neighbor_id")
     adc.join(ix.e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .join(broadcast(qe), Seq("q_id"))
-      .select($"q_id", $"neighbor_id", $"cell", $"adc_d2_micro",
+      .select($"q_id", $"neighbor_id", $"cell", $"adc_d2q",
         round(sqd($"q_emb", $"embedding") * 1e6).cast("long").as("exact_d2_micro"))
       .withColumn("rank", row_number().over(wR).cast("long"))
       .filter($"rank" <= PQ_TOPK)
@@ -774,11 +881,15 @@ object Relational13 {
     * cell (centroids are corpus statistics, not per-predicate
     * assets), ADC and rerank touch only qualifying members of probed
     * cells. vs s26's exact pre-filter scan: same predicate semantics,
-    * probe-share economics, and the recall cost of cells whose
-    * qualifying population is thin (a probed cell with no qualifying
-    * member contributes nothing — the standard filtered-IVF loss,
-    * measured in the Recall report against the exact filtered
-    * ranking). */
+    * probe-share economics. The thin-cell loss mode (a probed cell
+    * with no qualifying member contributes nothing — the standard
+    * filtered-IVF loss) is countered the way production deployments
+    * counter it (r15 verdict #2): the probe cut WIDENS with the
+    * predicate's selectivity ([[adaptiveProbe]] — constant expected
+    * qualifying candidates scanned), and the Recall report measures
+    * the result against the exact filtered ranking. The crossover to
+    * s26's pre-filter-exact scan at low selectivity is dispatched by
+    * [[s26d]]. */
   def s26i(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ix = ivfIndex(s, dir)
@@ -788,62 +899,107 @@ object Relational13 {
     val fIx = ix.copy(codes = ix.codes.join(allowed, Seq("vec_id"), "left_semi"))
     val q = ix.e.filter($"vec_id" < PQ_NQ)
       .select($"vec_id".as("q_id"), $"embedding")
-    ivfServe(fIx, q, ivfRoute(ix.cent, q))
+    // r15 verdict #2: the probe cut widens with predicate selectivity
+    // (two metadata aggregates + the cell count — driver reads)
+    val nP = adaptiveProbe(ix.cent.count(), ix.e.count(), allowed.count())
+    ivfServe(fIx, q, ivfRoute(ix.cent, q, nP))
   }
 
-  /** The s14 replay, parameterized by an inverted-file predicate so
-    * the filtered composition (s26i) shares every other CTE byte for
-    * byte — the suffix-chain convention applied to IVF. */
-  private def s14OracleFor(codesWhere: String): String = {
+  /** SELECTIVITY-DISPATCHED FILTERED ANN (s26d — r15 verdict #4): the
+    * production crossover rule the s26/s26i docstrings describe, as a
+    * registered operator. One metadata aggregate estimates the
+    * predicate's selectivity; below [[S26D_CROSSOVER_PPM]] the
+    * dispatcher runs the PRE-FILTER-EXACT body
+    * ([[Similarity.s26serve]] semantics — at low selectivity the
+    * qualifying subset is small enough to scan exactly, and thin
+    * probed cells would cost real recall), at or above it the
+    * IN-CELL body ([[s26i]] — the probe-share × selectivity
+    * economics win once the subset is large). The branch is
+    * driver-side on integer-exact counted scalars (ppm by truncating
+    * division), so it is deterministic per dataset and the DuckDB
+    * oracle replays it as two selectivity-gated subqueries UNIONed —
+    * exactly one side is ever non-empty. Output is the common
+    * serving projection (q_id, rank, neighbor_id) plus the chosen
+    * `path`, which makes the DISPATCH itself hash-gated, not just
+    * the winning body. */
+  def s26d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val total = t(s, dir, "embeddings").count()
+    val qualifying = t(s, dir, "documents")
+      .filter($"lang" === Similarity.FILTER_LANG).count()
+    val selPpm = qualifying * 1000000L / total
+    if (selPpm < S26D_CROSSOVER_PPM)
+      Similarity.s26(s, dir)
+        .select($"q_id", $"rank", $"neighbor_id",
+          lit("prefilter").as("path"))
+        .orderBy($"q_id", $"rank")
+    else
+      s26i(s, dir)
+        .select($"q_id", $"rank", $"neighbor_id", lit("incell").as("path"))
+        .orderBy($"q_id", $"rank")
+  }
+
+  /** Dispatch crossover: 5% selectivity. Below it the pre-filter
+    * scan touches ≤ 1/20 of the corpus — cheaper than any probe
+    * machinery AND exact; above it the in-cell form's probe-share ×
+    * selectivity wins. The synthetic corpus' lang predicate sits at
+    * ~16% at every SF, so the gate exercises the in-cell branch; the
+    * spec forces both branches with its own predicates. */
+  private val S26D_CROSSOVER_PPM = 50000L
+
+  /** The s14 replay, parameterized by an inverted-file predicate, an
+    * optional extra CTE, and the probe-cut expression, so the
+    * filtered compositions (s26i adaptive-nProbe, s26d) share every
+    * other CTE byte for byte — the suffix-chain convention applied to
+    * IVF. Replays the COARSE integer-Lloyd rounds (ct0..ctN — r15
+    * verdict #2) and chains [[sqlTrainedPqChain]] for the fine
+    * stage. */
+  private def s14OracleFor(codesWhere: String, extraCtes: String,
+      probeCut: String): String = {
     val sqdSql = (a: String, b: String, len: Int) =>
       s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
          |      * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
          |    for i in range(1, ${len + 1})])""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS INT) AS lbl
-       |  FROM embeddings),
-       |cent AS (SELECT cell, list(cq ORDER BY p) AS cq FROM
-       |  (SELECT lbl AS cell, p, CAST(round(avg(CAST(v AS DOUBLE)) * 1048576)
-       |      AS BIGINT) AS cq
-       |   FROM (SELECT lbl, unnest(embedding) AS v,
-       |           unnest(range(1, 65)) AS p FROM e)
-       |   GROUP BY lbl, p) GROUP BY cell),
-       |vq AS (SELECT vec_id,
+    val routeD =
+      s"list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i]) for i in range(1, 65)])"
+    val citers = (1 to IVF_TRAIN_ITERS).map { i =>
+      s"""ca$i AS (SELECT vec_id, cell FROM
+         |  (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY $routeD, cell) AS rn
+         |   FROM vq CROSS JOIN ct${i - 1}) WHERE rn = 1),
+         |cu$i AS (SELECT cell, pos, CAST(sum(qq[pos]) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ca$i a JOIN vq ON vq.vec_id = a.vec_id
+         |  CROSS JOIN dp GROUP BY 1, 2),
+         |cn$i AS (SELECT cell, list(sv // n ORDER BY pos) AS ncq
+         |  FROM cu$i GROUP BY cell),
+         |ct$i AS MATERIALIZED (SELECT p.cell, coalesce(ncq, cq) AS cq
+         |  FROM ct${i - 1} p LEFT JOIN cn$i ON cn$i.cell = p.cell)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ctN = s"ct$IVF_TRAIN_ITERS"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |dp AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS pos),
+       |vq AS MATERIALIZED (SELECT vec_id,
        |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
        |      for i in range(1, 65)] AS qq
        |  FROM e),
+       |ct0 AS (SELECT CAST(vec_id AS INT) AS cell, qq AS cq
+       |  FROM vq WHERE vec_id < $IVF_CELLS),
+       |$citers,
        |asn AS (SELECT vec_id, cell FROM
        |  (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |     ORDER BY list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i])
-       |       for i in range(1, 65)]), cell) AS rn
-       |   FROM vq CROSS JOIN cent) WHERE rn = 1),
+       |     ORDER BY $routeD, cell) AS rn
+       |   FROM vq CROSS JOIN $ctN) WHERE rn = 1),$extraCtes
        |probes AS (SELECT q_id, cell FROM
        |  (SELECT vec_id AS q_id, cell, row_number() OVER (PARTITION BY vec_id
-       |     ORDER BY list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i])
-       |       for i in range(1, 65)]), cell) AS prn
-       |   FROM vq CROSS JOIN cent WHERE vec_id < $PQ_NQ)
-       |  WHERE prn <= $IVF_PROBE),
-       |mm AS (SELECT CAST(unnest(range(0, $PQ_M)) AS BIGINT) AS m),
-       |cb AS (SELECT m, CAST(vec_id AS INT) AS code,
-       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS cvec
-       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_K),
-       |sub AS (SELECT vec_id, m,
-       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS svec
-       |  FROM e CROSS JOIN mm),
-       |cd AS (SELECT vec_id, sub.m AS m, code,
-       |    ${sqdSql("svec", "cvec", PQ_SUB)} AS d
-       |  FROM sub JOIN cb ON sub.m = cb.m),
-       |codes AS (SELECT c0.vec_id AS vec_id, asn.cell AS cell, m, code
-       |  FROM (SELECT vec_id, m, code FROM (SELECT vec_id, m,
-       |      code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code)
-       |        AS rn FROM cd) WHERE rn = 1) c0
-       |  JOIN asn ON asn.vec_id = c0.vec_id$codesWhere),
-       |qs AS (SELECT vec_id AS q_id, m,
-       |    embedding[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qvec
-       |  FROM e CROSS JOIN mm WHERE vec_id < $PQ_NQ),
-       |lut AS (SELECT q_id, qs.m AS m, code,
-       |    CAST(round(${sqdSql("qvec", "cvec", PQ_SUB)} * 1000000) AS BIGINT)
-       |      AS ld2
-       |  FROM qs JOIN cb ON qs.m = cb.m),
+       |     ORDER BY $routeD, cell) AS prn
+       |   FROM vq CROSS JOIN $ctN WHERE vec_id < $PQ_NQ)
+       |  WHERE $probeCut),
+       |$sqlTrainedPqChain,
+       |codes AS (SELECT pqc.vec_id AS vec_id, asn.cell AS cell, m, code
+       |  FROM pqc
+       |  JOIN asn ON asn.vec_id = pqc.vec_id$codesWhere),
        |adc AS (SELECT lut.q_id AS q_id, vec_id, codes.cell AS cell,
        |    CAST(sum(ld2) AS BIGINT) AS adc
        |  FROM codes
@@ -851,10 +1007,10 @@ object Relational13 {
        |  JOIN lut ON lut.q_id = probes.q_id AND codes.m = lut.m
        |    AND codes.code = lut.code
        |  WHERE vec_id <> lut.q_id GROUP BY 1, 2, 3),
-       |rk AS (SELECT q_id, vec_id AS neighbor_id, cell, adc AS adc_d2_micro,
+       |rk AS (SELECT q_id, vec_id AS neighbor_id, cell, adc AS adc_d2q,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
        |  FROM adc),
-       |ex AS (SELECT rk.q_id, rk.neighbor_id, rk.cell AS cell, adc_d2_micro,
+       |ex AS (SELECT rk.q_id, rk.neighbor_id, rk.cell AS cell, adc_d2q,
        |    CAST(round(${sqdSql("q.embedding", "n.embedding", 64)} * 1000000)
        |      AS BIGINT) AS exact_d2_micro
        |  FROM rk JOIN e n ON n.vec_id = rk.neighbor_id
@@ -862,17 +1018,47 @@ object Relational13 {
        |  WHERE arn <= $IVF_POOL),
        |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY exact_d2_micro, neighbor_id) AS BIGINT) AS rank FROM ex)
-       |SELECT q_id, neighbor_id, cell, adc_d2_micro, exact_d2_micro, rank
+       |SELECT q_id, neighbor_id, cell, adc_d2q, exact_d2_micro, rank
        |FROM rr WHERE rank <= $PQ_TOPK
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  private val s14Oracle = s14OracleFor("")
+  private lazy val s14Oracle = s14OracleFor("", "", s"prn <= $IVF_PROBE")
 
-  private val s26iOracle = s14OracleFor(
+  /** s26i: inverted-file predicate + the [[adaptiveProbe]] cut — the
+    * npc CTE computes min(nCells, ⌈IVF_PROBE · total / qualifying⌉)
+    * with the same integer ceiling division as the Scala side. */
+  private lazy val s26iOracle = s14OracleFor(
     s"""
-       |  WHERE c0.vec_id IN (SELECT doc_id FROM documents
-       |    WHERE lang = '${Similarity.FILTER_LANG}')""".stripMargin)
+       |  WHERE pqc.vec_id IN (SELECT doc_id FROM documents
+       |    WHERE lang = '${Similarity.FILTER_LANG}')""".stripMargin,
+    s"""
+       |npc AS (SELECT LEAST(
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ct$IVF_TRAIN_ITERS),
+       |    ($IVF_PROBE * (SELECT CAST(count(*) AS BIGINT) FROM e) + qn - 1)
+       |      // qn) AS np
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS qn FROM documents
+       |    WHERE lang = '${Similarity.FILTER_LANG}')),""".stripMargin,
+    "prn <= (SELECT np FROM npc)")
+
+  /** s26d: both proven bodies as selectivity-gated subqueries — the
+    * ppm expression is the Scala dispatcher's truncating division,
+    * so exactly one branch is non-empty per dataset. */
+  private lazy val s26dOracle: String = {
+    val ppm =
+      s"""((SELECT CAST(count(*) AS BIGINT) FROM documents
+         |    WHERE lang = '${Similarity.FILTER_LANG}') * 1000000)
+         |  // (SELECT CAST(count(*) AS BIGINT) FROM embeddings)""".stripMargin
+    s"""SELECT q_id, rank, neighbor_id, path FROM (
+       |  SELECT q_id, rank, neighbor_id, 'incell' AS path
+       |  FROM ($s26iOracle)
+       |  WHERE $ppm >= $S26D_CROSSOVER_PPM
+       |  UNION ALL
+       |  SELECT q_id, rank, neighbor_id, 'prefilter' AS path
+       |  FROM (${Similarity.oracles("s26_filtered_ann")})
+       |  WHERE $ppm < $S26D_CROSSOVER_PPM)
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_incremental_rollup" -> (q57 _),
@@ -881,6 +1067,7 @@ object Relational13 {
     "s13_pq_adc_topk" -> (s13 _),
     "s14_ivf_pq" -> (s14 _),
     "s26i_filtered_ivf" -> (s26i _),
+    "s26d_filtered_dispatch" -> (s26d _),
     "s13t_pq_trained" -> (s13t _),
     "s13tm_pq_trained_serving" -> (s13tm _),
     "e11_window_topk" -> (e11 _))
@@ -892,6 +1079,7 @@ object Relational13 {
     "s13_pq_adc_topk" -> s13Oracle,
     "s14_ivf_pq" -> s14Oracle,
     "s26i_filtered_ivf" -> s26iOracle,
+    "s26d_filtered_dispatch" -> s26dOracle,
     "s13t_pq_trained" -> s13tOracle,
     "s13tm_pq_trained_serving" -> s13tOracle,
     "e11_window_topk" -> e11Oracle)

@@ -185,6 +185,25 @@ object Relational22 {
     * view directly over the post-change tables — the hash proves the
     * multiset algebra survives both-side deletes and the cross term,
     * exactly as q81's does. */
+  /** The two-level extrema fold over ANY signed (group, cents, m)
+    * feed — the single definition batch [[q82]] and the streaming
+    * face ([[graft.streaming.IvmStream.minmaxTws]]'s parity twin,
+    * StreamIvmSpec) both read, so stream ≡ batch is structural (the
+    * viewAgg/ADVICE-r14 convention): level 1 folds the signed
+    * multiplicities per (group, value) and drops cancelled values;
+    * level 2 re-derives min/max/count over the survivors only. */
+  private[graft] def minmaxView(signed: DataFrame): DataFrame = {
+    val s = signed.sparkSession
+    import s.implicits._
+    signed
+      .groupBy($"o_orderpriority", $"o_year", $"cents")
+      .agg(sum($"m").as("mult"))
+      .filter($"mult" > 0)
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
+        sum($"mult").as("n_items"))
+  }
+
   def q82(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (oOld, lOld, dO, dL) = sides(s, dir)
@@ -197,14 +216,10 @@ object Relational22 {
       .unionByName(joined(dO, dL))
       .groupBy($"o_orderpriority", $"o_year", $"cents")
       .agg(sum($"m").as("mult"))
-    val multiset = state.unionByName(delta)
-      .groupBy($"o_orderpriority", $"o_year", $"cents")
-      .agg(sum($"mult").as("mult"))
-      .filter($"mult" > 0)
-    // level 2: re-derive extrema from the surviving multiset only
-    multiset.groupBy($"o_orderpriority", $"o_year")
-      .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"),
-        sum($"mult").as("n_items"))
+    // the fold is [[minmaxView]] verbatim — partial (group, value)
+    // sums union in because level 1 is itself a signed sum
+    minmaxView(state.unionByName(delta)
+        .select($"o_orderpriority", $"o_year", $"cents", $"mult".as("m")))
       .orderBy($"o_orderpriority", $"o_year")
   }
 

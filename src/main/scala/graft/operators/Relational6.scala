@@ -337,6 +337,71 @@ object Relational6 {
       .orderBy($"rank")
   }
 
+  /** HASHED GUARANTEE ROW for the SpaceSaving sketch (x04b — r15
+    * verdict #7): x04's CONTENT is merge-order-dependent by nature
+    * (every bounded-size sketch's borderline tail is), but its
+    * GUARANTEES are deterministic, so this query states them as
+    * columns the DuckDB oracle can hash:
+    *
+    *  - `n_entries` = min(k, |distinct|) — the summary is full
+    *    exactly when the domain exceeds k (truncation only ever cuts
+    *    a >k union back to k);
+    *  - `n_hitters_in_sketch` = `n_true_hitters` — every item with
+    *    true frequency > n/k IS in the summary (Metwally 2005;
+    *    preserved by the mergeable-summaries union);
+    *  - `bounds_hold` — for every reported entry,
+    *    count − err ≤ true ≤ count (the sandwich LlmOpsSpec asserts,
+    *    here hash-gated against the exact counts in-plan).
+    *
+    * The oracle computes n_tot / n_entries / n_true_hitters exactly
+    * from the base table and states the other two as the guarantee's
+    * constants; the Spark side computes ALL of them from the actual
+    * sketch — any implementation regression (a dropped hitter, a
+    * broken merge bound) flips a value and breaks the hash. The
+    * sketch runs where x04's does (user_id, whose domain ≫ k, so the
+    * summary is genuinely lossy — the bounds are load-bearing, not
+    * vacuous); every assembled side is a 1-row aggregate crossJoin
+    * (the justified class). */
+  def x04b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hh = udaf(graft.functions.HeavyHitters.SpaceSaving(32))
+    val ev = t(s, dir, "events")
+    val tot = ev.agg(count(lit(1)).as("n_tot"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_count"))
+      .localCheckpoint()
+    val ent = ev.agg(hh($"user_id").as("es"))
+      .select(explode($"es").as("e"))
+      .select($"e.item".as("user_id"), $"e.count".as("est"),
+        $"e.err".as("err"))
+      .localCheckpoint()
+    val entStats = ent.join(exact, Seq("user_id"))
+      .agg(count(lit(1)).as("n_entries"),
+        expr("bool_and(est - err <= exact_count AND exact_count <= est)")
+          .as("bounds_hold"))
+    val hit = exact.crossJoin(broadcast(tot))
+      .filter($"exact_count" * 32 > $"n_tot")
+      .localCheckpoint()
+    val nHit = hit.agg(count(lit(1)).as("n_true_hitters"))
+    val nHitIn = hit.join(ent.select($"user_id"), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hitters_in_sketch"))
+    tot.crossJoin(entStats).crossJoin(nHit).crossJoin(nHitIn)
+      .select(lit(32L).as("k"), $"n_tot", $"n_entries",
+        $"n_true_hitters", $"n_hitters_in_sketch", $"bounds_hold")
+  }
+
+  private val x04bOracle =
+    s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM events),
+       |d AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+       |  FROM events),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_true_hitters FROM
+       |  (SELECT user_id FROM events GROUP BY user_id
+       |   HAVING count(*) * 32 > (SELECT n_tot FROM tot)))
+       |SELECT CAST(32 AS BIGINT) AS k, n_tot,
+       |  LEAST(CAST(32 AS BIGINT), nd) AS n_entries,
+       |  n_true_hitters, n_true_hitters AS n_hitters_in_sketch,
+       |  TRUE AS bounds_hold
+       |FROM tot CROSS JOIN d CROSS JOIN h""".stripMargin
+
   private val X04E_K = 32
 
   /** Deterministic face of the heavy-hitter tier (VERDICT r10 #7 —
@@ -390,6 +455,7 @@ object Relational6 {
     "e04_ewma" -> (e04 _),
     "t15_dup_ngram_stats" -> (t15 _),
     "x04_heavy_hitters" -> (x04 _),
+    "x04b_heavy_hitters_bounds" -> (x04b _),
     "x04e_heavy_hitters_exact" -> (x04e _),
     "q47_listagg" -> (q47 _),
     "t16_winnowing" -> (t16 _),
@@ -399,6 +465,7 @@ object Relational6 {
 
   val oracles: Map[String, String] = Map(
     "x04e_heavy_hitters_exact" -> x04eOracle,
+    "x04b_heavy_hitters_bounds" -> x04bOracle,
     "q45_filter_agg" -> q45Sql,
     "q46_grouping_sets" -> q46Sql,
     "e04_ewma" -> e04Sql,

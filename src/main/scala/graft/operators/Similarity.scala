@@ -783,6 +783,11 @@ object Similarity {
   private[graft] val KNN_K = 8 // out-degree of the knn graph (r14 verdict #1:
                             // k=3 capped every serving face — HNSW runs
                             // M=8-48; raised with diversity pruning below)
+  private val KNN_KEEP = 2  // slots reserved for the PUREST-cosine
+                            // candidates before the diversity order
+                            // (r16 — see the selection comment in
+                            // knnFromCandidates: guaranteed mutual
+                            // near-links are the NN's last hop)
   private val KNN_CAND = 24 // diversity-selection candidate pool per node
                             // (3×KNN_K — bounds the pairwise-cos work)
 
@@ -863,14 +868,23 @@ object Similarity {
       .filter($"rank0" <= KNN_CAND)
     // per-node diversity selection inside one array: dominance flag
     // per candidate (∃ closer candidate s with cos(s,c) > cos(v,c)),
-    // then sort by (dom, rank0) and keep the first KNN_K. The window
-    // and the groupBy share the vec_id partitioning — one shuffle.
+    // then sort by (reserved, dom, rank0) and keep the first KNN_K —
+    // where `reserved` pins the top-[[KNN_KEEP]] PURE-COSINE
+    // candidates ahead of the diversity order (r16: HNSW Alg. 4's
+    // keepPrunedConnections, made slot-reserving — pure RNG pruning
+    // cuts a node's closest neighbor exactly when the local clique is
+    // dense, which measured as "beam lands on exact top-5 but the NN
+    // itself has no link into it": s20h sf0.1 rank1_in_top5 1.0 vs
+    // hit@1 0.8125. Guaranteed mutual near-links restore the last
+    // hop). The window and the groupBy share the vec_id partitioning
+    // — one shuffle.
     val sel = pool
       .groupBy($"vec_id")
       .agg(sort_array(collect_list(
         struct($"rank0", $"neighbor_id", $"cos", $"ne", $"nn"))).as("cands"))
       .select($"vec_id", posexplode(slice(sort_array(transform($"cands", c =>
         struct(
+          (c.getField("rank0") > KNN_KEEP).as("res"),
           exists($"cands", sp =>
             sp.getField("rank0") < c.getField("rank0") &&
               vec_dot(sp.getField("ne"), c.getField("ne")) /
@@ -1068,18 +1082,79 @@ object Similarity {
 
   // ---- s20: greedy graph-walk ANN ------------------------------------
 
-  private val GREEDY_HOPS = 4
+  private val GREEDY_HOPS = 4     // walk-depth FLOOR, not the depth itself
+                                  // (see [[walkHops]] — r15 verdict #1)
+  private[graft] val HOPS_MAX = 8 // unroll bound of the oracle CTE chains
+                                  // (covers corpora to 8^6 ≈ 262k per walk
+                                  //  frame; beyond, depth pins at 8 until
+                                  //  the bound is raised)
+
+  /** CORPUS-ADAPTIVE WALK DEPTH (r15 verdict #1): a navigable-small-
+    * world graph's diameter grows ~log_k n (Malkov et al. 2014 §4),
+    * so a FIXED hop count decays with corpus size — measured: s20h
+    * hit@1 1.0 (sf0.01) → 0.7125 (sf0.1), flat s20 0.65 → 0.325 on
+    * the r15 graph at 4 hops. The depth is now derived from the size
+    * of the frame each walk actually runs over:
+    *
+    *   hops(n) = clamp([[GREEDY_HOPS]], ⌊log₈ n⌋ + 2, [[HOPS_MAX]])
+    *
+    * — integer-exact on BOTH engines (a power-of-8 threshold chain,
+    * never a floating log whose ulp could disagree at a boundary;
+    * the SQL twin is [[sqlHopsCte]]'s CASE over the same thresholds).
+    * The count is a 1-row driver read over an already-checkpointed
+    * frame (the q71/q77 metadata convention — at serving it is index
+    * metadata, not a scan). Per-query cost becomes entries × hops(n)
+    * × ef × out-degree — O(log n), the HNSW search bound, still
+    * corpus-INDEPENDENT per hop. Hops beyond hops(n) in the unrolled
+    * oracle are exact pass-throughs (the hop gate empties the
+    * candidate CTE; pooling an unchanged beam is the identity), so
+    * one static SQL string replays every SF. */
+  private def floorLog8(n: Long): Int = {
+    var f = 0
+    var p = 8L
+    while (f < 6 && p <= n) { f += 1; p *= 8 } // f = min(6, ⌊log₈ n⌋)
+    f
+  }
+
+  private[graft] def walkHops(n: Long): Int =
+    math.min(HOPS_MAX, math.max(GREEDY_HOPS, floorLog8(n) + 2))
+
+  private[graft] val EF_MAX = 128
+
+  /** CORPUS-ADAPTIVE BEAM WIDTH (r16): after symmetrization and
+    * adaptive depth, the remaining sf0.1 misses were all
+    * nn-never-entered-the-beam with the beam CONVERGED — i.e. ef, not
+    * hops, was binding (a converged beam gains nothing from depth;
+    * it gains exactly from width — HNSW tunes efSearch up with the
+    * recall target for the same reason). ef(n) = [[BEAM_B]] ·
+    * (1 + max(0, ⌊log₈ n⌋ − 4)), capped [[EF_MAX]] — 16 through
+    * sf0.01 (the pinned behavior), 32 at sf0.1, growing one
+    * [[BEAM_B]] per ×8 of corpus. Same integer-exact threshold chain
+    * as [[walkHops]]; the SQL twin lives in [[sqlHopsCte]]. */
+  private[graft] def walkEf(n: Long): Int =
+    math.min(EF_MAX, BEAM_B * (1 + math.max(0, floorLog8(n) - 4)))
+
   private val GREEDY_QMOD = 25    // query vectors: vec_id ≡ 0 (mod 25)
   private val GREEDY_ENTRIES = 16 // FIXED-size entry set — never corpus-sized
   private val GREEDY_ESEED = 20   // seed of the entry-selection hash order
-  private[graft] val BEAM_B = 16  // s20b beam width (ef in HNSW terms). Two
-                                  // measured lessons: 5 ran BELOW greedy hit@1
-                                  // (trimming 16 pooled entries to 5 discards
-                                  // climbable frontier), and on the r15 k=8
-                                  // diversity graph ef=8 ALSO lost to greedy
-                                  // (16 independent walks out-explore an
-                                  // 8-wide pooled frontier) — ef must be ≥ the
-                                  // entry count for pooling to dominate, so 16.
+  private[graft] val BEAM_B = 64  // s20b beam width (ef in HNSW terms), the
+                                  // RECALL knob. Three measured lessons: ef=5
+                                  // ran BELOW greedy hit@1 (trimming 16 pooled
+                                  // entries discards climbable frontier); ef=8
+                                  // lost to greedy on the k=8 graph (ef must be
+                                  // ≥ the entry count for pooling to dominate);
+                                  // and r16's miss anatomy — on this isotropic
+                                  // corpus every remaining sf0.1 miss was an
+                                  // exact NN whose OWN graph neighbors score
+                                  // below the ef=16 beam floor (best-neighbor
+                                  // query-cos vs the global 32nd/64th cos:
+                                  // 5/9 of 15 misses recoverable), so the
+                                  // floor had to drop: ef=64 is the measured
+                                  // hit@1 ≥ 0.9 operating point (HNSW practice
+                                  // sizes efSearch 50-200 by recall target for
+                                  // the same reason). Per-query cost stays
+                                  // corpus-independent: ef × out-degree per
+                                  // hop.
 
   /** The fixed-size entry set shared by [[s20]]/[[s20m]]/[[s20b]]:
     * the [[GREEDY_ENTRIES]] vectors FIRST in the seeded-hash total
@@ -1108,7 +1183,7 @@ object Similarity {
     * & Yashunin 2018, stacks), with SPREAD ENTRY POINTS: from each of
     * the [[GREEDY_ENTRIES]] hash-sampled entries ([[entrySet]]), a
     * walk repeatedly moves to the out-neighbor most similar to the
-    * query — strictly-better moves only, [[GREEDY_HOPS]] unrolled
+    * query — strictly-better moves only, [[walkHops]](n) unrolled
     * steps — and the best-settled walk per query wins. Multi-entry is
     * the standard remedy for a sparse graph's local maxima (a single
     * entry on this k=3 graph measured hit@1 = 0 — the walk stalls in
@@ -1124,9 +1199,10 @@ object Similarity {
     * hops it actually moved.
     *
     * At 100 TB this is the serving-economics argument for graph ANN:
-    * a query costs entries (a CONSTANT — [[entrySet]]) × hops ×
-    * out-degree (≤ [[KNN_K]]) × DIM similarity arithmetic —
-    * independent of corpus size — against IVF's probe share or brute
+    * a query costs entries (a CONSTANT — [[entrySet]]) ×
+    * [[walkHops]](n) (O(log n) — the depth now GROWS with the frame
+    * it walks, r15 verdict #1) × out-degree (≤ [[KNN_K]]) × DIM
+    * similarity arithmetic — against IVF's probe share or brute
     * force's full scan; the corpus-sized cost lives entirely in the
     * one-time graph build (s11, already priced, and incrementally
     * maintainable — the [[s21]]/[[insertIntoGraph]] insert path,
@@ -1157,9 +1233,35 @@ object Similarity {
     * parity is structural, never a reimplementation that could drift
     * by an ulp. `e` must carry (vec_id, embedding, nrm). Returns the
     * unsettled winner frame; callers settle and free checkpoints. */
+  /** The UNDIRECTED serving view of a knn edge table: edges ∪ reverse
+    * edges (r16, the measured fix the adaptive depth alone was not —
+    * at sf0.1 the s20h beam CONVERGED at 0.7125 hit@1 with hops 4
+    * AND 7, i.e. every miss was the exact NN never being REACHABLE
+    * through out-edges: a kNN digraph gives anti-hub nodes few or
+    * zero in-edges from a query's region. NSW/HNSW graphs are
+    * undirected for exactly this reason — Malkov 2014 §2: links are
+    * symmetric; HNSW's insert adds reverse links before shrinking).
+    * UNION ALL, no dedup: a mutual pair's duplicate candidate rows
+    * are absorbed by the walk algebra (greedy's argmax ties on
+    * identical (cos, dst); the beam pools by (q_id, node) max). Mean
+    * degree doubles to 2k — the per-hop cost re-pricing is
+    * documented in BASELINE.md; worst-case degree is a hub's
+    * in-degree, which the RNG diversity pruning already suppresses.
+    * Index assets stay the directed top-k lists (s21's insert/shrink
+    * contract is per-src top-k); symmetrization is a SERVING view,
+    * one map-side union per walk. */
+  private def undirected(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select($"src", $"dst")
+      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+  }
+
   private def greedyWalk(edges: DataFrame, e: DataFrame,
       q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
+    // corpus-adaptive depth: counted on the frame THIS walk runs over
+    // (full corpus, base subset, or live set — each caller's e)
+    val hops = walkHops(e.count())
     val ent = entrySet(e)
     // per-hop localCheckpoint (the beamPool/d09 discipline): the hop
     // references `cur` twice (probe + carry), so an uncheckpointed
@@ -1173,11 +1275,12 @@ object Similarity {
       .localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
-    for (_ <- 1 to GREEDY_HOPS) {
+    val ed2 = undirected(edges)
+    for (_ <- 1 to hops) {
       val prev = cur
       val probe = cur.select($"q_id", $"e0", $"qe", $"qn", $"node")
       val best = probe
-        .join(edges, probe("node") === edges("src"))
+        .join(ed2, probe("node") === ed2("src"))
         .join(dstE, Seq("dst"))
         .filter($"dst" =!= $"q_id")
         .select($"q_id", $"e0",
@@ -1264,14 +1367,15 @@ object Similarity {
     * each hop expands every frontier node's out-neighbors, pools them
     * with the frontier itself (so the beam never worsens), dedupes by
     * node, and keeps the top [[BEAM_B]] by the (cos DESC, id) total
-    * order. After [[GREEDY_HOPS]] hops the surviving beam IS the
+    * order. After [[walkHops]](n) hops the surviving beam IS the
     * result: (q_id, rank, found_id) — a top-[[BEAM_B]] answer where
     * greedy returns one node, and a better one: pooled frontiers
     * escape the local maxima that stall independent walks (hit@k
     * measured in Relational19Spec against greedy's, strictly above).
     *
     * Per-query cost is entries + hops × [[BEAM_B]] × out-degree
-    * (≤ [[KNN_K]]) scored candidates — corpus-independent, like
+    * (≤ [[KNN_K]]) scored candidates — O(log n) hops of constant
+    * per-hop work ([[walkHops]]), like
     * [[s20]]. The per-hop trim is a rank window PARTITIONED BY query
     * (never single-partition); dedup is a (q_id, node) aggregate.
     * Deterministic end to end, so the DuckDB oracle replays the full
@@ -1336,14 +1440,22 @@ object Similarity {
     // loop checkpoints. Superseded hops are freed; the final hop's
     // checkpoint backs the returned frame (the khopOver convention:
     // it stays cached, ≤ NQ·B rows).
+    // corpus-adaptive depth AND width, like greedyWalk's: every beam
+    // consumer (s20b, s20h both layers, the insert/re-embed
+    // selectors, the serving faces) walks ⌊log₈ n⌋+2 hops at
+    // ef = walkEf(n) of ITS OWN frame
+    val n = e.count()
+    val hops = walkHops(n)
+    val ef = walkEf(n)
     var beam = beam0.localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
     val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
-    for (_ <- 1 to GREEDY_HOPS) {
+    val ed2 = undirected(edges)
+    for (_ <- 1 to hops) {
       val prev = beam
       val cand = prev
-        .join(edges, prev("node") === edges("src"))
+        .join(ed2, prev("node") === ed2("src"))
         .join(dstE, Seq("dst"))
         .filter($"dst" =!= $"q_id")
         .select($"q_id", $"qe", $"qn", $"dst".as("node"),
@@ -1356,7 +1468,7 @@ object Similarity {
         .agg(max($"c").as("c"), first($"qe").as("qe"),
           first($"qn").as("qn"))
         .withColumn("rk", row_number().over(trim))
-        .filter($"rk" <= BEAM_B)
+        .filter($"rk" <= ef)
         .select($"q_id", $"qe", $"qn", $"node", $"c")
         .localCheckpoint()
       graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
@@ -1411,11 +1523,12 @@ object Similarity {
     * starts from those nodes plus their layer-0 out-neighbors and
     * runs the [[beamFrom]] loop (ef>1 at EVERY layer — descending
     * from a single settled winner measured worse than the flat beam:
-    * one wrong coarse region starves the descent). Per-query cost
-    * stays corpus-independent (16 entries × hops × beam-8 on layer 1
-    * + ≤ 8(1+k) seeds × hops × beam-8 on layer 0); the base walk now
-    * STARTS in the query's neighborhood instead of hoping 4 hops
-    * reach it. Deterministic end to end — the DuckDB oracle replays
+    * one wrong coarse region starves the descent). Per-query cost is
+    * O(log n): 16 entries × [[walkHops]](n/16) × ef on layer 1
+    * + ≤ ef(1+k) seeds × [[walkHops]](n) × ef on layer 0 — each
+    * layer's depth derived from the frame IT walks (r15 verdict #1);
+    * the base walk both STARTS in the query's neighborhood and now
+    * walks deep enough for the corpus it faces. Deterministic end to end — the DuckDB oracle replays
     * both layers (a second suffixed knn CTE chain over the sampled
     * subset, the lb0..lbH coarse beam, the seed expansion, then the
     * b0..bH base beam), the heaviest full-replay oracle in the repo.
@@ -1466,9 +1579,17 @@ object Similarity {
     import e.sparkSession.implicits._
     val coarse = beamWalk(l1edges, sub, q)
       .select($"q_id", $"found_id".as("node"))
+    // seed expansion over the UNDIRECTED view (r16): a coarse winner
+    // is near the query, and the query's true NN — whose own graph
+    // neighborhood may rank poorly against the query, the measured
+    // residual miss mode after symmetrized walks + adaptive
+    // depth/width — usually points AT it (the winner sits in the
+    // NN's top-k). In-neighbors of coarse winners are therefore
+    // exactly the nodes a directed expansion structurally misses.
+    val ed2 = undirected(edges0)
     val seeds = coarse.unionByName(
-        coarse.join(edges0, coarse("node") === edges0("src"))
-          .select(coarse("q_id"), edges0("dst").as("node")))
+        coarse.join(ed2, coarse("node") === ed2("src"))
+          .select(coarse("q_id"), ed2("dst").as("node")))
       .distinct()
     val nodeE = e.select($"vec_id".as("node"), $"embedding".as("ne"),
       $"nrm".as("nn"))
@@ -1566,11 +1687,12 @@ object Similarity {
     * this SF is in AnnInsertSpec (recall over the inserted graph vs a
     * full rebuild, SCALING.md row).
     *
-    * At 100 TB: per arrival the cost is one constant beam (entries ×
-    * hops × [[BEAM_B]] × out-degree ≤ [[KNN_K]] scored candidates) —
-    * independent of corpus size; the shrink touches ≤ [[KNN_K]] base
-    * rows per arrival. The corpus-sized build happens once (the base
-    * graph), and the index then absorbs arrivals forever at constant
+    * At 100 TB: per arrival the cost is one beam (entries ×
+    * [[walkHops]](n) × [[BEAM_B]] × out-degree ≤ [[KNN_K]] scored
+    * candidates) — O(log n) in the base size; the shrink touches
+    * ≤ [[KNN_K]] base rows per arrival. The corpus-sized build
+    * happens once (the base graph), and the index then absorbs
+    * arrivals forever at logarithmic
     * marginal cost — the missing third face of the ANN tier (build
     * s11/s20h, serve the AnnStream backends, ingest THIS).
     *
@@ -1636,8 +1758,8 @@ object Similarity {
     * "search, then connect", any search backend upgrades it, and
     * AnnInsertSpec measures the hierarchical selector's neighbor
     * recall against the flat one's (hier ≥ flat asserted, the
-    * beam-≥-greedy convention). Per-arrival cost stays
-    * corpus-independent: two constant beams instead of one. The
+    * beam-≥-greedy convention). Per-arrival cost stays O(log n):
+    * two adaptive-depth beams instead of one. The
     * DuckDB oracle is the repo's heaviest replay — TWO suffixed knn
     * chains (base, base∩sample) + the coarse beam + the seed
     * expansion + the base beam + both insert cuts. */
@@ -2054,7 +2176,7 @@ object Similarity {
        |  GROUP BY 1, 2),
        |ranked$sfx AS (SELECT c.vec_id, c.neighbor_id, c.cos,
        |  CAST(row_number() OVER (PARTITION BY c.vec_id
-       |    ORDER BY (d.neighbor_id IS NOT NULL), c.rank0) AS BIGINT) AS rank
+       |    ORDER BY (c.rank0 > $KNN_KEEP), (d.neighbor_id IS NOT NULL), c.rank0) AS BIGINT) AS rank
        |  FROM pool$sfx c LEFT JOIN dompr$sfx d
        |    ON d.vec_id = c.vec_id AND d.neighbor_id = c.neighbor_id)""".stripMargin
   }
@@ -2173,20 +2295,37 @@ object Similarity {
        |  ORDER BY $h, vec_id LIMIT $GREEDY_ENTRIES)""".stripMargin
   }
 
+  /** The [[walkHops]] derivation in DuckDB SQL — the same power-of-8
+    * threshold chain over count(*) of the walk's own frame, prefixed
+    * like the beam CTEs so one query can hold several walks. Hops
+    * past `h` in the unrolled chain are gated off in the candidate
+    * CTE, which makes them exact pass-throughs: the greedy CASE
+    * keeps the node on a NULL best; the beam pool of an unchanged
+    * ≤ ef frontier re-ranks to itself. */
+  private def sqlHopsCte(px: String, eCte: String): String =
+    s"""${px}hp AS (SELECT
+       |  LEAST($HOPS_MAX, GREATEST($GREEDY_HOPS, 2 + f)) AS h,
+       |  LEAST($EF_MAX, $BEAM_B * (1 + GREATEST(0, f - 4))) AS ef
+       |  FROM (SELECT CASE WHEN cnt >= 262144 THEN 6
+       |      WHEN cnt >= 32768 THEN 5 WHEN cnt >= 4096 THEN 4
+       |      WHEN cnt >= 512 THEN 3 WHEN cnt >= 64 THEN 2
+       |      WHEN cnt >= 8 THEN 1 ELSE 0 END AS f
+       |    FROM (SELECT count(*) AS cnt FROM $eCte)))""".stripMargin
+
   private lazy val s20Oracle: String = {
-    val steps = (1 to GREEDY_HOPS).map { i =>
-      s"""c$i AS (SELECT g.q_id, g.e0, ed.dst AS dst,
+    val steps = (1 to HOPS_MAX).map { i =>
+      s"""c$i AS (SELECT g.q_id, g.e0, eds.dst AS dst,
          |  list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)
          |     for i in range(1, ${DIM + 1})]) / (q.qn * de.nrm) AS c
-         |  FROM g${i - 1} g JOIN ed ON ed.src = g.node
-         |  JOIN e de ON de.vec_id = ed.dst
+         |  FROM g${i - 1} g JOIN eds ON eds.src = g.node
+         |  JOIN e de ON de.vec_id = eds.dst
          |  JOIN q ON q.q_id = g.q_id
-         |  WHERE ed.dst <> g.q_id),
+         |  WHERE eds.dst <> g.q_id AND $i <= (SELECT h FROM hp)),
          |b$i AS (SELECT q_id, e0, dst, c FROM (SELECT q_id, e0, dst, c,
          |    row_number() OVER (PARTITION BY q_id, e0
          |      ORDER BY c DESC, dst) AS rn
          |  FROM c$i) WHERE rn = 1),
-         |g$i AS (SELECT g.q_id, g.e0,
+         |g$i AS MATERIALIZED (SELECT g.q_id, g.e0,
          |  CASE WHEN b.c > g.cur_cos THEN b.dst ELSE g.node END AS node,
          |  CASE WHEN b.c > g.cur_cos THEN b.c ELSE g.cur_cos END AS cur_cos,
          |  g.n_moves + (CASE WHEN b.c > g.cur_cos THEN 1 ELSE 0 END)
@@ -2195,6 +2334,9 @@ object Similarity {
          |    ON b.q_id = g.q_id AND b.e0 = g.e0)""".stripMargin
     }.mkString(",\n")
     s"""WITH $sqlKnnEdgeCtes,
+       |${sqlHopsCte("", "e")},
+       |eds AS MATERIALIZED (SELECT src, dst FROM ed
+       |  UNION ALL SELECT dst AS src, src AS dst FROM ed),
        |$sqlEntryCte,
        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
        |  WHERE vec_id % $GREEDY_QMOD = 0),
@@ -2208,7 +2350,7 @@ object Similarity {
        |FROM (SELECT q_id, node, n_moves,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY cur_cos DESC, node, n_moves DESC) AS rn
-       |  FROM g$GREEDY_HOPS) WHERE rn = 1
+       |  FROM g$HOPS_MAX) WHERE rn = 1
        |ORDER BY q_id""".stripMargin
   }
 
@@ -2220,21 +2362,25 @@ object Similarity {
   private def sqlBeamSteps(px: String, edCte: String,
       eCte: String): String = {
     val dot = s"list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)\n     for i in range(1, ${DIM + 1})])"
-    (1 to GREEDY_HOPS).map { i =>
-      s"""${px}c$i AS (SELECT b.q_id, $edCte.dst AS node,
+    val sym =
+      s"""${px}eds AS MATERIALIZED (SELECT src, dst FROM $edCte
+         |  UNION ALL SELECT dst AS src, src AS dst FROM $edCte)""".stripMargin
+    sqlHopsCte(px, eCte) + ",\n" + sym + ",\n" + (1 to HOPS_MAX).map { i =>
+      s"""${px}c$i AS (SELECT b.q_id, ${px}eds.dst AS node,
          |  $dot / (q.qn * de.nrm) AS c
-         |  FROM ${px}b${i - 1} b JOIN $edCte ON $edCte.src = b.node
-         |  JOIN $eCte de ON de.vec_id = $edCte.dst
+         |  FROM ${px}b${i - 1} b JOIN ${px}eds ON ${px}eds.src = b.node
+         |  JOIN $eCte de ON de.vec_id = ${px}eds.dst
          |  JOIN q ON q.q_id = b.q_id
-         |  WHERE $edCte.dst <> b.q_id),
+         |  WHERE ${px}eds.dst <> b.q_id
+         |    AND $i <= (SELECT h FROM ${px}hp)),
          |${px}u$i AS (SELECT q_id, node, max(c) AS c FROM
          |  (SELECT q_id, node, c FROM ${px}b${i - 1}
          |   UNION ALL SELECT q_id, node, c FROM ${px}c$i)
          |  GROUP BY q_id, node),
-         |${px}b$i AS (SELECT q_id, node, c FROM (SELECT q_id, node, c,
+         |${px}b$i AS MATERIALIZED (SELECT q_id, node, c FROM (SELECT q_id, node, c,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY c DESC, node) AS rn
-         |  FROM ${px}u$i) WHERE rn <= $BEAM_B)""".stripMargin
+         |  FROM ${px}u$i) WHERE rn <= (SELECT ef FROM ${px}hp))""".stripMargin
     }.mkString(",\n")
   }
 
@@ -2255,7 +2401,7 @@ object Similarity {
        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY c DESC, node) AS BIGINT) AS rank,
        |  node AS found_id
-       |FROM b$GREEDY_HOPS
+       |FROM b$HOPS_MAX
        |ORDER BY q_id, rank""".stripMargin
   }
 
@@ -2284,9 +2430,11 @@ object Similarity {
        |  FROM q CROSS JOIN enh WHERE enh.e0 <> q.q_id),
        |${sqlBeamSteps("l", "edh", "eh")},
        |seeds AS (SELECT DISTINCT q_id, node FROM (
-       |  SELECT q_id, node FROM lb$GREEDY_HOPS
+       |  SELECT q_id, node FROM lb$HOPS_MAX
        |  UNION ALL SELECT l.q_id, ed.dst AS node
-       |  FROM lb$GREEDY_HOPS l JOIN ed ON ed.src = l.node)),
+       |  FROM lb$HOPS_MAX l JOIN ed ON ed.src = l.node
+       |  UNION ALL SELECT l.q_id, ed.src AS node
+       |  FROM lb$HOPS_MAX l JOIN ed ON ed.dst = l.node)),
        |b0 AS (SELECT s.q_id, s.node,
        |  $dot / (q.qn * de.nrm) AS c
        |  FROM seeds s JOIN e de ON de.vec_id = s.node
@@ -2296,7 +2444,7 @@ object Similarity {
        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY c DESC, node) AS BIGINT) AS rank,
        |  node AS found_id
-       |FROM b$GREEDY_HOPS
+       |FROM b$HOPS_MAX
        |ORDER BY q_id, rank""".stripMargin
   }
 
@@ -2326,7 +2474,7 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn
@@ -2372,9 +2520,11 @@ object Similarity {
        |  FROM q CROSS JOIN enih WHERE enih.e0 <> q.q_id),
        |${sqlBeamSteps("l", "edih", "eih")},
        |seeds AS (SELECT DISTINCT q_id, node FROM (
-       |  SELECT q_id, node FROM lb$GREEDY_HOPS
+       |  SELECT q_id, node FROM lb$HOPS_MAX
        |  UNION ALL SELECT l.q_id, edi.dst AS node
-       |  FROM lb$GREEDY_HOPS l JOIN edi ON edi.src = l.node)),
+       |  FROM lb$HOPS_MAX l JOIN edi ON edi.src = l.node
+       |  UNION ALL SELECT l.q_id, edi.src AS node
+       |  FROM lb$HOPS_MAX l JOIN edi ON edi.dst = l.node)),
        |b0 AS (SELECT s.q_id, s.node,
        |  $dot / (q.qn * de.nrm) AS c
        |  FROM seeds s JOIN ei de ON de.vec_id = s.node
@@ -2385,7 +2535,7 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn
@@ -2494,7 +2644,7 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$GREEDY_HOPS) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn

@@ -22,6 +22,12 @@ case class ViewState(upd: Long, n: Long, revenue_cents: Long)
 case class ViewRow(o_orderpriority: String, o_year: Long, upd: Long,
     revenue_cents: Long, n_items: Long, live: Boolean)
 
+/** One emitted extrema row from the retraction-safe min/max face
+  * ([[IvmStream.minmaxTws]]) — batch q82's columns plus the emission
+  * ordinal and the tombstone flag. */
+case class ExtremaRow(o_orderpriority: String, o_year: Long, upd: Long,
+    min_cents: Long, max_cents: Long, n_items: Long, live: Boolean)
+
 /** Streaming face of q81's retractable join-view maintenance (the
   * DBSP consumption contract): GIVEN a signed join-row changelog,
   * keeping the view current is ONE mergeable aggregate — every
@@ -44,15 +50,20 @@ case class ViewRow(o_orderpriority: String, o_year: Long, upd: Long,
   *    forever.
   *
   * The honest boundary (stated at q81 too): only SIGNED-SUM
-  * statistics maintain this way. A min/max under retraction needs
-  * the full value multiset — batch q82 maintains exactly that (a
-  * two-level aggregate whose level-1 state is the signed multiset);
-  * ITS live face stays batch because streaming it would make the
-  * per-group state value-domain-sized where everything here is
-  * constant per group — the state-cost cliff is the boundary, not
-  * expressibility.
+  * statistics maintain at constant per-group state. A min/max under
+  * retraction needs the full value multiset — batch q82 maintains
+  * exactly that (a two-level aggregate whose level-1 state is the
+  * signed multiset), and [[minmaxTws]] (r15 verdict #5) is its live
+  * face: a transformWithState processor whose MapState IS q82's
+  * level-1 state keyed (group → value → signed multiplicity), with
+  * zero-multiplicity entries freed on the spot (the tombstone-face
+  * state discipline) and the extrema re-derived per batch from the
+  * surviving entries only — never from the base tables. The
+  * per-group state is value-domain-sized, q82's documented price;
+  * the sum-only faces above stay the constant-state tier.
   *
-  * At 100 TB: state is live-group-sized; each micro-batch shuffles
+  * At 100 TB: state is live-group-sized (sum faces) or live-(group ×
+  * distinct-value)-sized (extrema face); each micro-batch shuffles
   * its own delta rows once on the group key. Deletes cost what
   * inserts cost. */
 object IvmStream {
@@ -97,5 +108,77 @@ object IvmStream {
           Iterator(ViewRow(key._1, key._2, next.upd,
             next.revenue_cents, next.n, next.n != 0L))
       }
+  }
+
+  /** RETRACTION-SAFE MIN/MAX face (r15 verdict #5) — batch q82's
+    * two-level algebra live: MapState holds the level-1 signed value
+    * multiset (value → multiplicity; negative allowed — a retraction
+    * arriving BEFORE the row it cancels must be remembered so the
+    * later insert annihilates it, the q81 any-order property one
+    * level finer). An entry folding to zero is REMOVED — on a
+    * churn-heavy changelog the freed entries are the difference
+    * between value-domain-sized and ever-growing state. Level 2
+    * re-derives (min, max, n) per batch from the SURVIVING positive
+    * entries only — a MapState scan of this group's live values,
+    * never a base-table read (the q82 contract). A group whose
+    * positive membership empties emits a `live = false` tombstone;
+    * its value entries are already freed, and only the 8-byte
+    * emission ordinal survives (so a returning group's emissions
+    * stay monotone — the ordinal is not the state cliff).
+    * StreamIvmSpec replays the chunked signed history, retractions
+    * interleaved before their inserts, and asserts the settled face
+    * equals batch q82 exactly. */
+  class MinMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), SignedJoinRow, ExtremaRow] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var mult: MapState[Long, Long] = _
+    @transient private var upd: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      mult = getHandle.getMapState[Long, Long]("mult",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      upd = getHandle.getValueState[Long]("upd",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[SignedJoinRow],
+        tv: TimerValues): Iterator[ExtremaRow] = {
+      rows.foreach { r =>
+        val cur = if (mult.containsKey(r.cents)) mult.getValue(r.cents) else 0L
+        val next = cur + r.m
+        if (next == 0L) mult.removeKey(r.cents) // freed, not zeroed
+        else mult.updateValue(r.cents, next)
+      }
+      val u = (if (upd.exists()) upd.get() else -1L) + 1L
+      upd.update(u)
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var n = 0L
+      mult.keys().foreach { v =>
+        val m = mult.getValue(v)
+        if (m > 0L) { // q82's `mult > 0` filter
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          n += m
+        }
+      }
+      if (n == 0L) Iterator(ExtremaRow(key._1, key._2, u, 0L, 0L, 0L,
+        live = false))
+      else Iterator(ExtremaRow(key._1, key._2, u, mn, mx, n, live = true))
+    }
+  }
+
+  /** The extrema face as a streaming transform — see
+    * [[MinMaxProcessor]]. */
+  def minmaxTws(deltas: Dataset[SignedJoinRow]): Dataset[ExtremaRow] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = deltas.sparkSession
+    import s.implicits._
+    deltas.groupByKey(r => (r.o_orderpriority, r.o_year))
+      .transformWithState(new MinMaxProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -115,15 +115,16 @@ class Relational13Spec extends SparkSpec {
       assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
         s"exact-distance inversion for query $q")
       // the probe cut really cut: results come from ≤ IVF_PROBE cells
-      assert(rs.map(_.getAs[Int]("cell")).distinct.size <= 4,
+      assert(rs.map(_.getAs[Int]("cell")).distinct.size <= 8,
         s"more cells than probed for query $q")
     }
-    // recall@10 vs brute force — the IVF caveat on an isotropic corpus:
-    // cells are Voronoi slivers of clusterless data, so the 4/10-cell
-    // probe cut costs real recall (measured 0.3-0.4/query here,
-    // 0.1-0.5 at sf0.1); floors pinned at the measured values. A
-    // corpus with actual cluster structure is where IVF recall
-    // concentrates — the s03/SCALING.md caveat.
+    // recall@10 vs brute force — r16: trained 32-cell coarse
+    // quantizer + trained PQ codebook + 50-pool at an 8/32 = 25%
+    // probe share (was 0.3-0.4/query on the 4/10 label-mean router;
+    // now 0.6667 mean at sf0.01 AND sf0.1 — the r15 verdict-#2 bar).
+    // The isotropic-corpus caveat still applies to the ceiling: the
+    // full-scan trained-PQ pool itself measures 0.6667 (SCALING.md),
+    // so the probe cut now costs almost nothing.
     val e = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
       .collect().map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
@@ -142,9 +143,9 @@ class Relational13Spec extends SparkSpec {
       q -> rs.map(_.getAs[Long]("neighbor_id")).toSet.intersect(exactTop).size / 10.0
     }
     recalls.foreach { case (q, r) =>
-      assert(r >= 0.2, s"recall@10 for query $q = $r below measured floor")
+      assert(r >= 0.5, s"recall@10 for query $q = $r below measured floor")
     }
-    assert(recalls.values.sum / recalls.size >= 0.3,
+    assert(recalls.values.sum / recalls.size >= 0.6,
       s"mean recall ${recalls.values.sum / recalls.size} below measured floor")
   }
 

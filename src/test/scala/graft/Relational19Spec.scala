@@ -230,9 +230,11 @@ class Relational19Spec extends SparkSpec {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val adj = operators.Similarity.s11(spark, sf)
+    // serving adjacency is the UNDIRECTED view (r16): edges ∪ reverse
+    val dirEdges = operators.Similarity.s11(spark, sf)
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (dirEdges ++ dirEdges.map(_.swap))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
     // the FIXED-size hash-sampled entry set (r13 verdict: the old
     // `≡ 7 mod 125` rule made entry count corpus-proportional): the
@@ -253,7 +255,7 @@ class Relational19Spec extends SparkSpec {
         var node = entry
         var cur = cos(vecs(q), vecs(entry))
         var moves = 0L
-        for (_ <- 1 to 4) {
+        for (_ <- 1 to operators.Similarity.walkHops(vecs.size)) {
           val cands = adj.getOrElse(node, Array.empty[Long])
             .filter(_ != q).map(d => (cos(vecs(q), vecs(d)), d))
           if (cands.nonEmpty) {
@@ -313,9 +315,10 @@ class Relational19Spec extends SparkSpec {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val adj = operators.Similarity.s11(spark, sf)
+    val dirEdges = operators.Similarity.s11(spark, sf)
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (dirEdges ++ dirEdges.map(_.swap))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
     def entH(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -332,14 +335,15 @@ class Relational19Spec extends SparkSpec {
       var beam = entries.filter(_ != q)
         .map(e => (cos(vecs(q), vecs(e)), e))
         .sortBy { case (c, n) => (-c, n) }
-      for (_ <- 1 to 4) {
+      for (_ <- 1 to operators.Similarity.walkHops(vecs.size)) {
         val cands = beam.flatMap { case (_, node) =>
           adj.getOrElse(node, Array.empty[Long]).filter(_ != q)
             .map(d => (cos(vecs(q), vecs(d)), d))
         }
         beam = (beam ++ cands).groupBy(_._2)
           .map { case (n, vs) => (vs.map(_._1).max, n) }.toSeq
-          .sortBy { case (c, n) => (-c, n) }.take(operators.Similarity.BEAM_B)
+          .sortBy { case (c, n) => (-c, n) }
+          .take(operators.Similarity.walkEf(vecs.size))
       }
       beam.zipWithIndex.map { case ((_, n), i) => (q, (i + 1).toLong, n) }
     }
@@ -399,10 +403,12 @@ class Relational19Spec extends SparkSpec {
     // both layers' adjacency from the engine's shared knn machinery
     // (s11 carries its own oracle; the WALK replay below is what this
     // test derives independently — the s20/s20b convention)
-    def adjOf(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Long]] =
-      df.select($"vec_id", $"neighbor_id").collect()
+    def adjOf(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Long]] = {
+      val dirE = df.select($"vec_id", $"neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      (dirE ++ dirE.map(_.swap)) // the undirected serving view (r16)
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    }
     val adj0 = adjOf(operators.Similarity.s11(spark, sf))
     val e = Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding")
@@ -411,30 +417,34 @@ class Relational19Spec extends SparkSpec {
       operators.Similarity.candidatePairs(subDf).select($"a_id", $"b_id")))
     val entries = subIds.sortBy(id => (entH(s"20:$id"), id)).take(16)
     val queries = vecs.keys.filter(_ % 25 == 0).toSeq.sorted
-    def beamLoop(q: Long, adj: Map[Long, Array[Long]],
+    def beamLoop(q: Long, adj: Map[Long, Array[Long]], n: Int,
         beam0: Seq[(Double, Long)]): Seq[(Double, Long)] = {
       var beam = beam0
-      for (_ <- 1 to 4) {
+      for (_ <- 1 to operators.Similarity.walkHops(n.toLong)) {
         val cands = beam.flatMap { case (_, node) =>
           adj.getOrElse(node, Array.empty[Long]).filter(_ != q)
             .map(d => (cos(vecs(q), vecs(d)), d))
         }
         beam = (beam ++ cands).groupBy(_._2)
           .map { case (n, vs) => (vs.map(_._1).max, n) }.toSeq
-          .sortBy { case (c, n) => (-c, n) }.take(operators.Similarity.BEAM_B)
+          .sortBy { case (c, n) => (-c, n) }
+          .take(operators.Similarity.walkEf(n.toLong))
       }
       beam
     }
     val want = queries.flatMap { q =>
-      // layer-1 BEAM from the subset's entry set (ef>1 per layer)
-      val coarse = beamLoop(q, adj1, entries.filter(_ != q)
+      // layer-1 BEAM from the subset's entry set (ef>1 per layer);
+      // each layer's depth/width derive from ITS OWN frame size
+      val coarse = beamLoop(q, adj1, subIds.size, entries.filter(_ != q)
         .map(e0 => (cos(vecs(q), vecs(e0)), e0))
         .sortBy { case (c, n) => (-c, n) })
-      // descend: seeds = coarse beam nodes plus their L0 out-neighbors
+      // descend: seeds = coarse beam nodes plus their UNDIRECTED L0
+      // neighbors (r16: in-neighbors of coarse winners are exactly
+      // the nodes a directed expansion structurally misses)
       val seedNodes = coarse.map(_._2)
         .flatMap(n => n +: adj0.getOrElse(n, Array.empty[Long]).toSeq)
         .distinct.filter(_ != q)
-      val beam = beamLoop(q, adj0,
+      val beam = beamLoop(q, adj0, vecs.size,
         seedNodes.map(n => (cos(vecs(q), vecs(n)), n))
           .sortBy { case (c, n) => (-c, n) })
       beam.zipWithIndex.map { case ((_, n), i) => (q, (i + 1).toLong, n) }

@@ -79,6 +79,71 @@ class StreamIvmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed multiset fold equals batch q82 (minmax tws face)") {
+    val hist = Relational22.signedHistory(spark, sf)
+    val dir = chunkedDir("ivm-minmax", hist, 3)
+    // the chunk hash interleaves signs, so retractions (including the
+    // both-side-delete cross term's +1 restores) arrive before and
+    // after the rows they cancel — the multiset fold must not care
+    StreamTestIO.withRocksDB(spark) {
+      val q = EventStreams.runToMemory(
+        IvmStream.minmaxTws(historyStream(dir).as[SignedJoinRow]).toDF(),
+        "ivm_minmax")
+      try {
+        val got = spark.table("ivm_minmax").collect()
+          .groupBy(r => (r.getAs[String]("o_orderpriority"),
+            r.getAs[Long]("o_year")))
+          .view.mapValues(_.maxBy(_.getAs[Long]("upd"))).values
+          .filter(_.getAs[Boolean]("live"))
+          .map(r => (r.getAs[String]("o_orderpriority"),
+            r.getAs[Long]("o_year"), r.getAs[Long]("min_cents"),
+            r.getAs[Long]("max_cents"), r.getAs[Long]("n_items")))
+          .toSeq.sorted
+        val batch = Relational22.q82(spark, sf)
+          .select($"o_orderpriority", $"o_year", $"min_cents",
+            $"max_cents", $"n_items")
+          .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(got == batch, "minmax tws face diverges from batch q82")
+      } finally q.stop()
+    }
+  }
+
+  test("extrema face: a retraction exposes the runner-up; zero entries free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-mm")
+    dir.toFile.deleteOnExit()
+    val base = System.currentTimeMillis() - 60000
+    def chunk(i: Int, rows: Seq[SignedJoinRow]): Unit =
+      StreamTestIO.writeChunk(rows.toDS().toDF(),
+        dir.resolve(s"c$i.parquet"), base + i * 1000)
+    // batch 0: a retraction ARRIVES BEFORE its row (m = -1 for 100);
+    // batch 1: values 100 (annihilates), 50, 70 — min must be 50;
+    // batch 2: retract the minimum 50 — the runner-up 70 surfaces,
+    // exactly what q81's single-row state can never do
+    chunk(0, Seq(SignedJoinRow("P", 2000L, 100L, -1L)))
+    chunk(1, Seq(SignedJoinRow("P", 2000L, 100L, 1L),
+      SignedJoinRow("P", 2000L, 50L, 1L),
+      SignedJoinRow("P", 2000L, 70L, 1L)))
+    chunk(2, Seq(SignedJoinRow("P", 2000L, 50L, -1L)))
+    StreamTestIO.withRocksDB(spark) {
+      val q = EventStreams.runToMemory(
+        IvmStream.minmaxTws(historyStream(dir.toString)
+          .as[SignedJoinRow]).toDF(),
+        "ivm_mm_runner")
+      try {
+        val rows = spark.table("ivm_mm_runner").collect()
+          .map(r => (r.getAs[Long]("upd"), r.getAs[Long]("min_cents"),
+            r.getAs[Long]("max_cents"), r.getAs[Long]("n_items"),
+            r.getAs[Boolean]("live")))
+          .toSeq.sortBy(_._1)
+        // upd 0: only the early retraction — negative entry held,
+        // nothing live; upd 1: 100 annihilated, {50, 70} live;
+        // upd 2: min retracted, runner-up 70 IS the new extremum
+        assert(rows == Seq((0L, 0L, 0L, 0L, false),
+          (1L, 50L, 70L, 2L, true), (2L, 70L, 70L, 1L, true)))
+      } finally q.stop()
+    }
+  }
+
   test("a cancelled group frees its state and tombstones") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivm-cancel")
     dir.toFile.deleteOnExit()
