@@ -317,10 +317,14 @@ object Relational6 {
     * exact counts alongside (the x01 convention). Rows-only like
     * x01/x03: sketch content is merge-order- and engine-specific;
     * `LlmOpsSpec` asserts the order-free guarantees (exactness when
-    * k ≥ domain, `est-err ≤ true ≤ est` always). At 100 TB the
-    * sketch's map-side partials shuffle ≤ k triples per partition
-    * versus the exact groupBy's every-distinct-item exchange — here
-    * the exact join-back exists only to expose the error bound. */
+    * k ≥ domain, `est-err ≤ true ≤ est` always). The tier's THREE
+    * faces: this demo row (content, rows-only by design), [[x04e]]
+    * (the exact-threshold twin, hash-exact) and [[x04b]] (r16 — the
+    * sketch's deterministic GUARANTEES as a hash-gated row). At
+    * 100 TB the sketch's map-side partials shuffle ≤ k triples per
+    * partition versus the exact groupBy's every-distinct-item
+    * exchange — here the exact join-back exists only to expose the
+    * error bound. */
   def x04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hh = udaf(graft.functions.HeavyHitters.SpaceSaving(32))
