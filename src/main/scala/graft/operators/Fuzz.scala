@@ -55,12 +55,23 @@ import graft.Tables
   * (1-indexed substr, binary-order min/max, %-wildcard LIKE), and
   * lengths sum as exact longs — so a hash divergence is a real
   * semantics bug, never an encoding artifact.
+  *
+  * fz29-fz36 (r16, the second half of the r15 verdict-#6 sentence)
+  * point the gate at DATE/TIMESTAMP arithmetic: interval addition,
+  * day-difference (argument order is a classic cross-engine trap —
+  * Spark datediff(end, start) vs DuckDB date_diff('day', start,
+  * end)), month/quarter extraction, date_trunc GROUP BY keys, and
+  * timestamp min/max — over lineitem ⋈ orders where ship-vs-order
+  * lags are positive by construction (so integer bucket division
+  * has one rounding mode). All sessions run UTC; every extracted
+  * number is CAST to BIGINT.
   */
 object Fuzz {
 
   private val N_QUERIES = 12
   private val NULL_SEEDS = 13 to 20
   private val STR_SEEDS = 21 to 28
+  private val TS_SEEDS = 29 to 36
 
   // ---- the tiny AST ---------------------------------------------------
 
@@ -403,12 +414,114 @@ object Fuzz {
       key.fold("")(_ => "\nORDER BY k1")
   }
 
+  // ---- the timestamp axis (fz29-fz36) ----------------------------------
+
+  private case class TAst(
+      preds: Seq[(Int, String)], // (kind, arg) rendered below
+      keyKind: Int,              // 0 global, 1 date_trunc month, 2 year,
+                                 // 3 quarter, 4 30-day ship-lag bucket
+      ivDays: Int,               // interval width for pred/measure
+      wantMinTs: Boolean,        // min(l_shipdate)
+      wantMaxIv: Boolean,        // max(l_shipdate + INTERVAL ivDays DAY)
+      wantLag: Boolean,          // sum(datediff(ship, order))
+      havingN: Option[Int])
+
+  /** Deterministic timestamp-axis AST; always lineitem ⋈ orders so
+    * the two-date arithmetic (lag, comparisons) is exercisable. */
+  private def tastFor(seed: Int): TAst = {
+    val r = new java.util.Random(seed.toLong * 0x9E3779B9L + 53)
+    val nPreds = r.nextInt(3)
+    val picks = r.ints(0, 4).distinct().limit(nPreds.toLong).toArray.toSeq
+    val preds = picks.map {
+      case 0 => (0, DATES(r.nextInt(DATES.size)))       // ship >= date
+      case 1 => (1, (1 + r.nextInt(12)).toString)       // month(ship) = m
+      case 2 => (2, (1 + r.nextInt(4)).toString)        // quarter(ship) = q
+      case _ => (3, (10 + r.nextInt(80)).toString)      // ship <= order + d
+    }
+    TAst(preds, keyKind = r.nextInt(5), ivDays = 1 + r.nextInt(90),
+      wantMinTs = r.nextBoolean(), wantMaxIv = r.nextBoolean(),
+      wantLag = r.nextBoolean(),
+      havingN = if (r.nextInt(3) == 0) Some(1 + r.nextInt(5)) else None)
+  }
+
+  private def sparkTsQuery(a: TAst)(s: SparkSession, dir: String): DataFrame = {
+    val base0 = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val base = a.preds.foldLeft(base0) { case (d, (k, v)) =>
+      d.filter(k match {
+        case 0 => col("l_shipdate") >= lit(v).cast("timestamp")
+        case 1 => month(col("l_shipdate")) === v.toInt
+        case 2 => quarter(col("l_shipdate")) === v.toInt
+        case _ => col("l_shipdate") <= expr(s"o_orderdate + INTERVAL $v DAY")
+      })
+    }
+    val key = a.keyKind match {
+      case 1 => Some(date_trunc("month", col("l_shipdate")).as("k1"))
+      case 2 => Some(year(col("l_shipdate")).cast("long").as("k1"))
+      case 3 => Some(quarter(col("l_shipdate")).cast("long").as("k1"))
+      case 4 => Some(expr(
+        "CAST(datediff(l_shipdate, o_orderdate) AS BIGINT) DIV 30").as("k1"))
+      case _ => None
+    }
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (if (a.wantMinTs) Seq(min(col("l_shipdate")).as("mn_ts")) else Nil) ++
+      (if (a.wantMaxIv) Seq(max(expr(
+        s"l_shipdate + INTERVAL ${a.ivDays} DAY")).as("mx_ts")) else Nil) ++
+      (if (a.wantLag) Seq(sum(
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .as("lag_days")) else Nil)
+    val grouped = key match {
+      case Some(k) => base.groupBy(k).agg(aggs.head, aggs.tail: _*)
+      case None => base.agg(aggs.head, aggs.tail: _*)
+    }
+    val cut = a.havingN.fold(grouped)(h => grouped.filter(col("n") >= h))
+    if (key.isEmpty) cut else cut.orderBy(col("k1"))
+  }
+
+  private def sqlTsQuery(a: TAst): String = {
+    val where = a.preds.map {
+      case (0, v) => s"l_shipdate >= TIMESTAMP '$v'"
+      case (1, v) => s"CAST(month(l_shipdate) AS BIGINT) = $v"
+      case (2, v) => s"CAST(quarter(l_shipdate) AS BIGINT) = $v"
+      case (_, v) => s"l_shipdate <= o_orderdate + INTERVAL $v DAY"
+    }
+    val key = a.keyKind match {
+      case 1 => Some("CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)")
+      case 2 => Some("CAST(year(l_shipdate) AS BIGINT)")
+      case 3 => Some("CAST(quarter(l_shipdate) AS BIGINT)")
+      case 4 => Some("CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT) // 30")
+      case _ => None
+    }
+    val meas = Seq("CAST(count(*) AS BIGINT) AS n") ++
+      (if (a.wantMinTs) Seq("min(l_shipdate) AS mn_ts") else Nil) ++
+      (if (a.wantMaxIv)
+        Seq(s"max(l_shipdate + INTERVAL ${a.ivDays} DAY) AS mx_ts")
+      else Nil) ++
+      (if (a.wantLag)
+        Seq("CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), " +
+          "CAST(l_shipdate AS DATE))) AS BIGINT) AS lag_days")
+      else Nil)
+    val sel = (key.map(k => s"$k AS k1").toSeq ++ meas).mkString(",\n  ")
+    s"SELECT $sel\nFROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+      (if (where.isEmpty) "" else "\nWHERE " + where.mkString(" AND ")) +
+      key.fold("")(k => s"\nGROUP BY $k") +
+      a.havingN.fold("")(h => s"\nHAVING count(*) >= $h") +
+      key.fold("")(_ => "\nORDER BY k1")
+  }
+
   // ---- registration ---------------------------------------------------
 
   /** Human-auditable description of each generated plan (the spec
     * prints these; COVERAGE.md records the committed set). */
   private[graft] def describe(seed: Int): String =
-    if (STR_SEEDS.contains(seed)) {
+    if (TS_SEEDS.contains(seed)) {
+      val a = tastFor(seed)
+      s"seed=$seed tsjoin preds=${a.preds.mkString("[", ",", "]")} " +
+        s"keyKind=${a.keyKind} ivDays=${a.ivDays} minTs=${a.wantMinTs} " +
+        s"maxIv=${a.wantMaxIv} lag=${a.wantLag} having=${a.havingN}"
+    } else if (STR_SEEDS.contains(seed)) {
       val a = sastFor(seed)
       s"seed=$seed strjoin preds=${a.preds.zip(a.predArgs).mkString("[", ",", "]")} " +
         s"keyKind=${a.keyKind} subLen=${a.subLen} min=${a.wantMin} " +
@@ -427,7 +540,8 @@ object Fuzz {
     }
 
   private[graft] def sqlFor(seed: Int): String =
-    if (STR_SEEDS.contains(seed)) sqlStrQuery(sastFor(seed))
+    if (TS_SEEDS.contains(seed)) sqlTsQuery(tastFor(seed))
+    else if (STR_SEEDS.contains(seed)) sqlStrQuery(sastFor(seed))
     else if (NULL_SEEDS.contains(seed)) sqlNullQuery(nastFor(seed))
     else sqlQuery(astFor(seed))
 
@@ -441,10 +555,14 @@ object Fuzz {
     }.toMap ++ STR_SEEDS.map { i =>
       f"fz$i%02d_differential_str" ->
         ((s: SparkSession, dir: String) => sparkStrQuery(sastFor(i))(s, dir))
+    }.toMap ++ TS_SEEDS.map { i =>
+      f"fz$i%02d_differential_ts" ->
+        ((s: SparkSession, dir: String) => sparkTsQuery(tastFor(i))(s, dir))
     }.toMap
 
   val oracles: Map[String, String] =
     (1 to N_QUERIES).map(i => f"fz$i%02d_differential" -> sqlFor(i)).toMap ++
       NULL_SEEDS.map(i => f"fz$i%02d_differential_null" -> sqlFor(i)).toMap ++
-      STR_SEEDS.map(i => f"fz$i%02d_differential_str" -> sqlFor(i)).toMap
+      STR_SEEDS.map(i => f"fz$i%02d_differential_str" -> sqlFor(i)).toMap ++
+      TS_SEEDS.map(i => f"fz$i%02d_differential_ts" -> sqlFor(i)).toMap
 }

@@ -204,10 +204,12 @@ object Relational22 {
         sum($"mult").as("n_items"))
   }
 
-  def q82(s: SparkSession, dir: String): DataFrame = {
+  /** The pre-change level-1 state ⊎ the signed delta, both pre-folded
+    * per (group, value) — the feed [[q82]] and [[q83]] re-aggregate
+    * (partial sums union in because level 1 is itself a signed sum). */
+  private def signedLevel1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (oOld, lOld, dO, dL) = sides(s, dir)
-    // level-1 state: signed multiplicity per (group, value)
     val state = joined(oOld, lOld)
       .groupBy($"o_orderpriority", $"o_year", $"cents")
       .agg(sum($"m").as("mult"))
@@ -216,10 +218,50 @@ object Relational22 {
       .unionByName(joined(dO, dL))
       .groupBy($"o_orderpriority", $"o_year", $"cents")
       .agg(sum($"m").as("mult"))
-    // the fold is [[minmaxView]] verbatim — partial (group, value)
-    // sums union in because level 1 is itself a signed sum
-    minmaxView(state.unionByName(delta)
-        .select($"o_orderpriority", $"o_year", $"cents", $"mult".as("m")))
+    state.unionByName(delta)
+      .select($"o_orderpriority", $"o_year", $"cents", $"mult".as("m"))
+  }
+
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the fold is [[minmaxView]] verbatim over the level-1 feed
+    minmaxView(signedLevel1(s, dir))
+      .orderBy($"o_orderpriority", $"o_year")
+  }
+
+  /** The distinct-count fold over the same signed feed — [[q83]]'s
+    * definition and the streaming face's parity twin: a value is
+    * PRESENT iff its signed multiplicity folds positive, so exact
+    * COUNT(DISTINCT) under retraction reads straight off q82's
+    * level-1 state (count the surviving entries). */
+  private[graft] def distinctView(signed: DataFrame): DataFrame = {
+    val s = signed.sparkSession
+    import s.implicits._
+    signed
+      .groupBy($"o_orderpriority", $"o_year", $"cents")
+      .agg(sum($"m").as("mult"))
+      .filter($"mult" > 0)
+      .groupBy($"o_orderpriority", $"o_year")
+      .agg(count(lit(1)).as("n_distinct"), sum($"mult").as("n_items"))
+  }
+
+  /** RETRACTION-SAFE EXACT COUNT DISTINCT (q83, r16) — the other
+    * statistic signed sums cannot maintain (a delete may or may not
+    * remove the last copy of a value — the state must know) and
+    * sketches only approximate: maintained EXACTLY by the same
+    * (group, value) signed multiset q82 keeps, at zero additional
+    * state — distinct(group) = |{v : mult(group, v) > 0}|. One
+    * multiset, three statistics (min, max, distinct): the DBSP
+    * two-level story completed. The oracle restates the view over
+    * the post-change tables with COUNT(DISTINCT), so the hash proves
+    * the multiset algebra counts survivors correctly through
+    * both-side deletes and the cross term. The live face rides the
+    * SAME MapState as the extrema
+    * ([[graft.streaming.IvmStream.minmaxTws]] emits n_distinct from
+    * the surviving-entry scan it already does). */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    distinctView(signedLevel1(s, dir))
       .orderBy($"o_orderpriority", $"o_year")
   }
 
@@ -277,11 +319,40 @@ object Relational22 {
        |GROUP BY o_orderpriority, o_year
        |ORDER BY o_orderpriority, o_year""".stripMargin
 
+  private val q83Oracle =
+    s"""WITH o2 AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT) AS o_year
+       |  FROM orders WHERE o_orderkey % 13 <> $DEL_O_RES
+       |  UNION ALL
+       |  SELECT o_orderkey + $RETRACT_SHIFT, o_orderpriority,
+       |    CAST(year(o_orderdate) AS BIGINT)
+       |  FROM orders WHERE o_orderkey % 13 = $INS_O_RES),
+       |l2 AS (
+       |  SELECT l_orderkey,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      AS cents
+       |  FROM lineitem
+       |  WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 2)
+       |  UNION ALL
+       |  SELECT l_orderkey + $RETRACT_SHIFT,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |      + 11
+       |  FROM lineitem WHERE l_orderkey % 13 = $INS_O_RES)
+       |SELECT o_orderpriority, o_year,
+       |  CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority, o_year
+       |ORDER BY o_orderpriority, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_ivm_retract" -> (q81 _),
-    "q82_ivm_minmax" -> (q82 _))
+    "q82_ivm_minmax" -> (q82 _),
+    "q83_ivm_distinct" -> (q83 _))
 
   val oracles: Map[String, String] = Map(
     "q81_ivm_retract" -> q81Oracle,
-    "q82_ivm_minmax" -> q82Oracle)
+    "q82_ivm_minmax" -> q82Oracle,
+    "q83_ivm_distinct" -> q83Oracle)
 }

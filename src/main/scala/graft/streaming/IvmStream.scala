@@ -23,10 +23,12 @@ case class ViewRow(o_orderpriority: String, o_year: Long, upd: Long,
     revenue_cents: Long, n_items: Long, live: Boolean)
 
 /** One emitted extrema row from the retraction-safe min/max face
-  * ([[IvmStream.minmaxTws]]) — batch q82's columns plus the emission
-  * ordinal and the tombstone flag. */
+  * ([[IvmStream.minmaxTws]]) — batch q82's columns plus q83's
+  * n_distinct (the same surviving-entry scan yields both), the
+  * emission ordinal and the tombstone flag. */
 case class ExtremaRow(o_orderpriority: String, o_year: Long, upd: Long,
-    min_cents: Long, max_cents: Long, n_items: Long, live: Boolean)
+    min_cents: Long, max_cents: Long, n_distinct: Long, n_items: Long,
+    live: Boolean)
 
 /** Streaming face of q81's retractable join-view maintenance (the
   * DBSP consumption contract): GIVEN a signed join-row changelog,
@@ -57,8 +59,9 @@ case class ExtremaRow(o_orderpriority: String, o_year: Long, upd: Long,
   * face: a transformWithState processor whose MapState IS q82's
   * level-1 state keyed (group → value → signed multiplicity), with
   * zero-multiplicity entries freed on the spot (the tombstone-face
-  * state discipline) and the extrema re-derived per batch from the
-  * surviving entries only — never from the base tables. The
+  * state discipline) and the extrema AND the exact distinct count
+  * (batch q83 — one multiset, three statistics) re-derived per batch
+  * from the surviving entries only — never from the base tables. The
   * per-group state is value-domain-sized, q82's documented price;
   * the sum-only faces above stay the constant-state tier.
   *
@@ -157,17 +160,20 @@ object IvmStream {
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var n = 0L
+      var nd = 0L // q83: distinct = surviving-entry count, same scan
       mult.keys().foreach { v =>
         val m = mult.getValue(v)
         if (m > 0L) { // q82's `mult > 0` filter
           if (v < mn) mn = v
           if (v > mx) mx = v
           n += m
+          nd += 1L
         }
       }
-      if (n == 0L) Iterator(ExtremaRow(key._1, key._2, u, 0L, 0L, 0L,
+      if (n == 0L) Iterator(ExtremaRow(key._1, key._2, u, 0L, 0L, 0L, 0L,
         live = false))
-      else Iterator(ExtremaRow(key._1, key._2, u, mn, mx, n, live = true))
+      else Iterator(ExtremaRow(key._1, key._2, u, mn, mx, nd, n,
+        live = true))
     }
   }
 

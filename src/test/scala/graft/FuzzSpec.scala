@@ -11,7 +11,7 @@ import graft.operators.Fuzz
 class FuzzSpec extends SparkSpec {
 
   test("generator is a pure function of the seed") {
-    (1 to 20).foreach { i =>
+    (1 to 36).foreach { i =>
       assert(Fuzz.describe(i) == Fuzz.describe(i))
       assert(Fuzz.sqlFor(i) == Fuzz.sqlFor(i))
     }
@@ -51,6 +51,32 @@ class FuzzSpec extends SparkSpec {
       if (sql.contains("AS k_pri")) assert(sql.contains("coalesce(o_orderpriority"))
       if (sql.contains("AS mn_year")) assert(sql.contains("coalesce(min(o_year)"))
     }
+  }
+
+  test("the string seeds (fz21-fz28) cover the string-semantics axes") {
+    val descs = (21 to 28).map(Fuzz.describe)
+    assert(descs.forall(_.contains("strjoin")), "string axis joins customer")
+    assert(descs.exists(_.contains("keyKind=0")), "no global shape")
+    assert((1 to 4).exists(k => descs.exists(_.contains(s"keyKind=$k"))),
+      "no string GROUP BY key shape")
+    assert(descs.exists(_.contains("min=true")), "no string MIN shape")
+    assert(descs.exists(_.contains("max=true")), "no string MAX/concat shape")
+    assert(descs.exists(d => d.contains("(0,") || d.contains("(1,") ||
+      d.contains("(2,")), "no LIKE predicate committed")
+  }
+
+  test("the timestamp seeds (fz29-fz36) cover the date-arithmetic axes") {
+    val descs = (29 to 36).map(Fuzz.describe)
+    assert(descs.forall(_.contains("tsjoin")), "ts axis joins orders")
+    assert(descs.exists(_.contains("keyKind=1")),
+      "no date_trunc GROUP BY shape")
+    assert(descs.exists(_.contains("keyKind=4")),
+      "no datediff-bucket key shape (the argument-order trap)")
+    assert(descs.exists(_.contains("minTs=true")), "no timestamp MIN shape")
+    assert(descs.exists(_.contains("maxIv=true")),
+      "no interval-arithmetic measure shape")
+    assert(descs.exists(_.contains("lag=true")),
+      "no two-date difference measure shape")
   }
 
   test("every generated plan executes and the renderers agree on columns") {

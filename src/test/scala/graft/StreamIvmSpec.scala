@@ -90,20 +90,33 @@ class StreamIvmSpec extends SparkSpec {
         IvmStream.minmaxTws(historyStream(dir).as[SignedJoinRow]).toDF(),
         "ivm_minmax")
       try {
-        val got = spark.table("ivm_minmax").collect()
+        val last = spark.table("ivm_minmax").collect()
           .groupBy(r => (r.getAs[String]("o_orderpriority"),
             r.getAs[Long]("o_year")))
           .view.mapValues(_.maxBy(_.getAs[Long]("upd"))).values
-          .filter(_.getAs[Boolean]("live"))
+          .filter(_.getAs[Boolean]("live")).toSeq
+        val got = last
           .map(r => (r.getAs[String]("o_orderpriority"),
             r.getAs[Long]("o_year"), r.getAs[Long]("min_cents"),
             r.getAs[Long]("max_cents"), r.getAs[Long]("n_items")))
-          .toSeq.sorted
+          .sorted
         val batch = Relational22.q82(spark, sf)
           .select($"o_orderpriority", $"o_year", $"min_cents",
             $"max_cents", $"n_items")
           .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
         assert(got == batch, "minmax tws face diverges from batch q82")
+        // the SAME state also serves q83's exact distinct count —
+        // one multiset, three statistics
+        val gotD = last
+          .map(r => (r.getAs[String]("o_orderpriority"),
+            r.getAs[Long]("o_year"), r.getAs[Long]("n_distinct"),
+            r.getAs[Long]("n_items")))
+          .sorted
+        val batchD = Relational22.q83(spark, sf)
+          .select($"o_orderpriority", $"o_year", $"n_distinct",
+            $"n_items")
+          .as[(String, Long, Long, Long)].collect().toSeq.sorted
+        assert(gotD == batchD, "distinct face diverges from batch q83")
       } finally q.stop()
     }
   }
