@@ -822,9 +822,16 @@ object Relational13 {
     * are two metadata-sized aggregates (one per side), the q71/q77
     * driver-read convention. */
   private[graft] def adaptiveProbe(nCells: Long, total: Long,
-      qualifying: Long): Int =
+      qualifying: Long): Int = {
+    // the s25 zero-denominator discipline: an empty qualifying set
+    // means the caller's predicate matches nothing — raise with the
+    // real cause instead of an ArithmeticException three frames down
+    require(qualifying > 0,
+      s"adaptiveProbe: predicate qualifies 0 of $total rows - " +
+        "an empty filtered search has no probe cut to size")
     math.min(nCells,
       (IVF_PROBE.toLong * total + qualifying - 1L) / qualifying).toInt
+  }
 
   /** ADC over the probed cells + exact full-dim rerank — the s14
     * tail for an arbitrary query frame against a frozen index. The
