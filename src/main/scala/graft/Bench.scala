@@ -117,6 +117,11 @@ object Bench {
   private val BAND_FACTOR = 2.0
   private val BAND_FLOOR = 0.15 // seconds
 
+  // set when a BENCH_BASELINE.json parse mismatch disables the band
+  // gate (ADVICE r16 #5): the JSON output must record the disable —
+  // a gate off by accident must not read like a gate that passed
+  @volatile private var bandGateDisabledByMismatch = false
+
   /** (sf, cal, query → median) from BENCH_BASELINE.json, parsed with
     * a regex (the file is machine-written by
     * tools/make_bench_baseline.py — flat, sorted, one line). */
@@ -143,9 +148,12 @@ object Bench {
         val parsed = for (s <- sf; c <- cal; q <- qs) yield (s, c, q)
         parsed.filter { case (_, _, q) =>
           val ok = nQ.forall(_ == q.size)
-          if (!ok) System.err.println(
-            s"[bench] BENCH_BASELINE.json parse mismatch: n_queries=${nQ.get} " +
-              s"but parsed ${q.size} - band gate DISABLED")
+          if (!ok) {
+            bandGateDisabledByMismatch = true
+            System.err.println(
+              s"[bench] BENCH_BASELINE.json parse mismatch: n_queries=${nQ.get} " +
+                s"but parsed ${q.size} - band gate DISABLED")
+          }
           ok
         }
       }
@@ -446,7 +454,8 @@ object Bench {
         s""""calibration_robust_spread_sec":${fmt(best.calRobustSpread)},""" +
         s""""calibration_pre_sec":${fmt(calPreMed)},"calibration_post_sec":${fmt(calPostMed)},""" +
         s""""noisy":$noisy,"attempts":${attempts.length},""" +
-        s""""band_gate":${bandOn},"band_violations":$bandJson,""" +
+        s""""band_gate":${bandOn},"band_gate_disabled":$bandGateDisabledByMismatch,""" +
+        s""""band_violations":$bandJson,""" +
         s""""queries":$qs,"spread":$spreads}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_QUERIES.json"),
@@ -454,7 +463,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_QUERIES.json: $e") }
     System.err.println(s"[bench] per-query: $perQueryJson")
     // the ONE stdout line — short enough that no tail capture truncates it
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"noisy":$noisy,"attempts":${attempts.length},"band":${banded.size},"queries_file":"BENCH_QUERIES.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"cal":${fmt(calMed)},"cal_spread":${fmt(calSpread)},"noisy":$noisy,"attempts":${attempts.length},"band":${banded.size},"band_gate_disabled":$bandGateDisabledByMismatch,"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }

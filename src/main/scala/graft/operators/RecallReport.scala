@@ -49,6 +49,12 @@ object RecallReport {
     * iteration loop (`runMain ... <dir> walk`). */
   def compute(s: SparkSession, dir: String,
       sections: Set[String] = ALL_SECTIONS): Map[String, Double] = {
+    // a typo'd section name must FAIL, not silently yield an empty
+    // report (an empty report reads as "nothing regressed")
+    val unknown = sections -- ALL_SECTIONS
+    require(unknown.isEmpty,
+      s"unknown section(s) ${unknown.mkString(",")}; " +
+        s"valid: ${ALL_SECTIONS.toSeq.sorted.mkString(",")}")
     val caps = Seq(16, 64)
     val dedup = if (!sections("dedup")) Nil else {
     val d02u = pairSet(Dedup.d02(s, dir))
@@ -117,8 +123,10 @@ object RecallReport {
     }
     // s13/s14: ANN recall@10 (mean over the 3 fixed queries) vs the
     // exact L2 top-10 — driver-side brute force over the collected
-    // embedding table (diagnostic scale, like every ground truth here)
-    val embs = Similarity.embVectors(s, dir)
+    // embedding table (diagnostic scale, like every ground truth
+    // here). `lazy`: only the ann/filtered/walk sections read it, so
+    // a dedup-only iteration run never pays the corpus collect.
+    lazy val embs = Similarity.embVectors(s, dir)
     def exactTop10(q: Long): Set[Long] = {
       val qe = embs(q)
       embs.keysIterator.filter(_ != q).map { id =>
@@ -149,7 +157,7 @@ object RecallReport {
     // scan cost); the in-cell form pays only probe-share×selectivity
     // and THESE rows price its recall loss (probed cells can be thin
     // in qualifying members).
-    val allowedIds = graft.Tables.load(s, dir, "documents")
+    lazy val allowedIds = graft.Tables.load(s, dir, "documents")
       .filter(org.apache.spark.sql.functions.col("lang") ===
         Similarity.FILTER_LANG)
       .select("doc_id").collect().map(_.getLong(0)).toSet

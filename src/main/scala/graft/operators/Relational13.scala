@@ -674,7 +674,9 @@ object Relational13 {
     * probed cells' members, pool, and exact-rerank the pool. Both
     * quantizers are TRAINED (r15 verdict #2 — the static label-mean
     * router + seed codebook capped recall@10 at 0.333 at sf0.1):
-    * the coarse centroids seed from the label-group means and take
+    * the coarse centroids seed from the first [[IVF_CELLS]] quantized
+    * vectors (the s07/PQ_K deterministic convention — the oracle's
+    * ct0 CTE replays `vec_id < IVF_CELLS`) and take
     * [[IVF_TRAIN_ITERS]] integer-Lloyd rounds on the full-dim Q20
     * grid ([[ivfTrainCentroids]]); the fine distances use the s13t
     * trained per-subspace codebook ([[materializedTrainedPQ]] —
@@ -723,9 +725,10 @@ object Relational13 {
     * with truncating `DIV` (≡ DuckDB `//`), so the trained centroids
     * land on identical grid points on both engines; an emptied cell
     * keeps its previous centroid via the left-join coalesce. Seeded
-    * from the label-group means (the previous static router), so
-    * training can only move centroids toward the data's actual
-    * Voronoi structure. Per-round snapshots freed (lloydIterate/d09).
+    * from the first [[IVF_CELLS]] quantized vectors (r16 replaced
+    * the r15 label-mean seeds — labels are metadata, Voronoi regions
+    * are geometry), so training moves the seeds toward the data's
+    * actual cell structure. Per-round snapshots freed (lloydIterate/d09).
     * Scale: each round is one broadcast-centroid argmin scan + one
     * (cell, pos)-keyed aggregate — nCells·DIM state, corpus scanned
     * twice per round. */

@@ -125,9 +125,12 @@ object IvmStream {
     * entries only — a MapState scan of this group's live values,
     * never a base-table read (the q82 contract). A group whose
     * positive membership empties emits a `live = false` tombstone;
-    * its value entries are already freed, and only the 8-byte
-    * emission ordinal survives (so a returning group's emissions
-    * stay monotone — the ordinal is not the state cliff).
+    * its zero-multiplicity entries are freed, while entries with
+    * OUTSTANDING NEGATIVE multiplicity (early retractions) are
+    * correctly retained until their matching inserts annihilate
+    * them, and only those plus the 8-byte emission ordinal survive
+    * (so a returning group's emissions stay monotone — the ordinal
+    * is not the state cliff).
     * StreamIvmSpec replays the chunked signed history, retractions
     * interleaved before their inserts, and asserts the settled face
     * equals batch q82 exactly. */

@@ -49,4 +49,8 @@ def main(src, dst, force=False):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a != "--force"]
+    if len(args) != 2:
+        print("usage: make_bench_baseline.py [--force] "
+              "BENCH_QUERIES.json BENCH_BASELINE.json")
+        sys.exit(2)
     sys.exit(main(args[0], args[1], force="--force" in sys.argv))
