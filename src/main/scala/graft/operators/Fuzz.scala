@@ -65,6 +65,20 @@ import graft.Tables
   * lags are positive by construction (so integer bucket division
   * has one rounding mode). All sessions run UTC; every extracted
   * number is CAST to BIGINT.
+  *
+  * fz37-fz44 (r16 verdict #5) point the gate at MULTI-WAY-JOIN
+  * PLAN SPACE — the classic join-order/outer-join divergence farm:
+  * three tables (lineitem ⋈ orders ⋈ customer), each join
+  * independently INNER or LEFT, assembled in both association
+  * orders ((l⋈o)⋈c vs l⋈(o⋈c)) with seed-chosen side filters that
+  * make the outer joins actually manufacture nulls. Inner/inner
+  * plans are associativity probes (both orders must agree with the
+  * SQL); outer mixes pin the null-propagation rules (a null
+  * o_custkey never equi-matches, a dropped right side nulls BOTH
+  * downstream tables' columns). Measures and keys follow the
+  * fz13-20 discipline: exact types only, every nullable output
+  * COALESCEd to a sentinel in both renderers, null-skipping
+  * count(col) alongside count(*).
   */
 object Fuzz {
 
@@ -72,6 +86,7 @@ object Fuzz {
   private val NULL_SEEDS = 13 to 20
   private val STR_SEEDS = 21 to 28
   private val TS_SEEDS = 29 to 36
+  private val MJ_SEEDS = 37 to 44
 
   // ---- the tiny AST ---------------------------------------------------
 
@@ -511,12 +526,162 @@ object Fuzz {
       key.fold("")(_ => "\nORDER BY k1")
   }
 
+  // ---- the multi-way-join axis (fz37-fz44) -----------------------------
+
+  private case class MAst(
+      leftLO: Boolean,       // lineitem→orders LEFT (vs INNER)
+      leftC: Boolean,        // …→customer LEFT (vs INNER)
+      assoc: Int,            // 0: (l⋈o)⋈c ; 1: l⋈(o⋈c)
+      prioF: Option[String], // orders pre-filter o_orderpriority = v
+      segF: Option[String],  // customer pre-filter c_mktsegment = v
+      linePreds: Seq[Pred],  // lineitem-side conjuncts (never-null cols)
+      keyKind: Int,          // 0 global, 1 seg, 2 prio, 3 flag, 4 flag+seg
+      wantMin: Boolean,      // coalesce(min(o_orderkey), -1)
+      havingN: Option[Int])
+
+  private val SEGMENTS = Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+    "HOUSEHOLD", "FURNITURE")
+
+  /** Deterministic multi-way AST (the nastFor convention). In this
+    * data every lineitem has its order and every order its customer,
+    * so an outer join only manufactures nulls when its inner side is
+    * pre-filtered — a LEFT draw therefore FORCES the corresponding
+    * side filter (the fz13 rule, applied per join). */
+  private def mastFor(seed: Int): MAst = {
+    val r = new java.util.Random(seed.toLong * 0x9E3779B9L + 67)
+    val leftLO = r.nextBoolean()
+    val leftC = r.nextBoolean()
+    val assoc = r.nextInt(2)
+    val prio0 = if (r.nextBoolean()) Some(PRIOS(r.nextInt(PRIOS.size))) else None
+    val seg0 =
+      if (r.nextBoolean()) Some(SEGMENTS(r.nextInt(SEGMENTS.size))) else None
+    val prioF =
+      if (leftLO && prio0.isEmpty) Some(PRIOS(r.nextInt(PRIOS.size))) else prio0
+    val segF =
+      if (leftC && seg0.isEmpty) Some(SEGMENTS(r.nextInt(SEGMENTS.size)))
+      else seg0
+    val linePool = Seq[() => Pred](
+      () => QtyLe(10 + r.nextInt(31)),
+      () => { val m = 2 + r.nextInt(6); KeyMod(m, r.nextInt(m)) },
+      () => ShipGe(DATES(r.nextInt(DATES.size))),
+      () => FlagNe(FLAGS(r.nextInt(FLAGS.size))))
+    val nLine = r.nextInt(3)
+    val linePreds = r.ints(0, linePool.size).distinct().limit(nLine.toLong)
+      .toArray.toSeq.map(i => linePool(i)())
+    MAst(leftLO, leftC, assoc, prioF, segF, linePreds,
+      keyKind = r.nextInt(5), wantMin = r.nextBoolean(),
+      havingN = if (r.nextInt(3) == 0) Some(1 + r.nextInt(5)) else None)
+  }
+
+  private def sparkMjQuery(a: MAst)(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o0 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val oF = a.prioF.fold(o0)(v => o0.filter(col("o_orderpriority") === v))
+    val c0 = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cF = a.segF.fold(c0)(v => c0.filter(col("c_mktsegment") === v))
+    val jlo = if (a.leftLO) "left" else "inner"
+    val jc = if (a.leftC) "left" else "inner"
+    val joined = a.assoc match {
+      case 0 => l.join(oF, col("l_orderkey") === col("o_orderkey"), jlo)
+        .join(cF, col("o_custkey") === col("c_custkey"), jc)
+      case _ =>
+        val oc = oF.join(cF, col("o_custkey") === col("c_custkey"), jc)
+        l.join(oc, col("l_orderkey") === col("o_orderkey"), jlo)
+    }
+    val base = a.linePreds.foldLeft(joined)((d, p) => d.filter(sparkPred(p)))
+    val keys = a.keyKind match {
+      case 1 => Seq(col("c_mktsegment"))
+      case 2 => Seq(col("o_orderpriority"))
+      case 3 => Seq(col("l_returnflag"))
+      case 4 => Seq(col("l_returnflag"), col("c_mktsegment"))
+      case _ => Nil
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      count(col("c_custkey")).as("n_cust"),   // null-skipping
+      sum(cents).as("sum_cents")) ++
+      (if (a.wantMin)
+        Seq(coalesce(min(col("o_orderkey")), lit(-1L)).as("mn"))
+      else Nil)
+    val grouped =
+      if (keys.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val cut = a.havingN.fold(grouped)(h => grouped.filter(col("n") >= h))
+    val outKeys = a.keyKind match {
+      case 1 => Seq(coalesce(col("c_mktsegment"), lit(NULL_PRI)).as("k_seg"))
+      case 2 => Seq(coalesce(col("o_orderpriority"), lit(NULL_PRI)).as("k_pri"))
+      case 3 => Seq(col("l_returnflag").as("k_flag"))
+      case 4 => Seq(col("l_returnflag").as("k_flag"),
+        coalesce(col("c_mktsegment"), lit(NULL_PRI)).as("k_seg"))
+      case _ => Nil
+    }
+    val outAggs = Seq(col("n"), col("n_cust"), col("sum_cents")) ++
+      (if (a.wantMin) Seq(col("mn")) else Nil)
+    cut.select(outKeys ++ outAggs: _*)
+  }
+
+  private def sqlMjQuery(a: MAst): String = {
+    val oSub = "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders" +
+      a.prioF.fold("")(v => s" WHERE o_orderpriority = '$v'")
+    val cSub = "SELECT c_custkey, c_mktsegment FROM customer" +
+      a.segF.fold("")(v => s" WHERE c_mktsegment = '$v'")
+    val jlo = if (a.leftLO) "LEFT JOIN" else "JOIN"
+    val jc = if (a.leftC) "LEFT JOIN" else "JOIN"
+    val from = a.assoc match {
+      case 0 =>
+        s"""FROM lineitem $jlo ($oSub) o ON l_orderkey = o_orderkey
+           |  $jc ($cSub) c ON o_custkey = c_custkey""".stripMargin
+      case _ =>
+        s"""FROM lineitem $jlo (
+           |  SELECT o_orderkey, o_custkey, o_orderpriority,
+           |    c_custkey, c_mktsegment
+           |  FROM ($oSub) o $jc ($cSub) c ON o_custkey = c_custkey) oc
+           |  ON l_orderkey = oc.o_orderkey""".stripMargin
+    }
+    val keys = a.keyKind match {
+      case 1 => Seq("c_mktsegment")
+      case 2 => Seq("o_orderpriority")
+      case 3 => Seq("l_returnflag")
+      case 4 => Seq("l_returnflag", "c_mktsegment")
+      case _ => Nil
+    }
+    val outKeys = a.keyKind match {
+      case 1 => Seq(s"coalesce(c_mktsegment, '$NULL_PRI') AS k_seg")
+      case 2 => Seq(s"coalesce(o_orderpriority, '$NULL_PRI') AS k_pri")
+      case 3 => Seq("l_returnflag AS k_flag")
+      case 4 => Seq("l_returnflag AS k_flag",
+        s"coalesce(c_mktsegment, '$NULL_PRI') AS k_seg")
+      case _ => Nil
+    }
+    val meas = Seq(
+      "CAST(count(*) AS BIGINT) AS n",
+      "CAST(count(c_custkey) AS BIGINT) AS n_cust",
+      "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+        "AS BIGINT)) AS BIGINT) AS sum_cents") ++
+      (if (a.wantMin) Seq("coalesce(min(o_orderkey), -1) AS mn") else Nil)
+    val sel = (outKeys ++ meas).mkString(",\n  ")
+    s"SELECT $sel\n$from" +
+      (if (a.linePreds.isEmpty) ""
+       else "\nWHERE " + a.linePreds.map(sqlPred).mkString(" AND ")) +
+      (if (keys.isEmpty) "" else "\nGROUP BY " + keys.mkString(", ")) +
+      a.havingN.fold("")(h => s"\nHAVING count(*) >= $h")
+  }
+
   // ---- registration ---------------------------------------------------
 
   /** Human-auditable description of each generated plan (the spec
     * prints these; COVERAGE.md records the committed set). */
   private[graft] def describe(seed: Int): String =
-    if (TS_SEEDS.contains(seed)) {
+    if (MJ_SEEDS.contains(seed)) {
+      val a = mastFor(seed)
+      s"seed=$seed mjoin lo=${if (a.leftLO) "left" else "inner"} " +
+        s"c=${if (a.leftC) "left" else "inner"} assoc=${a.assoc} " +
+        s"prioF=${a.prioF} segF=${a.segF} " +
+        s"linePreds=${a.linePreds.mkString("[", ",", "]")} " +
+        s"keyKind=${a.keyKind} min=${a.wantMin} having=${a.havingN}"
+    } else if (TS_SEEDS.contains(seed)) {
       val a = tastFor(seed)
       s"seed=$seed tsjoin preds=${a.preds.mkString("[", ",", "]")} " +
         s"keyKind=${a.keyKind} ivDays=${a.ivDays} minTs=${a.wantMinTs} " +
@@ -540,7 +705,8 @@ object Fuzz {
     }
 
   private[graft] def sqlFor(seed: Int): String =
-    if (TS_SEEDS.contains(seed)) sqlTsQuery(tastFor(seed))
+    if (MJ_SEEDS.contains(seed)) sqlMjQuery(mastFor(seed))
+    else if (TS_SEEDS.contains(seed)) sqlTsQuery(tastFor(seed))
     else if (STR_SEEDS.contains(seed)) sqlStrQuery(sastFor(seed))
     else if (NULL_SEEDS.contains(seed)) sqlNullQuery(nastFor(seed))
     else sqlQuery(astFor(seed))
@@ -558,11 +724,15 @@ object Fuzz {
     }.toMap ++ TS_SEEDS.map { i =>
       f"fz$i%02d_differential_ts" ->
         ((s: SparkSession, dir: String) => sparkTsQuery(tastFor(i))(s, dir))
+    }.toMap ++ MJ_SEEDS.map { i =>
+      f"fz$i%02d_differential_mj" ->
+        ((s: SparkSession, dir: String) => sparkMjQuery(mastFor(i))(s, dir))
     }.toMap
 
   val oracles: Map[String, String] =
     (1 to N_QUERIES).map(i => f"fz$i%02d_differential" -> sqlFor(i)).toMap ++
       NULL_SEEDS.map(i => f"fz$i%02d_differential_null" -> sqlFor(i)).toMap ++
       STR_SEEDS.map(i => f"fz$i%02d_differential_str" -> sqlFor(i)).toMap ++
-      TS_SEEDS.map(i => f"fz$i%02d_differential_ts" -> sqlFor(i)).toMap
+      TS_SEEDS.map(i => f"fz$i%02d_differential_ts" -> sqlFor(i)).toMap ++
+      MJ_SEEDS.map(i => f"fz$i%02d_differential_mj" -> sqlFor(i)).toMap
 }

@@ -41,14 +41,21 @@ object RecallReport {
   private def r4(x: Double): Double = math.rint(x * 10000) / 10000
 
   private val ALL_SECTIONS =
-    Set("dedup", "q51", "s03", "ann", "filtered", "walk")
+    Set("dedup", "q51", "s03", "ann", "filtered", "walk", "walk10x")
+
+  /** The per-SF report (what ScaleSpec pins at sf0.01 and SCALING.md
+    * tabulates per SF). `walk10x` is excluded: its corpus is
+    * synthetic and fixed-size, so the row is SF-independent — run it
+    * explicitly (`runMain ... <dir> walk10x`) and record the single
+    * row (SCALING.md "Adaptive-walk extrapolation"). */
+  private val DEFAULT_SECTIONS = ALL_SECTIONS - "walk10x"
 
   /** metric name → value, all rounded to 4 decimals. `sections`
     * restricts the (expensive) computation to named families — the
     * full set is the published table; a single section is the
     * iteration loop (`runMain ... <dir> walk`). */
   def compute(s: SparkSession, dir: String,
-      sections: Set[String] = ALL_SECTIONS): Map[String, Double] = {
+      sections: Set[String] = DEFAULT_SECTIONS): Map[String, Double] = {
     // a typo'd section name must FAIL, not silently yield an empty
     // report (an empty report reads as "nothing regressed")
     val unknown = sections -- ALL_SECTIONS
@@ -236,17 +243,81 @@ object RecallReport {
       "s20h_rank1_in_top5" -> r4(h5 / nW),
       "s20h_nn_in_beam" -> r4(nnh / nW))
     }
-    (dedup ++ sim ++ q51 ++ ann ++ filtered ++ walk).toMap
+    // walk10x (r16 verdict #3): the corpus-adaptive walk knobs
+    // validated ONE ×8 STEP BEYOND the largest real corpus — a
+    // synthetic isotropic corpus at [[Walk10x.N]] = 20480 (10.24×
+    // sf0.1's 2000 rows, the first extrapolated floorLog8 band),
+    // served by the UNMODIFIED registered faces against the exact
+    // cosine NN. The measurement REJECTED the r16 formulas (hit@1
+    // 0.556/0.762 at the claimed-held ef=64; 0.768/0.838 with ef
+    // doubled) and drove the r17 correction: ef(n) grows a step
+    // earlier AND the graph degree is corpus-adaptive
+    // ([[Similarity.knnK]]) — the DiagW10x miss anatomy showed the
+    // NN was simply not wired into its explored neighborhood at
+    // fixed degree 8. Walk10xSpec pins this section's rows exactly;
+    // SCALING.md "Adaptive-walk extrapolation" publishes them.
+    val w10x = if (!sections("walk10x")) Nil else {
+      val xdir = Walk10x.dir(s)
+      val xembs = Similarity.embVectors(s, xdir)
+      val wq = xembs.keysIterator.filter(_ % 25 == 0).toSeq.sorted
+      def served(df: DataFrame): Map[Long, Seq[Long]] =
+        df.select("q_id", "rank", "found_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      val beamTop = served(Similarity.s20b(s, xdir))
+      val hierTop = served(Similarity.s20h(s, xdir))
+      // exact cosine top-5 per query by bounded selection (a full
+      // 20k sort per query would dominate the measurement)
+      def top5(q: Long): Seq[Long] = {
+        val qe = xembs(q)
+        val bc = Array.fill(5)(-2.0)
+        val bi = Array.fill(5)(-1L)
+        xembs.foreach { case (id, v) =>
+          if (id != q) {
+            val c = cosv(qe, v)
+            var k = 0
+            while (k < 5 && (c < bc(k) || (c == bc(k) && id > bi(k)))) k += 1
+            if (k < 5) {
+              var j = 4
+              while (j > k) { bc(j) = bc(j - 1); bi(j) = bi(j - 1); j -= 1 }
+              bc(k) = c; bi(k) = id
+            }
+          }
+        }
+        bi.toSeq
+      }
+      var b1 = 0; var nnb = 0; var h1 = 0; var nnh = 0
+      wq.foreach { q =>
+        val t5 = top5(q)
+        val nn = t5.head
+        if (beamTop(q).head == nn) b1 += 1
+        if (beamTop(q).contains(nn)) nnb += 1
+        if (hierTop(q).head == nn) h1 += 1
+        if (hierTop(q).contains(nn)) nnh += 1
+      }
+      val nW = wq.size.toDouble
+      Seq(
+        "w10x_n" -> Walk10x.N.toDouble,
+        "w10x_hops" -> Similarity.walkHops(Walk10x.N.toLong).toDouble,
+        "w10x_ef" -> Similarity.walkEf(Walk10x.N.toLong).toDouble,
+        "w10x_queries" -> nW,
+        "w10x_s20b_hit_at1" -> r4(b1 / nW),
+        "w10x_s20b_nn_in_beam" -> r4(nnb / nW),
+        "w10x_s20h_hit_at1" -> r4(h1 / nW),
+        "w10x_s20h_nn_in_beam" -> r4(nnh / nW))
+    }
+    (dedup ++ sim ++ q51 ++ ann ++ filtered ++ walk ++ w10x).toMap
   }
 
   /** Prints the SCALING.md markdown rows for one scale factor;
     * optional second arg = comma-separated section names
-    * (dedup,q51,s03,ann,filtered,walk) for the iteration loop. */
+    * (dedup,q51,s03,ann,filtered,walk,walk10x) for the iteration
+    * loop — walk10x only runs when named. */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val sections = args.drop(1).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(ALL_SECTIONS)
+      .getOrElse(DEFAULT_SECTIONS)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-recall")

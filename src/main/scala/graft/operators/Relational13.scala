@@ -761,15 +761,32 @@ object Relational13 {
 
   private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex = {
     import s.implicits._
-    val e0 = t(s, dir, "embeddings")
-    val e = e0.select($"vec_id", $"embedding")
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // fine distances: the TRAINED per-subspace codebook (s13t's
+    // integer Lloyd — measured +10pp over seed slices at sf0.1), so
+    // every downstream distance is exact long arithmetic on the grid
+    val (sub, cb) = materializedTrainedPQ(s, dir)
+    ivfIndexFrom(e, sub, cb)
+  }
+
+  /** The index build over an arbitrary (corpus, quantized-subspaces,
+    * codebook) triple — shared by the full-corpus [[ivfIndex]] and
+    * the non-arrival [[ivfBaseIndex]] the s27 insert face builds
+    * against. */
+  private def ivfIndexFrom(e: DataFrame, sub: DataFrame,
+      cb: DataFrame): IvfIndex = {
+    val s = e.sparkSession
+    import s.implicits._
     val vq = e.select($"vec_id", q20($"embedding").as("qq")).localCheckpoint()
     // the first [[IVF_CELLS]] quantized vectors SEED the centroids
     // (the s07/PQ_K deterministic convention), then integer Lloyd
     // (r15 verdict #2 / r16: the 10 static label-mean cells were the
     // measured router bottleneck — labels are metadata, Voronoi
     // regions are geometry, and 32 trained cells cover a query's
-    // neighborhood at a lower probe share)
+    // neighborhood at a lower probe share). On a restricted corpus
+    // the rule stays `vec_id < IVF_CELLS` — arrivals among the first
+    // 32 ids just leave fewer seed cells, and every downstream read
+    // derives the cell count from the trained table itself.
     val seed = vq.filter($"vec_id" < IVF_CELLS)
       .select($"vec_id".cast("int").as("cell"), $"qq".as("cq"))
     val cent = ivfTrainCentroids(vq, seed)
@@ -781,10 +798,6 @@ object Relational13 {
       .groupBy($"vec_id")
       .agg(min(struct($"rdist", $"cell")).as("best"))
       .select($"vec_id", $"best.cell".as("cell"))
-    // fine distances: the TRAINED per-subspace codebook (s13t's
-    // integer Lloyd — measured +10pp over seed slices at sf0.1), so
-    // every downstream distance is exact long arithmetic on the grid
-    val (sub, cb) = materializedTrainedPQ(s, dir)
     val codes = sub.join(broadcast(cb), Seq("m"))
       .select($"vec_id", $"m", $"code", isqdL($"sq", $"cq").as("d"))
       .groupBy($"vec_id", $"m")
@@ -795,6 +808,33 @@ object Relational13 {
     graft.functions.CheckpointOps.freeLocalCheckpoint(vq)
     IvfIndex(e, cent, cb, codes)
   }
+
+  /** The s27 BASE index: both quantizers trained on the NON-ARRIVAL
+    * subset only (the s21 pinned-base convention — [[Similarity
+    * .arrivalRule]]'s hash split, shared with the graph insert face
+    * so s25's churn statistics describe both indexes), codes for the
+    * base corpus. Arrivals are strictly unseen by training. */
+  private[graft] def ivfBaseIndex(s: SparkSession, dir: String): IvfIndex = {
+    import s.implicits._
+    // checkpoint the hash-split base (the s21 baseE convention):
+    // without it the md5 membership chain substitutes into every
+    // downstream plan site (train, assign, codes, serve) — the t37
+    // bug class PlanAuditSpec's kernel sweep bounds
+    val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      .filter(!Similarity.arrivalRule($"vec_id")).localCheckpoint()
+    val sub = pqSubQ(e).localCheckpoint()
+    val cb = pqTrainCodebook(sub)
+    ivfIndexFrom(e, sub, cb)
+  }
+
+  private val ivfBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfIndex]
+
+  /** [[ivfBaseIndex]] trained once per (session, dir) — the serving
+    * asset behind [[s27m]], mirroring [[materializedIvfIndex]]. */
+  private[graft] def materializedIvfBaseIndex(s: SparkSession,
+      dir: String): IvfIndex =
+    ivfBaseCache.getOrElseUpdate((s, dir), ivfBaseIndex(s, dir))
 
   /** Integer-routed probe cut for a (q_id, embedding) query frame:
     * each query's `nProbe` nearest cells by exact long arithmetic on
@@ -881,6 +921,142 @@ object Relational13 {
     ivfServe(ix, q, ivfRoute(ix.cent, q))
   }
 
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfIndex]
+
+  /** The frozen [[IvfIndex]] trained ONCE per (session, dir) — the
+    * [[materializedTrainedPQ]]/s13tm convention applied to the WHOLE
+    * trained-IVF asset set (r16 verdict #2: s14/s26i re-trained both
+    * quantizers per execution — 3-4 s of pure build cost per bench
+    * rep that a production deployment pays once). `cent` (nCells·DIM
+    * longs), `codes` (the inverted file), and the PQ codebook are
+    * already localCheckpoints from [[ivfIndex]]/[[materializedTrainedPQ]];
+    * this just pins the trained instance so every serving call reads
+    * the same frozen index. */
+  private[graft] def materializedIvfIndex(s: SparkSession,
+      dir: String): IvfIndex =
+    ivfCache.getOrElseUpdate((s, dir), ivfIndex(s, dir))
+
+  /** [[s14]] from the frozen index: only route → probe semi-join →
+    * integer ADC → exact rerank run per call — the serving cost a
+    * deployed IVF-PQ index pays per query batch, training amortized
+    * into the one-time materialization (the s13tm/s20m convention).
+    * Output ≡ [[s14]] (same oracle): training is deterministic, so
+    * fresh and frozen indexes are the same index. */
+  def s14m(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = materializedIvfIndex(s, dir)
+    val q = ix.e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding")
+    ivfServe(ix, q, ivfRoute(ix.cent, q))
+  }
+
+  /** [[s26i]] from the frozen index — filtered serving at serving
+    * cost: the qualifying semi-join, adaptive probe cut, ADC and
+    * rerank run per call against the materialized inverted file.
+    * Output ≡ [[s26i]] (same oracle). */
+  def s26im(s: SparkSession, dir: String): DataFrame =
+    s26iOver(materializedIvfIndex(s, dir), s, dir,
+      col("lang") === Similarity.FILTER_LANG)
+
+  // ---- s27: IVF index write faces (insert / delete) -----------------
+
+  /** Encode NEW vectors against a FROZEN index: assign each to its
+    * nearest trained cell and PQ-code it against the trained
+    * codebook — two broadcast argmins over exact Q20 longs, ZERO
+    * retraining (Jégou et al. 2011 §V's `add`: the quantizers are
+    * corpus statistics, membership is per-row geometry). Per row the
+    * result depends only on (vector, frozen quantizers), so inserts
+    * are order-independent and micro-batch ≡ bulk BY CONSTRUCTION
+    * (IvfWriteSpec proves it on data) — the property that makes the
+    * face exactly-once-replayable under redelivery, the s21
+    * mergeability argument with the top-k lemma replaced by plain
+    * per-row purity.
+    *
+    * At 100 TB: one broadcast of nCells·DIM + K·M codebook longs;
+    * each arrival costs nCells + M·K long distances — no corpus
+    * scan, no shuffle beyond the arrivals' own partitioning. */
+  private[graft] def ivfEncode(ix: IvfIndex, arrivals: DataFrame): DataFrame = {
+    val s = ix.e.sparkSession
+    import s.implicits._
+    val vq = arrivals.select($"vec_id", q20($"embedding").as("qq"))
+    val asn = vq.crossJoin(broadcast(ix.cent))
+      .select($"vec_id", $"cell", isqdRoute($"qq", $"cq").as("rdist"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"rdist", $"cell")).as("best"))
+      .select($"vec_id", $"best.cell".as("cell"))
+    pqSubQ(arrivals).join(broadcast(ix.cb), Seq("m"))
+      .select($"vec_id", $"m", $"code", isqdL($"sq", $"cq").as("d"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d", $"code")).as("best"))
+      .select($"vec_id", $"m", $"best.code".as("code"))
+      .join(asn, Seq("vec_id"))
+      .select($"vec_id", $"cell", $"m", $"code")
+  }
+
+  /** INCREMENTAL IVF INSERT (s27) — the lifecycle face the graph
+    * index already had (s21) applied to the trained-IVF tier (r16
+    * verdict #4): the index is trained on the PINNED non-arrival
+    * base ([[ivfBaseIndex]]), arrivals are [[ivfEncode]]d against
+    * the frozen quantizers and UNIONed into the inverted file, and
+    * the standard serving tail runs over the updated index — base
+    * queries can now retrieve arrival neighbors. The DuckDB oracle
+    * replays training over the base subset and the arrival encode
+    * as two more argmin CTEs (frozen-codebook arithmetic is exactly
+    * replayable — the reason insert needs no weaker gate). Fresh
+    * build per call (the s21 pricing convention); [[s27m]] is the
+    * serving twin. */
+  def s27(s: SparkSession, dir: String): DataFrame =
+    s27Serve(s, dir, ivfBaseIndex(s, dir))
+
+  /** [[s27]] over the once-trained base index — per call only the
+    * arrivals' two argmins, the union, and the serving tail run (the
+    * s21m convention): the per-micro-batch ingest cost. */
+  def s27m(s: SparkSession, dir: String): DataFrame =
+    s27Serve(s, dir, materializedIvfBaseIndex(s, dir))
+
+  private def s27Serve(s: SparkSession, dir: String,
+      ix: IvfIndex): DataFrame = {
+    import s.implicits._
+    val full = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // the arrival batch and its encoded codes are both checkpointed:
+    // arrivals feed ivfEncode TWICE (route + subspaces), and the
+    // union would otherwise replay the md5 split per serving branch
+    val arrivals = full.filter(Similarity.arrivalRule($"vec_id"))
+      .localCheckpoint()
+    val upd = ix.copy(e = full,
+      codes = ix.codes.unionByName(ivfEncode(ix, arrivals).localCheckpoint()))
+    val q = ix.e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding")
+    ivfServe(upd, q, ivfRoute(ix.cent, q))
+  }
+
+  /** IVF DELETE (s27d) — tombstone + inverted-file filter (the q64
+    * merge-on-read convention applied to the index tier): the
+    * trained quantizers are untouched (they are corpus STATISTICS —
+    * deleting a member doesn't move a centroid any more than it
+    * un-trains a model), the deleted ids ([[Similarity
+    * .tombstoneRule]]'s hash split, shared with s22 so s25 prices
+    * one churn reality) are filtered out of the inverted file, and
+    * serving runs the standard tail — a deleted vector can never be
+    * returned, at METADATA cost: no rebuild, no repair pass (an IVF
+    * cell list, unlike a graph neighborhood, has no connectivity to
+    * restore — the structural reason this face is cheap where s22
+    * needs local repair). Runs against the frozen full-corpus index
+    * ([[materializedIvfIndex]]): delete IS a serving-time operation,
+    * so it is priced at serving cost by construction. Codebook
+    * staleness from accumulated churn is s25's `codebook_staleness`
+    * row. */
+  def s27d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = materializedIvfIndex(s, dir)
+    val live = ix.copy(codes =
+      ix.codes.filter(!Similarity.tombstoneRule($"vec_id")))
+    val q = ix.e.filter($"vec_id" < PQ_NQ)
+      .select($"vec_id".as("q_id"), $"embedding")
+    ivfServe(live, q, ivfRoute(ix.cent, q))
+  }
+
   /** FILTERED IVF-PQ ANN (s26i) — s26's metadata predicate composed
     * INSIDE [[s14]]'s probed cells, registered as its own query (r14
     * verdict #4: the s26 docstring stated this composition; now the
@@ -900,18 +1076,30 @@ object Relational13 {
     * the result against the exact filtered ranking. The crossover to
     * s26's pre-filter-exact scan at low selectivity is dispatched by
     * [[s26d]]. */
-  def s26i(s: SparkSession, dir: String): DataFrame = {
+  def s26i(s: SparkSession, dir: String): DataFrame =
+    s26iOver(ivfIndex(s, dir), s, dir, col("lang") === Similarity.FILTER_LANG)
+
+  /** The s26i body over a given (fresh or materialized) index and an
+    * arbitrary documents-table predicate (r16 verdict #1/#2). An
+    * EMPTY qualifying set returns an empty top-k — the
+    * production-shaped answer (r16 verdict #7): the probe cut is
+    * moot, so we probe every cell of an inverted file the semi-join
+    * has emptied; [[adaptiveProbe]]'s zero-guard stays the internal
+    * contract for callers that DO claim a non-empty subset. */
+  private[graft] def s26iOver(ix: IvfIndex, s: SparkSession, dir: String,
+      pred: Column): DataFrame = {
     import s.implicits._
-    val ix = ivfIndex(s, dir)
     val allowed = t(s, dir, "documents")
-      .filter($"lang" === Similarity.FILTER_LANG)
+      .filter(pred)
       .select($"doc_id".as("vec_id"))
     val fIx = ix.copy(codes = ix.codes.join(allowed, Seq("vec_id"), "left_semi"))
     val q = ix.e.filter($"vec_id" < PQ_NQ)
       .select($"vec_id".as("q_id"), $"embedding")
     // r15 verdict #2: the probe cut widens with predicate selectivity
     // (two metadata aggregates + the cell count — driver reads)
-    val nP = adaptiveProbe(ix.cent.count(), ix.e.count(), allowed.count())
+    val nQual = allowed.count()
+    val nP = if (nQual == 0L) IVF_CELLS
+      else adaptiveProbe(ix.cent.count(), ix.e.count(), nQual)
     ivfServe(fIx, q, ivfRoute(ix.cent, q, nP))
   }
 
@@ -932,19 +1120,35 @@ object Relational13 {
     * serving projection (q_id, rank, neighbor_id) plus the chosen
     * `path`, which makes the DISPATCH itself hash-gated, not just
     * the winning body. */
-  def s26d(s: SparkSession, dir: String): DataFrame = {
+  def s26d(s: SparkSession, dir: String): DataFrame =
+    s26dFor(s, dir, col("lang") === Similarity.FILTER_LANG)
+
+  /** [[s26d]] with the rare predicate ([[Similarity.RARE_PRED]] —
+    * <5% of the corpus at every SF), so the PREFILTER branch is
+    * gate-exercised too (r16 verdict #1: it had never executed under
+    * any test or oracle). Registered with the same selectivity-gated
+    * UNION oracle, predicate templated. */
+  def s26dr(s: SparkSession, dir: String): DataFrame =
+    s26dFor(s, dir, Similarity.RARE_PRED)
+
+  /** The dispatcher body, parameterized by the documents predicate
+    * (r16 verdict #1). The branch choice is driver-side on
+    * integer-exact counted scalars (ppm by truncating division); the
+    * un-chosen branch's DataFrame is never constructed, so the
+    * prefilter path never pays index training. */
+  private[graft] def s26dFor(s: SparkSession, dir: String,
+      pred: Column): DataFrame = {
     import s.implicits._
     val total = t(s, dir, "embeddings").count()
-    val qualifying = t(s, dir, "documents")
-      .filter($"lang" === Similarity.FILTER_LANG).count()
+    val qualifying = t(s, dir, "documents").filter(pred).count()
     val selPpm = qualifying * 1000000L / total
     if (selPpm < S26D_CROSSOVER_PPM)
-      Similarity.s26(s, dir)
+      Similarity.s26For(s, dir, pred)
         .select($"q_id", $"rank", $"neighbor_id",
           lit("prefilter").as("path"))
         .orderBy($"q_id", $"rank")
     else
-      s26i(s, dir)
+      s26iOver(ivfIndex(s, dir), s, dir, pred)
         .select($"q_id", $"rank", $"neighbor_id", lit("incell").as("path"))
         .orderBy($"q_id", $"rank")
   }
@@ -952,9 +1156,12 @@ object Relational13 {
   /** Dispatch crossover: 5% selectivity. Below it the pre-filter
     * scan touches ≤ 1/20 of the corpus — cheaper than any probe
     * machinery AND exact; above it the in-cell form's probe-share ×
-    * selectivity wins. The synthetic corpus' lang predicate sits at
-    * ~16% at every SF, so the gate exercises the in-cell branch; the
-    * spec forces both branches with its own predicates. */
+    * selectivity wins. The synthetic corpus' `lang = 'fr'` predicate
+    * sits at ~13-37% at every SF, so the s26d gate row exercises the
+    * in-cell branch; the registered [[s26dr]] row (short German
+    * documents, <5% at every SF) exercises the prefilter branch, and
+    * Relational13Spec asserts each branch's `path` column plus
+    * row-equality with its standalone body. */
   private val S26D_CROSSOVER_PPM = 50000L
 
   /** The s14 replay, parameterized by an inverted-file predicate, an
@@ -963,9 +1170,15 @@ object Relational13 {
     * other CTE byte for byte — the suffix-chain convention applied to
     * IVF. Replays the COARSE integer-Lloyd rounds (ct0..ctN — r15
     * verdict #2) and chains [[sqlTrainedPqChain]] for the fine
-    * stage. */
+    * stage. The r17 write-face params: `eWhere` restricts the
+    * TRAINING corpus (s27 trains on the non-arrival base),
+    * `postChainCtes` slots the arrival encode CTEs (they reference
+    * `mm`/cbN, so they must follow the chain), `codesUnion` appends
+    * the arrival codes to the inverted file, and `neighborSrc` is
+    * the rerank table (arrival neighbors live outside the base `e`). */
   private def s14OracleFor(codesWhere: String, extraCtes: String,
-      probeCut: String): String = {
+      probeCut: String, eWhere: String = "", postChainCtes: String = "",
+      codesUnion: String = "", neighborSrc: String = "e"): String = {
     val sqdSql = (a: String, b: String, len: Int) =>
       s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
          |      * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
@@ -988,7 +1201,7 @@ object Relational13 {
         .stripMargin
     }.mkString(",\n")
     val ctN = s"ct$IVF_TRAIN_ITERS"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings$eWhere),
        |dp AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS pos),
        |vq AS MATERIALIZED (SELECT vec_id,
        |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
@@ -1006,10 +1219,10 @@ object Relational13 {
        |     ORDER BY $routeD, cell) AS prn
        |   FROM vq CROSS JOIN $ctN WHERE vec_id < $PQ_NQ)
        |  WHERE $probeCut),
-       |$sqlTrainedPqChain,
+       |$sqlTrainedPqChain,$postChainCtes
        |codes AS (SELECT pqc.vec_id AS vec_id, asn.cell AS cell, m, code
        |  FROM pqc
-       |  JOIN asn ON asn.vec_id = pqc.vec_id$codesWhere),
+       |  JOIN asn ON asn.vec_id = pqc.vec_id$codesWhere$codesUnion),
        |adc AS (SELECT lut.q_id AS q_id, vec_id, codes.cell AS cell,
        |    CAST(sum(ld2) AS BIGINT) AS adc
        |  FROM codes
@@ -1023,7 +1236,7 @@ object Relational13 {
        |ex AS (SELECT rk.q_id, rk.neighbor_id, rk.cell AS cell, adc_d2q,
        |    CAST(round(${sqdSql("q.embedding", "n.embedding", 64)} * 1000000)
        |      AS BIGINT) AS exact_d2_micro
-       |  FROM rk JOIN e n ON n.vec_id = rk.neighbor_id
+       |  FROM rk JOIN $neighborSrc n ON n.vec_id = rk.neighbor_id
        |    JOIN e q ON q.vec_id = rk.q_id
        |  WHERE arn <= $IVF_POOL),
        |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
@@ -1037,38 +1250,97 @@ object Relational13 {
 
   /** s26i: inverted-file predicate + the [[adaptiveProbe]] cut — the
     * npc CTE computes min(nCells, ⌈IVF_PROBE · total / qualifying⌉)
-    * with the same integer ceiling division as the Scala side. */
-  private lazy val s26iOracle = s14OracleFor(
+    * with the same integer ceiling division as the Scala side.
+    * Predicate templated (r16 verdict #1 — the dispatcher oracle
+    * reuses the replay at any selectivity). */
+  private def s26iOracleFor(predSql: String): String = s14OracleFor(
     s"""
        |  WHERE pqc.vec_id IN (SELECT doc_id FROM documents
-       |    WHERE lang = '${Similarity.FILTER_LANG}')""".stripMargin,
+       |    WHERE $predSql)""".stripMargin,
     s"""
        |npc AS (SELECT LEAST(
        |    (SELECT CAST(count(*) AS BIGINT) FROM ct$IVF_TRAIN_ITERS),
        |    ($IVF_PROBE * (SELECT CAST(count(*) AS BIGINT) FROM e) + qn - 1)
        |      // qn) AS np
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS qn FROM documents
-       |    WHERE lang = '${Similarity.FILTER_LANG}')),""".stripMargin,
+       |    WHERE $predSql)),""".stripMargin,
     "prn <= (SELECT np FROM npc)")
+
+  private lazy val s26iOracle =
+    s26iOracleFor(s"lang = '${Similarity.FILTER_LANG}'")
 
   /** s26d: both proven bodies as selectivity-gated subqueries — the
     * ppm expression is the Scala dispatcher's truncating division,
-    * so exactly one branch is non-empty per dataset. */
-  private lazy val s26dOracle: String = {
+    * so exactly one branch is non-empty per (dataset, predicate):
+    * `lang = 'fr'` lands in-cell at every SF, [[Similarity
+    * .RARE_PRED_SQL]] lands prefilter at every SF. */
+  private def s26dOracleFor(predSql: String): String = {
     val ppm =
       s"""((SELECT CAST(count(*) AS BIGINT) FROM documents
-         |    WHERE lang = '${Similarity.FILTER_LANG}') * 1000000)
+         |    WHERE $predSql) * 1000000)
          |  // (SELECT CAST(count(*) AS BIGINT) FROM embeddings)""".stripMargin
     s"""SELECT q_id, rank, neighbor_id, path FROM (
        |  SELECT q_id, rank, neighbor_id, 'incell' AS path
-       |  FROM ($s26iOracle)
+       |  FROM (${s26iOracleFor(predSql)})
        |  WHERE $ppm >= $S26D_CROSSOVER_PPM
        |  UNION ALL
        |  SELECT q_id, rank, neighbor_id, 'prefilter' AS path
-       |  FROM (${Similarity.oracles("s26_filtered_ann")})
+       |  FROM (${Similarity.s26OracleFor(predSql)})
        |  WHERE $ppm < $S26D_CROSSOVER_PPM)
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  private lazy val s26dOracle =
+    s26dOracleFor(s"lang = '${Similarity.FILTER_LANG}'")
+
+  /** s27: the base-trained chain (eWhere excludes arrivals) + the
+    * arrival encode as two more argmin CTEs against the FROZEN
+    * ctN/cbN tables + the inverted-file union; rerank reads the full
+    * table (arrival neighbors live outside the base `e`). */
+  private lazy val s27Oracle: String = {
+    val arrPred = Similarity.sqlArrivalPred("vec_id")
+    val isqSub = s"CAST(list_sum([(sq[j] - cq[j]) * (sq[j] - cq[j]) " +
+      s"for j in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
+    val routeD =
+      s"list_sum([(qq[i] - cq[i]) * (qq[i] - cq[i]) for i in range(1, 65)])"
+    val ctN = s"ct$IVF_TRAIN_ITERS"
+    val cbN = s"cb$PQ_TRAIN_ITERS"
+    s14OracleFor("", "", s"prn <= $IVF_PROBE",
+      eWhere = s" WHERE NOT ($arrPred)",
+      postChainCtes = s"""
+         |ae AS (SELECT vec_id, embedding FROM embeddings WHERE $arrPred),
+         |avq AS (SELECT vec_id,
+         |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+         |      for i in range(1, 65)] AS qq
+         |  FROM ae),
+         |aasn AS (SELECT vec_id, cell FROM
+         |  (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY $routeD, cell) AS rn
+         |   FROM avq CROSS JOIN $ctN) WHERE rn = 1),
+         |asub AS (SELECT vec_id, m,
+         |  [CAST(round(CAST(embedding[m*$PQ_SUB+i] AS DOUBLE) * $Q20L) AS BIGINT)
+         |    for i in range(1, ${PQ_SUB + 1})] AS sq
+         |  FROM ae CROSS JOIN mm),
+         |acd AS (SELECT vec_id, asub.m AS m, code, $isqSub AS d
+         |  FROM asub JOIN $cbN ON asub.m = $cbN.m),
+         |apqc AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |  FROM acd) WHERE rn = 1),
+         |acodes AS (SELECT apqc.vec_id AS vec_id, aasn.cell AS cell, m, code
+         |  FROM apqc JOIN aasn ON aasn.vec_id = apqc.vec_id),
+         |allv AS (SELECT vec_id, embedding FROM embeddings),""".stripMargin,
+      codesUnion = """
+         |  UNION ALL SELECT vec_id, cell, m, code FROM acodes""".stripMargin,
+      neighborSrc = "allv")
+  }
+
+  /** s27d: the full-corpus s14 replay with the tombstoned ids
+    * filtered out of the inverted file — one WHERE clause, the whole
+    * algorithm. */
+  private lazy val s27dOracle: String = s14OracleFor(
+    s"""
+       |  WHERE NOT (${Similarity.sqlTombstonePred("pqc.vec_id")})""".stripMargin,
+    "", s"prn <= $IVF_PROBE")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_incremental_rollup" -> (q57 _),
@@ -1076,8 +1348,14 @@ object Relational13 {
     "x08s_bottomk_sql" -> (x08s _),
     "s13_pq_adc_topk" -> (s13 _),
     "s14_ivf_pq" -> (s14 _),
+    "s14m_ivf_serving" -> (s14m _),
     "s26i_filtered_ivf" -> (s26i _),
+    "s26im_filtered_serving" -> (s26im _),
     "s26d_filtered_dispatch" -> (s26d _),
+    "s26dr_dispatch_rare" -> (s26dr _),
+    "s27_ivf_insert" -> (s27 _),
+    "s27m_ivf_insert_serving" -> (s27m _),
+    "s27d_ivf_delete" -> (s27d _),
     "s13t_pq_trained" -> (s13t _),
     "s13tm_pq_trained_serving" -> (s13tm _),
     "e11_window_topk" -> (e11 _))
@@ -1088,8 +1366,14 @@ object Relational13 {
     "x08s_bottomk_sql" -> x08Oracle,
     "s13_pq_adc_topk" -> s13Oracle,
     "s14_ivf_pq" -> s14Oracle,
+    "s14m_ivf_serving" -> s14Oracle,
     "s26i_filtered_ivf" -> s26iOracle,
+    "s26im_filtered_serving" -> s26iOracle,
     "s26d_filtered_dispatch" -> s26dOracle,
+    "s26dr_dispatch_rare" -> s26dOracleFor(Similarity.RARE_PRED_SQL),
+    "s27_ivf_insert" -> s27Oracle,
+    "s27m_ivf_insert_serving" -> s27Oracle,
+    "s27d_ivf_delete" -> s27dOracle,
     "s13t_pq_trained" -> s13tOracle,
     "s13tm_pq_trained_serving" -> s13tOracle,
     "e11_window_topk" -> e11Oracle)

@@ -30,7 +30,12 @@ import graft.Tables
   *  - damaged_edge_frac: serving edges pointing at tombstones vs all
   *    edges — past [[DMG_REPAIR_PPM]], run the local repair
   *    ([[Similarity.s22]]'s delete-with-repair) now, because every
-  *    damaged edge is a dead end the beam search wastes a hop on.
+  *    damaged edge is a dead end the beam search wastes a hop on;
+  *  - codebook_staleness (r16 verdict #4): arrivals vs the live
+  *    corpus — the share of what the IVF tier serves that its FROZEN
+  *    quantizers ([[Relational13.s27]]'s insert contract) never
+  *    trained on; past [[CB_RETRAIN_PPM]], retrain coarse+PQ and
+  *    re-encode (the s23 re-embed machinery's cost shape).
   *
   * The decision row composes every breached action in severity order
   * (rebuild ≻ fold_inserts ≻ repair_deletes — a rebuild subsumes the
@@ -45,15 +50,24 @@ object Relational24 {
   private[graft] val INS_FOLD_PPM = 100000L   // 10%
   private[graft] val DEL_REBUILD_PPM = 100000L // 10%
   private[graft] val DMG_REPAIR_PPM = 10000L  // 1%
+  // IVF quantizer staleness (r16 verdict #4): share of the live
+  // corpus the FROZEN coarse/PQ quantizers never trained on. Higher
+  // bar than the graph-fold threshold — s27's frozen-codebook insert
+  // degrades gracefully (arrivals still quantize exactly, just
+  // against centroids that drift from the true Voronoi structure),
+  // so retraining both quantizers + re-encoding the corpus is only
+  // worth it at materially higher churn.
+  private[graft] val CB_RETRAIN_PPM = 200000L // 20%
 
   /** The pure decision: breached actions in severity order, `noop`
-    * when none (unit-tested over all 8 combinations). */
+    * when none (unit-tested over the breach combinations). */
   private[graft] def decideActions(delBreach: Boolean, insBreach: Boolean,
-      dmgBreach: Boolean): String = {
+      dmgBreach: Boolean, cbBreach: Boolean = false): String = {
     val acts = Seq(
       if (delBreach) Some("rebuild") else None,
       if (insBreach) Some("fold_inserts") else None,
-      if (dmgBreach) Some("repair_deletes") else None).flatten
+      if (dmgBreach) Some("repair_deletes") else None,
+      if (cbBreach) Some("retrain_quantizers") else None).flatten
     if (acts.isEmpty) "noop" else acts.mkString(",")
   }
 
@@ -99,7 +113,11 @@ object Relational24 {
     val v = g.select(
       expr("(n_arr * 1000000) div ins_den").as("ins_ppm"),
       expr("(n_tomb * 1000000) div del_den").as("del_ppm"),
-      expr("(n_dmg * 1000000) div dmg_den").as("dmg_ppm"))
+      expr("(n_dmg * 1000000) div dmg_den").as("dmg_ppm"),
+      // quantizer staleness: arrivals vs the LIVE corpus (n_corpus
+      // denominator — the question is "how much of what we serve did
+      // training never see", not "how much grew vs the base")
+      expr("(n_arr * 1000000) div del_den").as("cb_ppm"))
     val rows = v.select(explode(array(
         struct(lit("delete_frac").as("metric"), $"del_ppm".as("value_ppm"),
           lit(DEL_REBUILD_PPM).as("threshold_ppm"),
@@ -116,14 +134,22 @@ object Relational24 {
           ($"dmg_ppm" >= DMG_REPAIR_PPM).as("breached"),
           when($"dmg_ppm" >= DMG_REPAIR_PPM, "repair_deletes")
             .otherwise("none").as("action")),
+        struct(lit("codebook_staleness").as("metric"),
+          $"cb_ppm".as("value_ppm"),
+          lit(CB_RETRAIN_PPM).as("threshold_ppm"),
+          ($"cb_ppm" >= CB_RETRAIN_PPM).as("breached"),
+          when($"cb_ppm" >= CB_RETRAIN_PPM, "retrain_quantizers")
+            .otherwise("none").as("action")),
         struct(lit("decision").as("metric"), lit(0L).as("value_ppm"),
           lit(0L).as("threshold_ppm"),
           ($"del_ppm" >= DEL_REBUILD_PPM || $"ins_ppm" >= INS_FOLD_PPM ||
-            $"dmg_ppm" >= DMG_REPAIR_PPM).as("breached"),
+            $"dmg_ppm" >= DMG_REPAIR_PPM ||
+            $"cb_ppm" >= CB_RETRAIN_PPM).as("breached"),
           concat_ws(",",
             when($"del_ppm" >= DEL_REBUILD_PPM, "rebuild"),
             when($"ins_ppm" >= INS_FOLD_PPM, "fold_inserts"),
-            when($"dmg_ppm" >= DMG_REPAIR_PPM, "repair_deletes"))
+            when($"dmg_ppm" >= DMG_REPAIR_PPM, "repair_deletes"),
+            when($"cb_ppm" >= CB_RETRAIN_PPM, "retrain_quantizers"))
             .as("action")))).as("r"))
       .select($"r.metric", $"r.value_ppm", $"r.threshold_ppm",
         $"r.breached",
@@ -147,7 +173,8 @@ object Relational24 {
        |v AS (SELECT
        |  CAST((n_arr * 1000000) // (n_corpus - n_arr) AS BIGINT) AS ins_ppm,
        |  CAST((n_tomb * 1000000) // n_corpus AS BIGINT) AS del_ppm,
-       |  CAST((n_dmg * 1000000) // n_edges AS BIGINT) AS dmg_ppm
+       |  CAST((n_dmg * 1000000) // n_edges AS BIGINT) AS dmg_ppm,
+       |  CAST((n_arr * 1000000) // n_corpus AS BIGINT) AS cb_ppm
        |  FROM cnt CROSS JOIN ec),
        |rep AS (
        |  SELECT 'delete_frac' AS metric, del_ppm AS value_ppm,
@@ -166,18 +193,25 @@ object Relational24 {
        |    CASE WHEN dmg_ppm >= $DMG_REPAIR_PPM THEN 'repair_deletes'
        |      ELSE 'none' END FROM v
        |  UNION ALL
+       |  SELECT 'codebook_staleness', cb_ppm, CAST($CB_RETRAIN_PPM AS BIGINT),
+       |    cb_ppm >= $CB_RETRAIN_PPM,
+       |    CASE WHEN cb_ppm >= $CB_RETRAIN_PPM THEN 'retrain_quantizers'
+       |      ELSE 'none' END FROM v
+       |  UNION ALL
        |  SELECT 'decision', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        |    del_ppm >= $DEL_REBUILD_PPM OR ins_ppm >= $INS_FOLD_PPM
-       |      OR dmg_ppm >= $DMG_REPAIR_PPM,
+       |      OR dmg_ppm >= $DMG_REPAIR_PPM OR cb_ppm >= $CB_RETRAIN_PPM,
        |    CASE WHEN concat_ws(',',
        |        CASE WHEN del_ppm >= $DEL_REBUILD_PPM THEN 'rebuild' END,
        |        CASE WHEN ins_ppm >= $INS_FOLD_PPM THEN 'fold_inserts' END,
-       |        CASE WHEN dmg_ppm >= $DMG_REPAIR_PPM THEN 'repair_deletes' END)
+       |        CASE WHEN dmg_ppm >= $DMG_REPAIR_PPM THEN 'repair_deletes' END,
+       |        CASE WHEN cb_ppm >= $CB_RETRAIN_PPM THEN 'retrain_quantizers' END)
        |        = '' THEN 'noop'
        |      ELSE concat_ws(',',
        |        CASE WHEN del_ppm >= $DEL_REBUILD_PPM THEN 'rebuild' END,
        |        CASE WHEN ins_ppm >= $INS_FOLD_PPM THEN 'fold_inserts' END,
-       |        CASE WHEN dmg_ppm >= $DMG_REPAIR_PPM THEN 'repair_deletes' END)
+       |        CASE WHEN dmg_ppm >= $DMG_REPAIR_PPM THEN 'repair_deletes' END,
+       |        CASE WHEN cb_ppm >= $CB_RETRAIN_PPM THEN 'retrain_quantizers' END)
        |      END FROM v)
        |SELECT metric, value_ppm, threshold_ppm, breached, action
        |FROM rep ORDER BY metric""".stripMargin

@@ -86,6 +86,17 @@ object Similarity {
     * fills its top-k. */
   private[graft] val FILTER_LANG = "fr"
 
+  /** The RARE predicate (s26dr / the s26d prefilter branch): short
+    * German documents — 0.8% / 1.2% / 3.1% of the embedding corpus at
+    * sf0.001/0.01/0.1, below the s26d crossover at EVERY SF (where
+    * `lang = 'fr'` sits at ~13-37%, always above it), so the two
+    * registered dispatch queries exercise the two branches. Kept as a
+    * (Column, SQL) pair so the Spark body and the DuckDB replay can
+    * never drift. */
+  private[graft] val RARE_PRED: Column =
+    col("lang") === "de" && col("n_chars") < 100
+  private[graft] val RARE_PRED_SQL = "lang = 'de' AND n_chars < 100"
+
   /** FILTERED vector search — s01's exact top-k under a metadata
     * predicate (the "search only documents where lang = 'fr'"
     * query every retrieval deployment serves): the predicate is
@@ -110,11 +121,20 @@ object Similarity {
     * economics unchanged — REGISTERED as that composed form in
     * [[Relational13.s26i]] (r14 verdict #4), with its own full DuckDB
     * replay and measured in-cell recall rows in the Recall report. */
-  def s26(s: SparkSession, dir: String): DataFrame = {
+  def s26(s: SparkSession, dir: String): DataFrame =
+    s26For(s, dir, col("lang") === FILTER_LANG)
+
+  /** [[s26]] parameterized by the documents-table predicate (r16
+    * verdict #1: the dispatcher and its spec need a sub-crossover
+    * predicate, so the predicate is an argument, not a constant). An
+    * empty qualifying set yields the production-shaped answer — an
+    * empty top-k, not an error (the semi-join empties the corpus). */
+  private[graft] def s26For(s: SparkSession, dir: String,
+      pred: Column): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val allowed = graft.Tables.load(s, dir, "documents")
-      .filter($"lang" === FILTER_LANG).select($"doc_id".as("vec_id"))
+      .filter(pred).select($"doc_id".as("vec_id"))
     val corpus = e.join(allowed, Seq("vec_id"), "left_semi")
     val q = e.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
@@ -128,10 +148,15 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  private lazy val s26Oracle: String =
+  private lazy val s26Oracle: String = s26OracleFor(s"lang = '$FILTER_LANG'")
+
+  /** The s26 replay parameterized by the documents predicate (the
+    * [[s26For]] twin — shared by the s26 gate row and the s26dr
+    * dispatcher oracle's prefilter side). */
+  private[graft] def s26OracleFor(predSql: String): String =
     s"""WITH e AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings),
        |c AS (SELECT e.* FROM e WHERE e.vec_id IN
-       |  (SELECT doc_id FROM documents WHERE lang = '$FILTER_LANG')),
+       |  (SELECT doc_id FROM documents WHERE $predSql)),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
        |  FROM e WHERE vec_id < $NQUERIES),
        |scored AS (SELECT q_id, c.vec_id AS neighbor_id,
@@ -780,16 +805,48 @@ object Similarity {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
-  private[graft] val KNN_K = 8 // out-degree of the knn graph (r14 verdict #1:
-                            // k=3 capped every serving face — HNSW runs
-                            // M=8-48; raised with diversity pruning below)
+  private[graft] val KNN_K = 8 // BASE out-degree of the knn graph (r14
+                            // verdict #1: k=3 capped every serving face —
+                            // HNSW runs M=8-48; raised with diversity
+                            // pruning below). Corpus-adaptive from f=4:
+                            // see [[knnK]] — r17's measured finding.
   private val KNN_KEEP = 2  // slots reserved for the PUREST-cosine
                             // candidates before the diversity order
                             // (r16 — see the selection comment in
                             // knnFromCandidates: guaranteed mutual
                             // near-links are the NN's last hop)
   private val KNN_CAND = 24 // diversity-selection candidate pool per node
-                            // (3×KNN_K — bounds the pairwise-cos work)
+                            // (3×base k — bounds the pairwise-cos work;
+                            // scales with [[knnK]], see [[knnCand]])
+  private[graft] val KNN_DEG_MAX = 32 // HNSW's layer-0 ceiling (2M at
+                            // M=16, Malkov & Yashunin 2018 §4.1)
+
+  /** CORPUS-ADAPTIVE GRAPH DEGREE (r17 — the walk10x measurement):
+    * at 20480 isotropic vectors (the first ×8 step past the largest
+    * real corpus) the measured miss anatomy was NOT width — with
+    * ef=128 every s20b miss had the beam INSIDE the query's true
+    * top-8 while the true NN had an edge to none of the ~190 beams'
+    * visited sets (`miss_nn_linked` 5/190): at fixed degree 8 the NN
+    * simply isn't WIRED to its own neighborhood in high-dim
+    * isotropic data (kNN asymmetry — x∈top8(q) rarely implies
+    * q∈top8(x) at 64d), so no beam, however wide, can take the last
+    * hop. Degree is the knob that restores reachability:
+    *
+    *   k(n) = min([[KNN_DEG_MAX]], [[KNN_K]] · (1 + max(0, ⌊log₈ n⌋ − 3)))
+    *
+    * — 8 through 4095 (every real corpus: build, bench and oracle
+    * prices unchanged), 16 from 4096 (measured: hit@1 0.768 → 0.961
+    * flat / 0.838 → 0.988 hierarchical at 20480 with ef=128),
+    * capped at HNSW's customary layer-0 ceiling. Same integer
+    * threshold chain as [[walkHops]]/[[walkEf]]; the SQL twin is the
+    * kp CTE in [[sqlKnnChain]]. Build cost scales k·n log n, beam
+    * cost hops × ef × k — both one constant step per ×8 of corpus. */
+  private[graft] def knnK(n: Long): Int =
+    math.min(KNN_DEG_MAX, KNN_K * (1 + math.max(0, floorLog8(n) - 3)))
+
+  /** The diversity pool scales with the degree it selects (3k — the
+    * pinned pool/degree ratio). */
+  private[graft] def knnCand(n: Long): Int = 3 * knnK(n)
 
   /** k-nearest-neighbor graph (k = [[KNN_K]]) over the rotation-bucket
     * candidate structure, with DIVERSITY-PRUNED neighbor selection:
@@ -855,6 +912,12 @@ object Similarity {
       und: DataFrame): DataFrame = {
     val s = embs.sparkSession
     import s.implicits._
+    // corpus-adaptive degree and pool (r17 — [[knnK]]): one 1-row
+    // count job on the build corpus, the walkHops/walkEf metadata
+    // convention. Every chain variant (full corpus, s20h's coarse
+    // subset, the insert faces' pinned base) adapts to ITS OWN frame.
+    val kDeg = knnK(embs.count())
+    val kCand = 3 * kDeg
     val e = embs.select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val directed = und.union(und.select($"b_id".as("a_id"), $"a_id".as("b_id")))
     val scored = directed
@@ -865,7 +928,7 @@ object Similarity {
         $"eb".as("ne"), $"nb".as("nn"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")
     val pool = scored.withColumn("rank0", row_number().over(w))
-      .filter($"rank0" <= KNN_CAND)
+      .filter($"rank0" <= kCand)
     // per-node diversity selection inside one array: dominance flag
     // per candidate (∃ closer candidate s with cos(s,c) > cos(v,c)),
     // then sort by (reserved, dom, rank0) and keep the first KNN_K —
@@ -892,7 +955,7 @@ object Similarity {
             .as("dom"),
           c.getField("rank0").as("rank0"),
           c.getField("neighbor_id").as("neighbor_id"),
-          c.getField("cos").as("cos")))), 1, KNN_K)).as(Seq("pos", "sel")))
+          c.getField("cos").as("cos")))), 1, kDeg)).as(Seq("pos", "sel")))
     sel.select($"vec_id", $"sel.neighbor_id".as("neighbor_id"),
         round($"sel.cos", 4).as("cos_sim"), ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"vec_id", $"rank")
@@ -1127,12 +1190,16 @@ object Similarity {
     * hops, was binding (a converged beam gains nothing from depth;
     * it gains exactly from width — HNSW tunes efSearch up with the
     * recall target for the same reason). ef(n) = [[BEAM_B]] ·
-    * (1 + max(0, ⌊log₈ n⌋ − 4)), capped [[EF_MAX]] — 16 through
-    * sf0.01 (the pinned behavior), 32 at sf0.1, growing one
-    * [[BEAM_B]] per ×8 of corpus. Same integer-exact threshold chain
-    * as [[walkHops]]; the SQL twin lives in [[sqlHopsCte]]. */
+    * (1 + max(0, ⌊log₈ n⌋ − 3)), capped [[EF_MAX]] — 64 through
+    * every real corpus (f ≤ 3: the pinned gate/bench behavior,
+    * unchanged), 128 from 4096 vectors where the walk10x
+    * measurement showed 64 decays (r17: hit@1 0.556 at 20480; the
+    * r16 slope's first extrapolated claim, rejected by data —
+    * [[EF_MAX]] binds from f=4 and the degree knob [[knnK]] carries
+    * growth beyond it). Same integer-exact threshold chain as
+    * [[walkHops]]; the SQL twin lives in [[sqlHopsCte]]. */
   private[graft] def walkEf(n: Long): Int =
-    math.min(EF_MAX, BEAM_B * (1 + math.max(0, floorLog8(n) - 4)))
+    math.min(EF_MAX, BEAM_B * (1 + math.max(0, floorLog8(n) - 3)))
 
   private val GREEDY_QMOD = 25    // query vectors: vec_id ≡ 0 (mod 25)
   private val GREEDY_ENTRIES = 16 // FIXED-size entry set — never corpus-sized
@@ -1712,8 +1779,11 @@ object Similarity {
   private def finishInsert(baseEdges: DataFrame, baseE: DataFrame,
       no: DataFrame): DataFrame = {
     import baseE.sparkSession.implicits._
+    // shrink at the corpus' adaptive degree (r17 [[knnK]]) — a
+    // degree-16 graph shrunk at 8 would silently degrade on insert
     val out = shrinkWith(baseEdgeCos(baseEdges, baseE),
-        no.select($"dst".as("src"), $"src".as("dst"), $"cos"))
+        no.select($"dst".as("src"), $"src".as("dst"), $"cos"),
+        knnK(baseE.count()))
       .unionByName(no)
       .select($"src", $"dst", round($"cos", 4).as("cos_sim"))
       .orderBy($"src", $"dst")
@@ -1722,15 +1792,15 @@ object Similarity {
     out
   }
 
-  /** Top-[[KNN_K]] cut of a pooled beam by the (cos DESC, node)
-    * total order — the new node's out-edge selection. Checkpointed —
-    * three consumers (out-rows, reverse rows, the spec's chunk
-    * lemma). */
-  private def cutTopK(pooled: DataFrame): DataFrame = {
+  /** Top-[[knnK]](n) cut of a pooled beam by the (cos DESC, node)
+    * total order — the new node's out-edge selection at the base
+    * corpus' adaptive degree. Checkpointed — three consumers
+    * (out-rows, reverse rows, the spec's chunk lemma). */
+  private def cutTopK(pooled: DataFrame, k: Int): DataFrame = {
     import pooled.sparkSession.implicits._
     val wq = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
     pooled.withColumn("rk", row_number().over(wq))
-      .filter($"rk" <= KNN_K)
+      .filter($"rk" <= k)
       .select($"q_id".as("src"), $"node".as("dst"), $"c".as("cos"))
       .localCheckpoint()
   }
@@ -1745,7 +1815,7 @@ object Similarity {
       .filter($"e0" =!= $"q_id")
       .select($"q_id", $"qe", $"qn", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("c"))
-    cutTopK(beamPool(baseEdges, baseE, beam0))
+    cutTopK(beamPool(baseEdges, baseE, beam0), knnK(baseE.count()))
   }
 
   /** HIERARCHICAL INSERT (s21h) — [[s21]] with the two-layer search
@@ -1779,7 +1849,8 @@ object Similarity {
       .localCheckpoint()
     val edges0 = materializedBaseEdges(s, dir)
     val out = finishInsert(edges0, baseE,
-      cutTopK(hierPool(l1edges, sub, edges0, baseE, newV)))
+      cutTopK(hierPool(l1edges, sub, edges0, baseE, newV),
+        knnK(baseE.count())))
     Seq(e, baseE, sub, l1edges)
       .foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
     out
@@ -1804,12 +1875,12 @@ object Similarity {
     * [[insertIntoGraph]] property 2) — AnnInsertSpec asserts
     * shrink(shrink(A, R₁), R₂) ≡ shrink(A, R₁ ∪ R₂) on data. */
   private[graft] def shrinkWith(curEdges: DataFrame,
-      rev: DataFrame): DataFrame = {
+      rev: DataFrame, k: Int = KNN_K): DataFrame = {
     import curEdges.sparkSession.implicits._
     val ws = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
     curEdges.unionByName(rev)
       .withColumn("rk", row_number().over(ws))
-      .filter($"rk" <= KNN_K)
+      .filter($"rk" <= k)
       .select($"src", $"dst", $"cos")
   }
 
@@ -1956,12 +2027,14 @@ object Similarity {
       $"nrm".as("dn"))
     val scored = cand.join(ea, Seq("src")).join(eb, Seq("dst"))
       .select($"src", $"dst", cosine($"se", $"sn", $"de", $"dn").as("cos"))
+    // repair refills to the live corpus' adaptive degree (r17)
+    val kDeg = knnK(e.count())
     val deficit = kept.groupBy($"src".as("dsrc"))
-      .agg((lit(KNN_K) - count(lit(1))).as("need"))
+      .agg((lit(kDeg) - count(lit(1))).as("need"))
     val wr = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
     val fill = scored.withColumn("rk", row_number().over(wr))
       .join(deficit, $"src" === $"dsrc", "left")
-      .filter($"rk" <= coalesce($"need", lit(KNN_K.toLong)))
+      .filter($"rk" <= coalesce($"need", lit(kDeg.toLong)))
       .select($"src", $"dst", $"cos")
     val out = kept.unionByName(fill)
       .select($"src", $"dst", round($"cos", 4).as("cos_sim"))
@@ -2140,6 +2213,21 @@ object Similarity {
     * engine side. Parameterized (r14, for [[s20h]]'s coarse layer) by
     * a CTE-name suffix and a source predicate: suffix "" + empty
     * predicate reproduces the original chain byte for byte. */
+  /** The adaptive-degree CTE — [[knnK]]/[[knnCand]]'s integer
+    * threshold chain in DuckDB text (the kp twin of [[sqlHopsCte]]):
+    * one row (k, cand) derived from count(*) of `srcCte`, the same
+    * frame the engine side counts. Every `rank <= k` / `rank0 <=
+    * cand` cut downstream reads it by scalar subquery. */
+  private def sqlKCte(name: String, srcCte: String): String = {
+    val kExpr = s"LEAST($KNN_DEG_MAX, $KNN_K * (1 + GREATEST(0, f - 3)))"
+    s"""$name AS (SELECT $kExpr AS k, 3 * $kExpr AS cand
+       |  FROM (SELECT CASE WHEN cnt >= 262144 THEN 6
+       |      WHEN cnt >= 32768 THEN 5 WHEN cnt >= 4096 THEN 4
+       |      WHEN cnt >= 512 THEN 3 WHEN cnt >= 64 THEN 2
+       |      WHEN cnt >= 8 THEN 1 ELSE 0 END AS f
+       |    FROM (SELECT count(*) AS cnt FROM $srcCte)))""".stripMargin
+  }
+
   private def sqlKnnChain(sfx: String, where: String): String = {
     val rotBranches = (0 until ROTS).map(r =>
       s"SELECT vec_id, $r AS rot, ${sqlBucketRot(r)} AS key FROM embeddings$where")
@@ -2151,6 +2239,7 @@ object Similarity {
     // (dominated ASC, cosine-rank ASC), the diversity order every
     // downstream `WHERE rank <= KNN_K` cut consumes.
     s"""e$sfx AS (SELECT vec_id, embedding, $sqlNormE AS nrm FROM embeddings$where),
+       |${sqlKCte(s"kp$sfx", s"e$sfx")},
        |b$sfx AS ($rotBranches),
        |cand$sfx AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
        |  FROM b$sfx x JOIN b$sfx y
@@ -2165,7 +2254,7 @@ object Similarity {
        |pool$sfx AS MATERIALIZED (SELECT vec_id, neighbor_id, cos, rank0 FROM (
        |  SELECT vec_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank0
-       |  FROM scored$sfx) WHERE rank0 <= $KNN_CAND),
+       |  FROM scored$sfx) WHERE rank0 <= (SELECT cand FROM kp$sfx)),
        |dompr$sfx AS (SELECT c.vec_id, c.neighbor_id
        |  FROM pool$sfx c JOIN pool$sfx s
        |    ON s.vec_id = c.vec_id AND s.rank0 < c.rank0
@@ -2215,7 +2304,7 @@ object Similarity {
   private[operators] lazy val sqlKnnEdgeCtes: String =
     s"""$sqlKnnBase,
        |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM ranked WHERE rank <= $KNN_K)""".stripMargin
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp))""".stripMargin
 
   /** The WEIGHTED edge CTE — [[weightedKnnEdges]]'s exact grid in
     * DuckDB text (round(cos, 4) is the engine-side `cos_sim`); s24's
@@ -2224,12 +2313,12 @@ object Similarity {
     s"""$sqlKnnBase,
        |edw AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst,
        |  10000 - CAST(round(round(cos, 4) * 10000) AS BIGINT) AS w
-       |  FROM ranked WHERE rank <= $KNN_K)""".stripMargin
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp))""".stripMargin
 
   private lazy val s12Oracle: String =
     s"""WITH $sqlKnnBase,
        |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM ranked WHERE rank <= $KNN_K),
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp)),
        |$sqlPageRankCtes
        |SELECT id AS vec_id, round(r, 6) AS pr
        |FROM $prFinalCte ORDER BY vec_id""".stripMargin
@@ -2256,7 +2345,7 @@ object Similarity {
   private lazy val s16Oracle: String =
     s"""WITH $sqlKnnBase,
        |ed AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM ranked WHERE rank <= $KNN_K),
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp)),
        |$sqlLpaCtes,
        |sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
        |  FROM l$LPA_ITERS GROUP BY lab)
@@ -2305,7 +2394,7 @@ object Similarity {
   private def sqlHopsCte(px: String, eCte: String): String =
     s"""${px}hp AS (SELECT
        |  LEAST($HOPS_MAX, GREATEST($GREEDY_HOPS, 2 + f)) AS h,
-       |  LEAST($EF_MAX, $BEAM_B * (1 + GREATEST(0, f - 4))) AS ef
+       |  LEAST($EF_MAX, $BEAM_B * (1 + GREATEST(0, f - 3))) AS ef
        |  FROM (SELECT CASE WHEN cnt >= 262144 THEN 6
        |      WHEN cnt >= 32768 THEN 5 WHEN cnt >= 4096 THEN 4
        |      WHEN cnt >= 512 THEN 3 WHEN cnt >= 64 THEN 2
@@ -2417,7 +2506,7 @@ object Similarity {
     s"""WITH $sqlKnnEdgeCtes,
        |${sqlKnnChain("h", l1where)},
        |edh AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM rankedh WHERE rank <= $KNN_K),
+       |  FROM rankedh WHERE rank <= (SELECT k FROM kph)),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
        |  WHERE vec_id % $GREEDY_QMOD = 0),
        |enh AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM eh
@@ -2460,7 +2549,7 @@ object Similarity {
       "CAST(vec_id AS VARCHAR)")
     s"""WITH ${sqlKnnChain("i", s" WHERE $arrHash % $INS_MOD <> 0")},
        |edi AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM rankedi WHERE rank <= $KNN_K),
+       |  FROM rankedi WHERE rank <= (SELECT k FROM kpi)),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, $sqlNormE AS qn
        |  FROM embeddings WHERE $arrHash % $INS_MOD = 0),
        |eni AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM ei
@@ -2474,15 +2563,15 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= (SELECT k FROM kpi)),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn
        |    FROM (SELECT vec_id AS src, neighbor_id AS dst, cos
-       |          FROM rankedi WHERE rank <= $KNN_K
+       |          FROM rankedi WHERE rank <= (SELECT k FROM kpi)
        |          UNION ALL SELECT dst AS src, src AS dst, cos
        |          FROM newout))
-       |  WHERE rn <= $KNN_K)
+       |  WHERE rn <= (SELECT k FROM kpi))
        |SELECT src, dst, round(cos, 4) AS cos_sim FROM
        |  (SELECT src, dst, cos FROM shrunk
        |   UNION ALL SELECT src, dst, cos FROM newout)
@@ -2505,11 +2594,11 @@ object Similarity {
     val dot = s"list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE)\n     for i in range(1, ${DIM + 1})])"
     s"""WITH ${sqlKnnChain("i", s" WHERE $arrHash % $INS_MOD <> 0")},
        |edi AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM rankedi WHERE rank <= $KNN_K),
+       |  FROM rankedi WHERE rank <= (SELECT k FROM kpi)),
        |${sqlKnnChain("ih",
           s" WHERE $arrHash % $INS_MOD <> 0 AND $l1Hash % $HIER_MOD = 0")},
        |edih AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM rankedih WHERE rank <= $KNN_K),
+       |  FROM rankedih WHERE rank <= (SELECT k FROM kpih)),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, $sqlNormE AS qn
        |  FROM embeddings WHERE $arrHash % $INS_MOD = 0),
        |enih AS (SELECT vec_id AS e0, embedding AS ee, nrm AS en FROM eih
@@ -2535,15 +2624,15 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= (SELECT k FROM kpi)),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn
        |    FROM (SELECT vec_id AS src, neighbor_id AS dst, cos
-       |          FROM rankedi WHERE rank <= $KNN_K
+       |          FROM rankedi WHERE rank <= (SELECT k FROM kpi)
        |          UNION ALL SELECT dst AS src, src AS dst, cos
        |          FROM newout))
-       |  WHERE rn <= $KNN_K)
+       |  WHERE rn <= (SELECT k FROM kpi))
        |SELECT src, dst, round(cos, 4) AS cos_sim FROM
        |  (SELECT src, dst, cos FROM shrunk
        |   UNION ALL SELECT src, dst, cos FROM newout)
@@ -2560,7 +2649,7 @@ object Similarity {
       DEL_SEED, s"CAST($c AS VARCHAR)")} % $DEL_MOD"
     s"""WITH $sqlKnnBase,
        |ed3 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst, cos
-       |  FROM ranked WHERE rank <= $KNN_K),
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp)),
        |kept AS (SELECT src, dst, cos FROM ed3
        |  WHERE ${delPred("src")} <> 0 AND ${delPred("dst")} <> 0),
        |dmg AS (SELECT src, dst AS d FROM ed3
@@ -2575,13 +2664,13 @@ object Similarity {
        |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
        |  FROM cnd c JOIN e ex ON ex.vec_id = c.src
        |    JOIN e ey ON ey.vec_id = c.dst),
-       |needs AS (SELECT src, $KNN_K - count(*) AS need
+       |needs AS (SELECT src, (SELECT k FROM kp) - count(*) AS need
        |  FROM kept GROUP BY src),
        |fill AS (SELECT src, dst, cos FROM (
        |    SELECT s.src, s.dst, s.cos,
        |      row_number() OVER (PARTITION BY s.src
        |        ORDER BY s.cos DESC, s.dst) AS rk,
-       |      coalesce(n.need, $KNN_K) AS need
+       |      coalesce(n.need, (SELECT k FROM kp)) AS need
        |    FROM sc s LEFT JOIN needs n ON n.src = s.src)
        |  WHERE rk <= need)
        |SELECT src, dst, round(cos, 4) AS cos_sim FROM
@@ -2602,7 +2691,7 @@ object Similarity {
       "CAST(vec_id AS VARCHAR)")
     s"""WITH $sqlKnnBase,
        |ed3 AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst, cos
-       |  FROM ranked WHERE rank <= $KNN_K),
+       |  FROM ranked WHERE rank <= (SELECT k FROM kp)),
        |kept AS (SELECT src, dst, cos FROM ed3
        |  WHERE ${updPred("src")} <> 0 AND ${updPred("dst")} <> 0),
        |dmg AS (SELECT src, dst AS d FROM ed3
@@ -2617,19 +2706,20 @@ object Similarity {
        |     for i in range(1, ${DIM + 1})]) / (ex.nrm * ey.nrm) AS cos
        |  FROM cnd c JOIN e ex ON ex.vec_id = c.src
        |    JOIN e ey ON ey.vec_id = c.dst),
-       |needs AS (SELECT src, $KNN_K - count(*) AS need
+       |needs AS (SELECT src, (SELECT k FROM kp) - count(*) AS need
        |  FROM kept GROUP BY src),
        |fill AS (SELECT src, dst, cos FROM (
        |    SELECT s.src, s.dst, s.cos,
        |      row_number() OVER (PARTITION BY s.src
        |        ORDER BY s.cos DESC, s.dst) AS rk,
-       |      coalesce(n.need, $KNN_K) AS need
+       |      coalesce(n.need, (SELECT k FROM kp)) AS need
        |    FROM sc s LEFT JOIN needs n ON n.src = s.src)
        |  WHERE rk <= need),
        |edr AS MATERIALIZED (SELECT src, dst, cos FROM kept
        |  UNION ALL SELECT src, dst, cos FROM fill),
        |er AS (SELECT vec_id, embedding, nrm FROM e
        |  WHERE ${updPred("vec_id")} <> 0),
+       |${sqlKCte("kpl", "er")},
        |q0 AS (SELECT vec_id AS q_id, list_reverse(embedding) AS embedding
        |  FROM embeddings WHERE ${updPred("vec_id")} = 0),
        |q AS (SELECT q_id, embedding AS qe, $sqlNormE AS qn FROM q0),
@@ -2644,14 +2734,14 @@ object Similarity {
        |    SELECT q_id AS src, node AS dst, c AS cos,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY c DESC, node) AS rn
-       |    FROM b$HOPS_MAX) WHERE rn <= $KNN_K),
+       |    FROM b$HOPS_MAX) WHERE rn <= (SELECT k FROM kpl)),
        |shrunk AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
        |        ORDER BY cos DESC, dst) AS rn
        |    FROM (SELECT src, dst, cos FROM edr
        |          UNION ALL SELECT dst AS src, src AS dst, cos
        |          FROM newout))
-       |  WHERE rn <= $KNN_K)
+       |  WHERE rn <= (SELECT k FROM kpl))
        |SELECT src, dst, round(cos, 4) AS cos_sim FROM
        |  (SELECT src, dst, cos FROM shrunk
        |   UNION ALL SELECT src, dst, cos FROM newout)
@@ -2806,7 +2896,7 @@ object Similarity {
     "s11_knn_graph" ->
       s"""WITH $sqlKnnBase
          |SELECT vec_id, neighbor_id, round(cos, 4) AS cos_sim, rank
-         |FROM ranked WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin,
+         |FROM ranked WHERE rank <= (SELECT k FROM kp) ORDER BY vec_id, rank""".stripMargin,
     // the same ROTS-rotation knn edges, then PR_ITERS power iterations
     // unrolled as generated CTEs (aggregation inside a recursive CTE
     // is not portable SQL); arithmetic written step-for-step as the

@@ -11,7 +11,7 @@ import graft.operators.Fuzz
 class FuzzSpec extends SparkSpec {
 
   test("generator is a pure function of the seed") {
-    (1 to 36).foreach { i =>
+    (1 to 44).foreach { i =>
       assert(Fuzz.describe(i) == Fuzz.describe(i))
       assert(Fuzz.sqlFor(i) == Fuzz.sqlFor(i))
     }
@@ -77,6 +77,30 @@ class FuzzSpec extends SparkSpec {
       "no interval-arithmetic measure shape")
     assert(descs.exists(_.contains("lag=true")),
       "no two-date difference measure shape")
+  }
+
+  test("the multi-way seeds (fz37-fz44) cover the join-plan axes") {
+    val descs = (37 to 44).map(Fuzz.describe)
+    assert(descs.forall(_.contains("mjoin")), "mj axis must be 3-table")
+    assert(descs.exists(_.contains("lo=left")), "no LEFT l→o shape")
+    assert(descs.exists(_.contains("lo=inner")), "no INNER l→o shape")
+    assert(descs.exists(_.contains("c=left")), "no LEFT →customer shape")
+    assert(descs.exists(_.contains("c=inner")), "no INNER →customer shape")
+    assert(descs.exists(_.contains("assoc=0")) &&
+      descs.exists(_.contains("assoc=1")),
+      "both association orders must be committed")
+    assert(descs.exists(d => d.contains("keyKind=1") ||
+      d.contains("keyKind=2") || d.contains("keyKind=4")),
+      "no nullable GROUP BY key shape")
+    assert(descs.exists(_.contains("min=true")),
+      "no nullable MIN measure shape")
+    // every nullable output is coalesced in BOTH renderers (the fz13
+    // tuple-sort rule)
+    (37 to 44).map(Fuzz.sqlFor).foreach { sql =>
+      if (sql.contains("AS k_seg")) assert(sql.contains("coalesce(c_mktsegment"))
+      if (sql.contains("AS k_pri")) assert(sql.contains("coalesce(o_orderpriority"))
+      if (sql.contains("AS mn")) assert(sql.contains("coalesce(min(o_orderkey)"))
+    }
   }
 
   test("every generated plan executes and the renderers agree on columns") {

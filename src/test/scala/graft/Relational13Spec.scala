@@ -221,4 +221,55 @@ class Relational13Spec extends SparkSpec {
       s"trained codebooks must not lose recall: seed=$seed trained=$trained")
     graft.functions.CheckpointOps.freeLocalCheckpoint(sub)
   }
+
+  private def keyRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("q_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("s26d: the fr predicate takes the IN-CELL branch and equals s26i") {
+    val d = Relational13.s26d(spark, sf).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(_.getAs[String]("path") == "incell"),
+      "fr (~16% selectivity) must dispatch in-cell")
+    assert(d.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      keyRows(Relational13.s26i(spark, sf)),
+      "dispatched in-cell rows differ from the standalone s26i body")
+  }
+
+  test("s26dr: the rare predicate takes the PREFILTER branch and equals " +
+      "the exact pre-filter scan") {
+    val r = Relational13.s26dr(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[String]("path") == "prefilter"),
+      "short-German (<5% selectivity) must dispatch prefilter")
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      keyRows(graft.operators.Similarity.s26For(spark, sf,
+        graft.operators.Similarity.RARE_PRED)),
+      "dispatched prefilter rows differ from the standalone s26 body")
+  }
+
+  test("filtered ANN under an EMPTY qualifying set: empty top-k, not an " +
+      "error; adaptiveProbe's zero-guard stays the internal contract") {
+    val s2 = spark
+    import s2.implicits._
+    val none = col("lang") === "zz" // no such language at any SF
+    assert(Relational13.s26iOver(
+      Relational13.materializedIvfIndex(spark, sf), spark, sf, none)
+      .count() == 0L, "empty qualifying set must serve an empty top-k")
+    assert(Relational13.s26dFor(spark, sf, none).count() == 0L,
+      "the dispatcher must serve an empty top-k on an empty subset")
+    intercept[IllegalArgumentException] {
+      Relational13.adaptiveProbe(32L, 100L, 0L)
+    }
+  }
+
+  test("s14m/s26im: frozen-index serving is bit-identical to the " +
+      "fresh-build faces") {
+    assert(keyRows(Relational13.s14m(spark, sf)) ==
+      keyRows(Relational13.s14(spark, sf)),
+      "materialized s14m differs from fresh s14")
+    assert(keyRows(Relational13.s26im(spark, sf)) ==
+      keyRows(Relational13.s26i(spark, sf)),
+      "materialized s26im differs from fresh s26i")
+  }
 }
