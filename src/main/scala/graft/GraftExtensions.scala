@@ -34,6 +34,8 @@ object GraftExtensions {
   private val registrations: Seq[(String, Int, Seq[Expression] => Expression)] =
     Seq(
       ("vec_dot", 2, args => VecDot(args(0), args(1))),
+      ("vec_sqdist", 2, args => VecSqDist(args(0), args(1))),
+      ("vec_sqdist_l", 2, args => VecSqDistL(args(0), args(1))),
       ("word_tokens", 1, args => Tokens(Cast(args.head, StringType))),
       ("word_shingles_3", 1, args => WordShingles(Cast(args.head, StringType), 3)),
       ("minhash_sig_16", 1, args => MinHashSignature(args.head, 16)),

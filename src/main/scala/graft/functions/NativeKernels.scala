@@ -211,6 +211,141 @@ object NativeKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fold-left squared L2 distance over two LONG arrays: Σ (aᵢ−bᵢ)²
+    * as LONG — the integer-Lloyd / ADC routing distance of the
+    * trained-quantizer family (Relational13), previously composed as
+    * `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0, +)` — an
+    * interpreted per-element lambda chain on the hottest training
+    * loop (optimization guide §4: prefer codegen expressions in the
+    * hot path). Long arithmetic is exact, so the fused loop is
+    * bit-identical to the HOF form and the DuckDB oracles. Inputs are
+    * equal-length by construction (Q20-quantized slices); min-length
+    * truncation matches [[VecDot]]. */
+  case class VecSqDistL(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    private def longArray(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (longArray(left.dataType) && longArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist_l needs two ARRAY<BIGINT> columns, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = a.getLong(i) - b.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecSqDistL =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Fold-left squared L2 distance over two FLOAT/DOUBLE arrays as
+    * DOUBLE: Σ (aᵢ−bᵢ)² with each element cast to double first and
+    * accumulated left to right — bit-identical to the composed
+    * `aggregate(zip_with(...))` form (one IEEE subtract, one multiply,
+    * one add per element, in index order) and to the DuckDB
+    * list-comprehension oracles. The exact-rerank and kmeans-family
+    * hot distance. */
+  case class VecSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def fpArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (fpArray(left.dataType) && fpArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist needs two ARRAY<FLOAT|DOUBLE> columns, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+    private def elemType(e: Expression): NumericType =
+      e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val lt = elemType(left); val rt = elemType(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = lt match {
+          case FloatType => a.getFloat(i).toDouble
+          case _ => a.getDouble(i)
+        }
+        val y = rt match {
+          case FloatType => b.getFloat(i).toDouble
+          case _ => b.getDouble(i)
+        }
+        val d = x - y
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def getter(t: NumericType, arr: String, i: String): String = t match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      val lt = elemType(left); val rt = elemType(right)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${getter(lt, a, i)} - ${getter(rt, b, i)};
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecSqDist =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Shared md5 → 60-bit-long kernel (= TextOps.hash64 semantics:
     * first 15 hex chars of the md5 digest parsed base-16). */
   @inline private def md5Hash64(md: java.security.MessageDigest,
@@ -495,6 +630,10 @@ object NativeKernels {
   def vec_dot(a: Column, b: Column): Column = col(VecDot(ex(a), ex(b)))
   def vec_dot_q(weights: Column, values: Column, scale: Int): Column =
     col(VecDotQ(ex(weights), ex(values), scale))
+  def vec_sqdist_l(a: Column, b: Column): Column =
+    col(VecSqDistL(ex(a), ex(b)))
+  def vec_sqdist(a: Column, b: Column): Column =
+    col(VecSqDist(ex(a), ex(b)))
   def word_tokens(c: Column): Column = col(Tokens(ex(c.cast("string"))))
   def word_shingles(c: Column, n: Int): Column =
     col(WordShingles(ex(c.cast("string")), n))

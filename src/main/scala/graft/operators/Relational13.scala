@@ -228,9 +228,7 @@ object Relational13 {
   /** Fold-left squared distance between two float-array slices — the
     * s04/s07 engine-portable accumulation order. */
   private def sqd(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c,
-      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.NativeKernels.vec_sqdist(v, c)
 
   /** Product-quantization ANN with asymmetric distance (ADC): split
     * the 64-dim embedding into [[PQ_M]]=4 subspaces of 16 dims,
@@ -402,8 +400,7 @@ object Relational13 {
           x => round(x.cast("double") * Q20L).cast("long")).as("sq"))
 
   private[graft] def isqdL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
+    graft.functions.NativeKernels.vec_sqdist_l(a, b)
 
   /** [[PQ_TRAIN_ITERS]] rounds of per-subspace Lloyd on the Q20 grid:
     * assignment is the exact-integer argmin with a (dist, code) total
@@ -430,14 +427,21 @@ object Relational13 {
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("d"), col("code"))).as("best"))
         .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      // centroid update in ONE aggregate: per-position long sums as
+      // PQ_SUB parallel sum() columns instead of posexplode → a
+      // (m, code, pos) aggregate → a second (m, code) collect_list
+      // re-assembly (r17, guide §2.3/§2.4: the explode multiplied the
+      // shuffle rows ×PQ_SUB and the two-level groupBy paid a second
+      // exchange; the sums are the same exact longs, the DIV the same
+      // truncating division, the array order explicit by position)
       val upd = asn.join(sub, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
         .groupBy(col("m"), col("code"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), expr("sv DIV n").as("q")))),
-          x => x.getField("q")).as("ncq"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until PQ_SUB).map(i =>
+            sum(element_at(col("sq"), i + 1))): _*).as("svs"))
+        .select(col("m"), col("code"),
+          transform(col("svs"), sv => call_function("div", sv, col("n")))
+            .as("ncq"))
       val next = cb.join(upd, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("ncq"), col("cq")).as("cq"))
         .localCheckpoint()
@@ -709,10 +713,10 @@ object Relational13 {
   private[graft] case class IvfIndex(
       e: DataFrame, cent: DataFrame, cb: DataFrame, codes: DataFrame)
 
-  // integer routing: Σ(qq−cq)² over longs
+  // integer routing: Σ(qq−cq)² over longs — the same codegen kernel
+  // as [[isqdL]] (guide §4; identical exact-long fold)
   private def isqdRoute(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
-      (acc, d) => acc + d)
+    graft.functions.NativeKernels.vec_sqdist_l(a, b)
 
   private def q20(v: Column): Column =
     transform(v, x => round(x.cast("double") * Q20).cast("long"))
@@ -742,14 +746,17 @@ object Relational13 {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("rdist"), col("cell"))).as("best"))
         .select(col("vec_id"), col("best.cell").as("cell"))
+      // one-aggregate centroid update — DIM parallel per-position long
+      // sums (the pqTrainCodebook r17 fusion: same exact sums, same
+      // truncating DIV, no ×DIM explode and no second exchange)
       val upd = asn.join(vq, Seq("vec_id"))
-        .select(col("cell"), posexplode(col("qq")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
         .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), expr("sv DIV n").as("q")))),
-          x => x.getField("q")).as("ncq"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until 64).map(i =>
+            sum(element_at(col("qq"), i + 1))): _*).as("svs"))
+        .select(col("cell"),
+          transform(col("svs"), sv => call_function("div", sv, col("n")))
+            .as("ncq"))
       val next = cent.join(upd, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("ncq"), col("cq")).as("cq"))
         .localCheckpoint()

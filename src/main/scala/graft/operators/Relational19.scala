@@ -419,7 +419,7 @@ object Relational19 {
     * round regardless of skew. */
   def s19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    khopOver(Similarity.s11(s, dir)
+    khopOver(Similarity.s11Unsorted(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst")), s)
   }
 

@@ -249,8 +249,13 @@ object Relational4 {
     // d02 detection output once and feeds detection→clustering→apply
     // from it, instead of re-evaluating the pair plan per stage
     val pairs = pairsIn.getOrElse(Dedup.d02(s, dir)).select($"a_id", $"b_id")
+    // partitioned by dst — the key every round's label-propagation
+    // join probes (guide §2.4: the edge snapshot is built once, so
+    // establishing the join layout here removes the per-round
+    // edge-side exchange; the label table is hash(id) from its own
+    // aggregates)
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").repartition($"dst").localCheckpoint()
     // seed with the one-hop minimum (min of self and direct
     // neighbors) — the result of what would otherwise be round 1
     var labels = edges.groupBy($"src")
@@ -320,6 +325,14 @@ object Relational4 {
     var edges = pairs
       .select(greatest($"a_id", $"b_id").as("hi"), least($"a_id", $"b_id").as("lo"))
       .filter($"hi" =!= $"lo").distinct().localCheckpoint()
+    // node set pinned from the INITIAL edge snapshot: contraction
+    // preserves endpoints' components but the final labels need every
+    // original node, and deriving it from `pairs` at the end re-ran
+    // the whole d02 detection plan a second time (measured: the final
+    // count exec re-paid ~1.5 s of shingle/minhash work at sf0.1).
+    // Self-loop-free pairs make edge endpoints ≡ pair endpoints.
+    val nodes = edges.select($"hi".as("id"))
+      .union(edges.select($"lo".as("id"))).distinct().localCheckpoint()
     /** The fixpoint is testable DIRECTLY: the edge set is a star
       * forest iff no node has two parents (appears as `hi` twice) and
       * no node is both a child and a root (appears as `hi` and as
@@ -386,8 +399,6 @@ object Relational4 {
     }
     // fixpoint = star forest: every non-root has exactly one edge, to
     // its component's minimum; roots (and only roots) appear as `lo`
-    val nodes = pairs.select($"a_id".as("id"))
-      .union(pairs.select($"b_id".as("id"))).distinct()
     val labels = nodes
       .join(edges.select($"hi".as("id"), $"lo".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("comp"))

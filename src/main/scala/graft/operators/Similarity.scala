@@ -887,6 +887,18 @@ object Similarity {
     * handle. */
   def s11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    s11Unsorted(s, dir).orderBy($"vec_id", $"rank")
+  }
+
+  /** [[s11]] without the final presentation sort — the form every
+    * EDGE consumer (s12/s16/s19/s20/s21/s22, the materialized assets)
+    * derives from: they group or join the edges immediately, so the
+    * global range-exchange + sort the registered output needs for a
+    * deterministic dump is pure waste on their path (guide §2.4: an
+    * `orderBy` used only to make output deterministic is an
+    * accidental exchange). */
+  private[graft] def s11Unsorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir)
     knnFromCandidates(e,
       candidatePairs(e.select($"vec_id", $"embedding")).select($"a_id", $"b_id"))
@@ -920,45 +932,79 @@ object Similarity {
     val kCand = 3 * kDeg
     val e = embs.select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val directed = und.union(und.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    // NARROW scoring rows (guide §2.3 — project before the exchange):
+    // the rank window's shuffle+sort moves (vec_id, neighbor_id, cos)
+    // keys only; the r16 form carried each candidate's 64-float
+    // vector + norm through the window (~300 B/row over the full
+    // candidate set — the measured bulk of the 25 task-seconds a
+    // fresh build burned). Candidate vectors re-attach AFTER the
+    // kCand cut, pool-sized.
     val scored = directed
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), Seq("a_id"))
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")), Seq("b_id"))
       .select($"a_id".as("vec_id"), $"b_id".as("neighbor_id"),
-        cosine($"ea", $"na", $"eb", $"nb").as("cos"),
-        $"eb".as("ne"), $"nb".as("nn"))
+        cosine($"ea", $"na", $"eb", $"nb").as("cos"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")
+    // checkpoint the cut pool: three consumers below (both dominance
+    // sides + the final rank) — uncheckpointed, each re-derives
+    // candidate generation + scoring + the rank window (measured: 29
+    // exchanges / 23 Window nodes in one s11 plan). n·kCand narrow
+    // rows; freed after the eager result below materializes.
     val pool = scored.withColumn("rank0", row_number().over(w))
       .filter($"rank0" <= kCand)
-    // per-node diversity selection inside one array: dominance flag
-    // per candidate (∃ closer candidate s with cos(s,c) > cos(v,c)),
-    // then sort by (reserved, dom, rank0) and keep the first KNN_K —
-    // where `reserved` pins the top-[[KNN_KEEP]] PURE-COSINE
-    // candidates ahead of the diversity order (r16: HNSW Alg. 4's
+      .localCheckpoint()
+    // per-node diversity selection: dominance flag per candidate
+    // (∃ closer candidate s with cos(s,c) > cos(v,c)), then rank by
+    // (reserved, dom, rank0) and keep the first KNN_K — where
+    // `reserved` pins the top-[[KNN_KEEP]] PURE-COSINE candidates
+    // ahead of the diversity order (r16: HNSW Alg. 4's
     // keepPrunedConnections, made slot-reserving — pure RNG pruning
     // cuts a node's closest neighbor exactly when the local clique is
     // dense, which measured as "beam lands on exact top-5 but the NN
     // itself has no link into it": s20h sf0.1 rank1_in_top5 1.0 vs
     // hit@1 0.8125. Guaranteed mutual near-links restore the last
-    // hop). The window and the groupBy share the vec_id partitioning
-    // — one shuffle.
-    val sel = pool
-      .groupBy($"vec_id")
-      .agg(sort_array(collect_list(
-        struct($"rank0", $"neighbor_id", $"cos", $"ne", $"nn"))).as("cands"))
-      .select($"vec_id", posexplode(slice(sort_array(transform($"cands", c =>
-        struct(
-          (c.getField("rank0") > KNN_KEEP).as("res"),
-          exists($"cands", sp =>
-            sp.getField("rank0") < c.getField("rank0") &&
-              vec_dot(sp.getField("ne"), c.getField("ne")) /
-                (sp.getField("nn") * c.getField("nn")) > c.getField("cos"))
-            .as("dom"),
-          c.getField("rank0").as("rank0"),
-          c.getField("neighbor_id").as("neighbor_id"),
-          c.getField("cos").as("cos")))), 1, kDeg)).as(Seq("pos", "sel")))
-    sel.select($"vec_id", $"sel.neighbor_id".as("neighbor_id"),
-        round($"sel.cos", 4).as("cos_sim"), ($"pos" + 1).cast("long").as("rank"))
-      .orderBy($"vec_id", $"rank")
+    // hop).
+    //
+    // r17 (guide §1.2 step 2 / §4): the dominance test is the ORACLE's
+    // own dompr self-join shape instead of the r16 collect_list +
+    // exists() higher-order function — HOF lambdas evaluate
+    // interpreted per element, and the C² per-node pairwise cosines
+    // measured ~25 task-seconds per fresh build at sf0.1 (ProbeJobs:
+    // s20 task_run 27.8 s/rep, s20m 2.2 — the gap IS this selection).
+    // As a join, the pairwise [[vec_dot]] runs inside whole-stage
+    // codegen; the three `pool` references share one exchange
+    // (ReusedExchange — plan-asserted), and the per-node candidate
+    // list is never materialized as a 7 KB array row. Arithmetic is
+    // IDENTICAL: same dot/(n·n) > cos test on the same operands, and
+    // the (res, dom, rank0) rank is the same total order the
+    // sort_array form used (rank0 is unique per node).
+    val poolV = pool.join(
+      e.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+        $"nrm".as("nn")), Seq("neighbor_id"))
+    val cSide = poolV.select($"vec_id", $"neighbor_id", $"cos", $"rank0",
+      $"ne".as("ce"), $"nn".as("cn"))
+    val sSide = poolV.select($"vec_id", $"rank0".as("srank"),
+      $"ne".as("se"), $"nn".as("sn"))
+    val dom = cSide.join(sSide, Seq("vec_id"))
+      .filter($"srank" < $"rank0" &&
+        vec_dot($"se", $"ce") / ($"sn" * $"cn") > $"cos")
+      .select($"vec_id", $"neighbor_id").distinct()
+      .withColumn("dom", lit(true))
+    val wSel = Window.partitionBy($"vec_id")
+      .orderBy($"res", $"dom", $"rank0")
+    val out = pool.join(dom, Seq("vec_id", "neighbor_id"), "left")
+      .select($"vec_id", $"neighbor_id", $"cos", $"rank0",
+        ($"rank0" > KNN_KEEP).as("res"), coalesce($"dom", lit(false)).as("dom"))
+      .withColumn("rank", row_number().over(wSel).cast("long"))
+      .filter($"rank" <= kDeg)
+      .select($"vec_id", $"neighbor_id", round($"cos", 4).as("cos_sim"),
+        $"rank")
+      // eager result so the pool scratch checkpoint can be freed HERE
+      // (every caller materializes the edge set immediately anyway);
+      // n·k narrow rows, session-GC'd like any superseded frame
+      .localCheckpoint()
+    graft.functions.CheckpointOps.freeLocalCheckpoint(pool)
+    out
   }
 
   private val PR_ITERS = 10
@@ -991,7 +1037,7 @@ object Similarity {
     * as generated CTEs (recursive-CTE aggregation is not portable). */
   def s12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = s11(s, dir)
+    val edges = s11Unsorted(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint()
     // pageRankOver's eager checkpoints mean the returned frame no
@@ -1007,10 +1053,20 @@ object Similarity {
     * graph consumers. */
   private[graft] def materializedKnnEdges(
       s: SparkSession, dir: String): DataFrame =
+    materializedKnnEdgesCos(s, dir).select(col("src"), col("dst"))
+
+  /** The one materialized knn build, WITH the 4-dp cosine column:
+    * both the plain (src, dst) view and the weighted view derive from
+    * this single checkpoint — r17: the weighted asset previously ran
+    * the WHOLE s11 build a second time inside the pipeline-
+    * materialization block to recompute the same cosines it had just
+    * thrown away (guide §1.2: don't compute things you discard). */
+  private[graft] def materializedKnnEdgesCos(
+      s: SparkSession, dir: String): DataFrame =
     Relational4.materialized("knn_edges", s, dir) {
       import s.implicits._
-      s11(s, dir)
-        .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      s11Unsorted(s, dir)
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"), $"cos_sim")
         .localCheckpoint()
     }
 
@@ -1025,7 +1081,7 @@ object Similarity {
     * .5 boundary). */
   private[graft] def weightedKnnEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s11(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"),
+    s11Unsorted(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"),
       (lit(10000L) - round($"cos_sim" * 10000).cast("long")).as("w"))
   }
 
@@ -1033,10 +1089,13 @@ object Similarity {
     * knn_edges convention): graph consumers that charge only their
     * own iterations read this. */
   private[graft] def materializedWeightedKnnEdges(
-      s: SparkSession, dir: String): DataFrame =
-    Relational4.materialized("knn_edges_w", s, dir) {
-      weightedKnnEdges(s, dir).localCheckpoint()
-    }
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // a projection over the shared knn checkpoint, not a second build
+    // (same cos_sim values → the identical exact integer grid)
+    materializedKnnEdgesCos(s, dir).select($"src", $"dst",
+      (lit(10000L) - round($"cos_sim" * 10000).cast("long")).as("w"))
+  }
 
   /** [[s12]] over the once-materialized edge table — the pipeline-cost
     * form: the graph build amortizes across every consumer, and the
@@ -1050,16 +1109,24 @@ object Similarity {
   private[graft] def pageRankOver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // out-degree is LOOP-INVARIANT: fold it into the edge frame once,
+    // partitioned by the join key (r16 re-aggregated and re-joined the
+    // degree table inside every round — the executed plan showed 10
+    // exchanges + 3 sort-merge joins per round for what is one
+    // edges⋈ranks join; guide §2.4, two operations keyed the same way
+    // share one exchange). The src-hash layout also co-partitions the
+    // per-round join with the rank snapshot's own hash(id) layout, so
+    // rounds exchange ONLY the contribution aggregate.
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val nodes = edgesD.select($"src".as("id")).distinct().localCheckpoint()
     val n = nodes.count()
     val teleport = (1.0 - PR_DAMP) / n.toDouble
     var r = nodes.select($"id", lit(1.0 / n.toDouble).as("r"))
       .localCheckpoint()
     for (_ <- 1 to PR_ITERS) {
-      val contrib = edges
+      val contrib = edgesD
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select($"dst", ($"r" / $"d").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
       val next = nodes
@@ -1074,7 +1141,9 @@ object Similarity {
       r = next
     }
     // the final r is checkpointed, so its plan no longer reads nodes
+    // or the degree-folded edge snapshot
     graft.functions.CheckpointOps.freeLocalCheckpoint(nodes)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edgesD)
     r.select($"id".as("vec_id"), round($"r", 6).as("pr"))
       .orderBy($"vec_id")
   }
@@ -1110,8 +1179,13 @@ object Similarity {
     val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
     var lab = nodes.select($"id", $"id".as("lab")).localCheckpoint()
     for (_ <- 1 to LPA_ITERS) {
+      // one exchange per round (guide §2.4): hash(dst) satisfies BOTH
+      // the (dst, slab) vote count and the per-dst argmax — without
+      // the explicit repartition each round pays two exchanges (the
+      // second keyed (dst, slab) cannot serve the dst-only argmax)
       val votes = edges
         .join(lab.select($"id".as("src"), $"lab".as("slab")), Seq("src"))
+        .repartition($"dst")
         .groupBy($"dst", $"slab").agg(count(lit(1)).as("n"))
         .groupBy($"dst")
         .agg(min(struct((-$"n").as("negn"), $"slab".as("slab"))).as("best"))
@@ -1131,7 +1205,7 @@ object Similarity {
 
   def s16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = s11(s, dir)
+    val edges = s11Unsorted(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint()
     val out = labelPropOver(edges)
@@ -1330,13 +1404,22 @@ object Similarity {
     // (full corpus, base subset, or live set — each caller's e)
     val hops = walkHops(e.count())
     val ent = entrySet(e)
+    // the query frame materializes ONCE per walk (it is query-batch-
+    // sized) and is BROADCAST into every hop's scoring join — r17: the
+    // walk state itself no longer carries the 64-float query vectors,
+    // so per-hop exchanges move (q_id, e0, node, cos) keys instead of
+    // ~0.5 KB payload rows (guide §2.3: shuffle keys, not payloads;
+    // at serving scale the frame is NQ rows against a corpus-sized
+    // edge table — the frontier is the broadcast side by construction)
+    val qc = q.localCheckpoint()
+    val qB = broadcast(qc)
     // per-hop localCheckpoint (the beamPool/d09 discipline): the hop
     // references `cur` twice (probe + carry), so an uncheckpointed
     // loop doubles the plan per hop — 2^hops branches over the walk
     // frame. Superseded hops freed; the final hop backs the result.
-    var cur = q.crossJoin(broadcast(ent))
+    var cur = qc.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
-      .select($"q_id", $"e0", $"qe", $"qn", $"e0".as("node"),
+      .select($"q_id", $"e0", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("cur_cos"),
         lit(0L).as("n_moves"))
       .localCheckpoint()
@@ -1345,10 +1428,11 @@ object Similarity {
     val ed2 = undirected(edges)
     for (_ <- 1 to hops) {
       val prev = cur
-      val probe = cur.select($"q_id", $"e0", $"qe", $"qn", $"node")
-      val best = probe
+      val probe = cur.select($"q_id", $"e0", $"node")
+      val best = broadcast(probe)
         .join(ed2, probe("node") === ed2("src"))
         .join(dstE, Seq("dst"))
+        .join(qB, Seq("q_id"))
         .filter($"dst" =!= $"q_id")
         .select($"q_id", $"e0",
           struct(cosine($"qe", $"qn", $"de", $"dn").as("c"),
@@ -1356,8 +1440,11 @@ object Similarity {
         .groupBy($"q_id", $"e0").agg(max($"cand").as("b"))
         .select($"q_id", $"e0", $"b.c".as("bc"),
           (-$"b.negd").cast("long").as("bn"))
-      cur = cur.join(best, Seq("q_id", "e0"), "left")
-        .select($"q_id", $"e0", $"qe", $"qn",
+      // best is one row per (query, entry) — ≤ NQ·GREEDY_ENTRIES, the
+      // broadcast side by construction (a sort-merge join here would
+      // exchange the same-sized walk state twice per hop for nothing)
+      cur = cur.join(broadcast(best), Seq("q_id", "e0"), "left")
+        .select($"q_id", $"e0",
           when($"bc" > $"cur_cos", $"bn").otherwise($"node").as("node"),
           when($"bc" > $"cur_cos", $"bc").otherwise($"cur_cos")
             .as("cur_cos"),
@@ -1366,6 +1453,7 @@ object Similarity {
         .localCheckpoint()
       graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
     }
+    graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
     // best walk per query: (cos DESC, node ASC, moves DESC) total order
     cur
       .select($"q_id", struct($"cur_cos", (-$"node").as("negn"),
@@ -1414,7 +1502,7 @@ object Similarity {
     * s12/s16 bench convention — the build cost IS the number). */
   def s20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = s11(s, dir)
+    val edges = s11Unsorted(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint()
     val out = greedySearchOver(edges, s, dir)
@@ -1468,33 +1556,40 @@ object Similarity {
   private def beamWalk(edges: DataFrame, e: DataFrame,
       q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val ent = entrySet(e)
-    val beam0 = q.crossJoin(broadcast(ent))
-      .filter($"e0" =!= $"q_id")
-      .select($"q_id", $"qe", $"qn", $"e0".as("node"),
-        cosine($"qe", $"qn", $"ee", $"en").as("c"))
-    beamFrom(edges, e, beam0)
-  }
-
-  /** The beam loop from an EXPLICIT hop-0 frontier `(q_id, qe, qn,
-    * node, c)` — split out of [[beamWalk]] so the hierarchical
-    * descent ([[s20h]]) can seed the base-layer beam from the coarse
-    * layer's settled node instead of the global entry set. */
-  private def beamFrom(edges: DataFrame, e: DataFrame,
-      beam0: DataFrame): DataFrame = {
-    import e.sparkSession.implicits._
     val trim = Window.partitionBy($"q_id").orderBy($"c".desc, $"node")
-    beamPool(edges, e, beam0).select($"q_id",
+    beamPoolWalk(edges, e, q).select($"q_id",
       row_number().over(trim).cast("long").as("rank"),
       $"node".as("found_id"))
   }
 
-  /** The raw beam loop — [[beamFrom]] without the final rank-select,
+  /** [[beamWalk]] without the final rank-select — the surviving
+    * pooled frontier `(q_id, node, c)` WITH scores, from the global
+    * entry set (the insert faces' selector and the coarse layer of
+    * the hierarchy read this; the search faces rank it). */
+  private def beamPoolWalk(edges: DataFrame, e: DataFrame,
+      q: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    // one checkpoint of the query-batch-sized frame; hop-0 scoring
+    // and every hop's candidate scoring read it (broadcast) — the
+    // greedyWalk discipline
+    val qc = q.localCheckpoint()
+    val ent = entrySet(e)
+    val beam0 = qc.crossJoin(broadcast(ent))
+      .filter($"e0" =!= $"q_id")
+      .select($"q_id", $"e0".as("node"),
+        cosine($"qe", $"qn", $"ee", $"en").as("c"))
+    val out = beamPool(edges, e, qc, beam0)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
+    out
+  }
+
+  /** The raw beam loop — the shared hop body without the final
+    * rank-select,
     * returning the surviving pooled frontier `(q_id, qe, qn, node,
     * c)` WITH its scores: the insert path ([[insertIntoGraph]]) needs
     * the candidates' cosines to pick and wire the new node's
     * out-edges, where the search faces only need the ranked ids. */
-  private def beamPool(edges: DataFrame, e: DataFrame,
+  private def beamPool(edges: DataFrame, e: DataFrame, q: DataFrame,
       beam0: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     // per-hop localCheckpoint (the d09/s12/labelProp iterative
@@ -1510,10 +1605,24 @@ object Similarity {
     // corpus-adaptive depth AND width, like greedyWalk's: every beam
     // consumer (s20b, s20h both layers, the insert/re-embed
     // selectors, the serving faces) walks ⌊log₈ n⌋+2 hops at
-    // ef = walkEf(n) of ITS OWN frame
+    // ef = walkEf(n) of ITS OWN frame.
+    // r17 hop shape (guide §2.3/§2.4): the beam state is (q_id, node,
+    // c) — the query vectors live in the broadcast `q` frame, joined
+    // at scoring time, so hop exchanges carry ~24-byte keys instead
+    // of ~0.5 KB array payloads, and the pool's dedup aggregate is a
+    // fixed-width HashAggregate instead of the SortAggregate the old
+    // first(qe)/first(qn) array carries forced (4 SortAggregate + 6
+    // Window nodes per hop in the r16 executed plan). The frontier is
+    // BROADCAST into the expansion join — it is query-batch-bounded
+    // (≤ NQ·ef keys) while the edge side is corpus-sized, exactly
+    // §3.1's broadcast side. Dedup + trim share ONE exchange: the
+    // explicit repartition(q_id) satisfies both the (q_id, node)
+    // aggregate's and the rank window's required distribution (8
+    // exchanges/hop → 3 in the executed plan).
     val n = e.count()
     val hops = walkHops(n)
     val ef = walkEf(n)
+    val qB = broadcast(q)
     var beam = beam0.localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
@@ -1521,22 +1630,23 @@ object Similarity {
     val ed2 = undirected(edges)
     for (_ <- 1 to hops) {
       val prev = beam
-      val cand = prev
+      val cand = broadcast(prev.select($"q_id", $"node"))
         .join(ed2, prev("node") === ed2("src"))
         .join(dstE, Seq("dst"))
+        .join(qB, Seq("q_id"))
         .filter($"dst" =!= $"q_id")
-        .select($"q_id", $"qe", $"qn", $"dst".as("node"),
+        .select($"q_id", $"dst".as("node"),
           cosine($"qe", $"qn", $"de", $"dn").as("c"))
       // pool frontier ∪ expansions, dedupe by node (identical
       // arithmetic → identical c on every path, max is a no-op
       // dedup), keep top-B per query
       beam = prev.unionByName(cand)
+        .repartition($"q_id")
         .groupBy($"q_id", $"node")
-        .agg(max($"c").as("c"), first($"qe").as("qe"),
-          first($"qn").as("qn"))
+        .agg(max($"c").as("c"))
         .withColumn("rk", row_number().over(trim))
         .filter($"rk" <= ef)
-        .select($"q_id", $"qe", $"qn", $"node", $"c")
+        .select($"q_id", $"node", $"c")
         .localCheckpoint()
       graft.functions.CheckpointOps.freeLocalCheckpoint(prev)
     }
@@ -1588,7 +1698,7 @@ object Similarity {
     * [[entrySet]] rule applied to the sample) to a top-[[BEAM_B]]
     * coarse frontier per query, then DESCENDS: the base-layer beam
     * starts from those nodes plus their layer-0 out-neighbors and
-    * runs the [[beamFrom]] loop (ef>1 at EVERY layer — descending
+    * runs the [[beamPool]] loop (ef>1 at EVERY layer — descending
     * from a single settled winner measured worse than the flat beam:
     * one wrong coarse region starves the descent). Per-query cost is
     * O(log n): 16 entries × [[walkHops]](n/16) × ef on layer 1
@@ -1640,12 +1750,19 @@ object Similarity {
 
   /** [[hierWalk]] without the final rank-select — the surviving base
     * beam WITH scores, for the hierarchical insert ([[s21h]]), the
-    * beamFrom/beamPool split applied to the hierarchy. */
+    * beamPoolWalk/beamPool split applied to the hierarchy. */
   private def hierPool(l1edges: DataFrame, sub: DataFrame,
       edges0: DataFrame, e: DataFrame, q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val coarse = beamWalk(l1edges, sub, q)
-      .select($"q_id", $"found_id".as("node"))
+    // one checkpoint of the query batch for the whole descent: the
+    // coarse walk, the seed scoring and every base-beam hop broadcast
+    // it (the r17 payload-free walk shape)
+    val qc = q.localCheckpoint()
+    // the coarse layer needs only the surviving node set — the pool,
+    // not the rank-select (the window added nothing the seed
+    // expansion's distinct doesn't re-derive)
+    val coarse = beamPoolWalk(l1edges, sub, qc)
+      .select($"q_id", $"node")
     // seed expansion over the UNDIRECTED view (r16): a coarse winner
     // is near the query, and the query's true NN — whose own graph
     // neighborhood may rank poorly against the query, the measured
@@ -1661,11 +1778,13 @@ object Similarity {
     val nodeE = e.select($"vec_id".as("node"), $"embedding".as("ne"),
       $"nrm".as("nn"))
     val beam0 = seeds.join(nodeE, Seq("node"))
-      .join(q, Seq("q_id"))
+      .join(broadcast(qc), Seq("q_id"))
       .filter($"node" =!= $"q_id")
-      .select($"q_id", $"qe", $"qn", $"node",
+      .select($"q_id", $"node",
         cosine($"qe", $"qn", $"ne", $"nn").as("c"))
-    beamPool(edges0, e, beam0)
+    val out = beamPool(edges0, e, qc, beam0)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
+    out
   }
 
   /** Once-materialized coarse-layer edge table — the serving asset
@@ -1810,12 +1929,16 @@ object Similarity {
   private[graft] def newOutEdges(baseEdges: DataFrame, baseE: DataFrame,
       newVecs: DataFrame): DataFrame = {
     import baseE.sparkSession.implicits._
+    val qc = newVecs.localCheckpoint()
     val ent = entrySet(baseE)
-    val beam0 = newVecs.crossJoin(broadcast(ent))
+    val beam0 = qc.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
-      .select($"q_id", $"qe", $"qn", $"e0".as("node"),
+      .select($"q_id", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("c"))
-    cutTopK(beamPool(baseEdges, baseE, beam0), knnK(baseE.count()))
+    val out = cutTopK(beamPool(baseEdges, baseE, qc, beam0),
+      knnK(baseE.count()))
+    graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
+    out
   }
 
   /** HIERARCHICAL INSERT (s21h) — [[s21]] with the two-layer search
@@ -2058,7 +2181,7 @@ object Similarity {
     val e = emb(s, dir)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
       .localCheckpoint()
-    val edgesCos = s11(s, dir)
+    val edgesCos = s11Unsorted(s, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint()
     val out = deleteFromGraph(baseEdgeCos(edgesCos, e), e,

@@ -515,6 +515,21 @@ object SnapshotTable {
 
   private def readFiles(spark: SparkSession, path: String,
       rel: Seq[String], schema: Option[String] = None): DataFrame = {
+    // Manifest-planned scans must not pay a CLUSTER JOB to re-list
+    // paths the manifest already enumerates: with the default
+    // parallelPartitionDiscovery.threshold (32), every version read
+    // of a fragmented table launched a listing job with ONE TASK PER
+    // FILE (measured: q62 ran 1280 listing tasks per rep for 10 ms
+    // of real work — 62 ms/task of pure scheduler overhead). Driver-
+    // side listing is the manifest-table semantics (Iceberg/Delta
+    // plan scans from manifest metadata, not from a distributed
+    // directory walk — optimization guide §6); the threshold is
+    // raised only above the explicit per-file path lists this reader
+    // passes, and a genuine directory-discovery read elsewhere in
+    // the session still parallelizes past it.
+    val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if (spark.conf.get(thresholdKey, "32").toInt < 100000)
+      spark.conf.set(thresholdKey, "100000")
     val r0 = spark.read.option("basePath", filesDir(path))
     val r = schema.fold(r0)(r0.schema)
     r.parquet(rel.map(f => s"${filesDir(path)}/$f"): _*)

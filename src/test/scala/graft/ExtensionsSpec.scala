@@ -22,6 +22,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) >= 1 && r.getInt(5) <= 4, "10 tokens → 7 grams → ≤4 minima")
   }
 
+  test("vec_sqdist kernels are bit-equal to the composed HOF folds") {
+    // r17: the integer-Lloyd / ADC / rerank hot paths swapped their
+    // aggregate(zip_with(...)) distance folds for the fused codegen
+    // kernels — this pins the swap to exact equality on real vectors
+    // (long arithmetic exactly, double arithmetic to the bit: same
+    // left-to-right (x−y)² accumulation)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.NativeKernels.{vec_sqdist, vec_sqdist_l}
+    val e = Tables.load(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .limit(500)
+      .select($"a.embedding".as("ea"), $"b.embedding".as("eb"))
+      .select($"ea", $"eb",
+        transform($"ea", x => round(x.cast("double") * 1048576L).cast("long")).as("qa"),
+        transform($"eb", x => round(x.cast("double") * 1048576L).cast("long")).as("qb"))
+    val checked = pairs.select(
+      (vec_sqdist_l($"qa", $"qb") ===
+        aggregate(zip_with($"qa", $"qb", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d)).as("okL"),
+      (vec_sqdist($"ea", $"eb") ===
+        aggregate(zip_with($"ea", $"eb", (x, y) =>
+            (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, d) => acc + d)).as("okD"))
+    val bad = checked.filter(!$"okL" || !$"okD").count()
+    assert(bad == 0, s"$bad pairs diverge from the HOF folds")
+  }
+
   test("graft_topk3 SQL UDAF matches the window top-3") {
     val s = spark
     import s.implicits._
