@@ -81,7 +81,7 @@ object DumpPlans {
       "== total: wall %.3f s across %d executions (sum %.3f s)",
       Double.box(wall), Int.box(i), Double.box(totalDur)))
     pw.close()
-    System.err.println(s"[dumpplans] $name: $i executions, wall $wall%.3f -> $outFile")
+    System.err.println(f"[dumpplans] $name: $i executions, wall $wall%.3f -> $outFile")
     spark.stop()
   }
 }

@@ -42,8 +42,8 @@ object ProbeJobs {
     val jobs = new AtomicInteger
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
-    val taskRunNs = new AtomicLong  // executorRunTime (ms) summed
-    val taskTotalNs = new AtomicLong // task duration (ms) incl. sched/deser
+    val taskRunMs = new AtomicLong  // executorRunTime (ms) summed
+    val taskTotalMs = new AtomicLong // task duration (ms) incl. sched/deser
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         { jobs.incrementAndGet(); () }
@@ -52,10 +52,10 @@ object ProbeJobs {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (te.taskMetrics != null) {
-          taskRunNs.addAndGet(te.taskMetrics.executorRunTime)
+          taskRunMs.addAndGet(te.taskMetrics.executorRunTime)
           ()
         }
-        if (te.taskInfo != null) { taskTotalNs.addAndGet(te.taskInfo.duration); () }
+        if (te.taskInfo != null) { taskTotalMs.addAndGet(te.taskInfo.duration); () }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -67,7 +67,12 @@ object ProbeJobs {
       w
     }
     Thread.sleep(500) // let the listener bus drain the final events
-    val medianWall = walls.sorted.apply(reps / 2)
+    // standard even/odd median (ADVICE r17: the upper-element pick was
+    // the MAX for the default reps=2)
+    val medianWall = {
+      val s = walls.sorted
+      if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+    }
     println(String.format(Locale.ROOT,
       """{"probe":"%s","sf":"%s","reps":%d,"median_wall_sec":%.4f,""" +
         """"jobs_per_rep":%.1f,"stages_per_rep":%.1f,"tasks_per_rep":%.1f,""" +
@@ -76,8 +81,8 @@ object ProbeJobs {
       Double.box(jobs.get.toDouble / reps),
       Double.box(stages.get.toDouble / reps),
       Double.box(tasks.get.toDouble / reps),
-      Double.box(taskRunNs.get / 1e3 / reps),
-      Double.box(taskTotalNs.get / 1e3 / reps)))
+      Double.box(taskRunMs.get / 1e3 / reps),
+      Double.box(taskTotalMs.get / 1e3 / reps)))
     spark.stop()
   }
 }

@@ -220,6 +220,10 @@ object Relational13 {
 
   private val PQ_M = 4       // subspaces
   private val PQ_SUB = 16    // dims per subspace (4 × 16 = DIM 64)
+  private val DIM = PQ_M * PQ_SUB // full embedding dimension (ADVICE r17:
+                                  // the IVF centroid update previously
+                                  // hardcoded 64 — a dim change would have
+                                  // silently nulled positions past the end)
   private val PQ_K = 8       // codes per subspace (seeds = first 8 vectors)
   private[graft] val PQ_NQ = 3      // query vectors: vec_id < 3
   private val PQ_POOL = 50   // ADC candidate pool fed to the exact rerank
@@ -752,7 +756,7 @@ object Relational13 {
       val upd = asn.join(vq, Seq("vec_id"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
-          array((0 until 64).map(i =>
+          array((0 until DIM).map(i =>
             sum(element_at(col("qq"), i + 1))): _*).as("svs"))
         .select(col("cell"),
           transform(col("svs"), sv => call_function("div", sv, col("n")))

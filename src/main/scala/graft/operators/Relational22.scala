@@ -67,12 +67,36 @@ object Relational22 {
   private[graft] def sides(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
+    // r18 (VERDICT r17 #3 — the probed q83 disease): the state + three
+    // delta legs each re-derived their sides from parquet, so ONE q83
+    // run scanned lineitem and orders 12 TIMES EACH, re-evaluating the
+    // guardedKey raise_error CASE and the cents rounding per scan, and
+    // none of those expression filters pushed down
+    // (plans/r18/q83_ivm_distinct_before.txt: 12×lineitem + 12×orders,
+    // PushedFilters [] on all 24). The guarded projections now
+    // materialize ONCE per call (narrow: key + 2 columns) and every
+    // leg — old sides, both deltas, the clone inserts — is an
+    // in-memory filter over the snapshot (guide §1.2: don't recompute
+    // what four consumers share). Values are identical (same guard,
+    // same cents arithmetic, evaluated once instead of 12×).
+    // both snapshots pin hash(join key, p) — the d06/pageRank r18
+    // discipline: the state join O⋈L plans co-partitioned (no
+    // exchange, no broadcast build), the old-side legs of the deltas
+    // reuse the layout, and the post-checkpoint stages run at session
+    // parallelism instead of the scan's split count (a bench-SF
+    // lineitem file is floored at ~5 splits by openCostInBytes, and a
+    // checkpoint freezes that width for every consumer).
+    val p = s.sessionState.conf.numShufflePartitions
     val o = t(s, dir, "orders").select(
       guardedKey($"o_orderkey", "q81").as("o_orderkey"), $"o_orderpriority",
       year($"o_orderdate").cast("long").as("o_year"))
+      .repartition(p, $"o_orderkey")
+      .localCheckpoint()
     val l = t(s, dir, "lineitem").select(
       guardedKey($"l_orderkey", "q81").as("l_orderkey"), $"l_returnflag",
       cents($"l_extendedprice", $"l_discount").as("cents"))
+      .repartition(p, $"l_orderkey")
+      .localCheckpoint()
     val oOld = o.withColumn("mo", lit(1L))
     val lOld = l.select($"l_orderkey", $"cents").withColumn("ml", lit(1L))
     val dO = o.filter($"o_orderkey" % 13 === DEL_O_RES)
@@ -100,7 +124,13 @@ object Relational22 {
         sum(col("m")).as("n_items"))
 
   private def joined(o: DataFrame, l: DataFrame): DataFrame =
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
+    // shuffle_hash, build = the o side (the smaller relation at any
+    // scale): the old-side legs arrive co-partitioned from the pinned
+    // snapshots (zero exchange); delta legs re-hash only their
+    // delta-sized side (the clone inserts' shifted keys leave the
+    // snapshot layout, so those legs re-exchange — delta-sized by
+    // construction)
+    o.hint("shuffle_hash").join(l, o("o_orderkey") === l("l_orderkey"))
       .withColumn("m", col("mo") * col("ml"))
 
   /** The batch-computed signed join-row delta Δ(O⋈L) — the bilinear

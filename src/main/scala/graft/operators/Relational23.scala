@@ -168,7 +168,31 @@ object Relational23 {
   private[operators] def ssspOver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst", $"w").localCheckpoint()
+    // r18 (VERDICT r17 #1): the relaxation loop now runs the
+    // pageRankOver/d06 round discipline. Before, the edge snapshot
+    // was checkpointed UNPARTITIONED, so every round re-exchanged the
+    // edge side AND the frontier and planned a SortMergeJoin
+    // (measured: 3 hash exchanges + 1 SMJ + a per-round broadcast
+    // build in plans/r18/s24_weighted_sssp_before.txt). Now:
+    //  - the loop-invariant edge snapshot pins hash(src, p) once
+    //    (explicit p from spark.sql.shuffle.partitions — scale-
+    //    adaptive via conf, exempt from AQE coalescing);
+    //  - the per-round distance snapshot pins hash(id, p) — the
+    //    explicit repartition BEFORE the min-aggregate both feeds the
+    //    aggregate (ClusteredDistribution(id) is satisfied, so no
+    //    second exchange) and is what the checkpoint captures;
+    //  - the relax join is SHUFFLE_HASH-hinted: e (hash src) ⋈ dist
+    //    (hash id) arrive co-partitioned — zero exchanges, no sort,
+    //    no broadcast of an unbounded frontier (the reached set
+    //    approaches |V| at scale — §3.1's NOT-bounded side).
+    // Round shape after: ONE exchange (the union's realign onto
+    // hash(id, p)), 0 SMJ — the VERDICT r17 "done" bar. The realign
+    // carries relaxation candidates un-preaggregated (≤ frontier × k
+    // rows of 16 B); the min then folds them and the carried state in
+    // one pass on the pinned layout.
+    val p = s.sessionState.conf.numShufflePartitions
+    val e = edges.select($"src", $"dst", $"w")
+      .repartition(p, $"src").localCheckpoint()
     var dist = e.select($"src".as("id")).distinct()
       .filter(pmod($"id", lit(SSSP_SEED_MOD)) === 0)
       .select($"id", lit(0L).as("dist_w"))
@@ -176,8 +200,9 @@ object Relational23 {
     for (_ <- 1 to SSSP_ROUNDS) {
       val prev = dist
       dist = prev.unionByName(
-          e.join(prev, $"src" === $"id")
+          e.join(prev.hint("shuffle_hash"), $"src" === $"id")
             .select($"dst".as("id"), ($"dist_w" + $"w").as("dist_w")))
+        .repartition(p, $"id")
         .groupBy($"id").agg(min($"dist_w").as("dist_w"))
         .localCheckpoint()
       graft.functions.CheckpointOps.freeLocalCheckpoint(prev)

@@ -250,24 +250,34 @@ object Relational4 {
     // from it, instead of re-evaluating the pair plan per stage
     val pairs = pairsIn.getOrElse(Dedup.d02(s, dir)).select($"a_id", $"b_id")
     // partitioned by dst — the key every round's label-propagation
-    // join probes (guide §2.4: the edge snapshot is built once, so
-    // establishing the join layout here removes the per-round
-    // edge-side exchange; the label table is hash(id) from its own
-    // aggregates)
+    // join probes (guide §2.4). r18 (VERDICT r17 #5 — the r17 claim
+    // did not hold): the keyless-count repartition($"dst") was
+    // AQE-coalescible, so the captured layout never matched the label
+    // side and each round still paid 4 exchanges + a SortMergeJoin
+    // (plans/r18/d06_dup_clusters_before.txt). The snapshot now pins
+    // hash(dst, p) with the literal conf partition count
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing), the label
+    // seed pins hash(id, p), and the round's joins are
+    // SHUFFLE_HASH-hinted: the propagation join and the carry join
+    // both plan with zero exchanges — rounds exchange only the
+    // min-label aggregate (map-side partials kept) plus a
+    // label-sized realign of its output.
+    val p = s.sessionState.conf.numShufflePartitions
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
-      .toDF("src", "dst").repartition($"dst").localCheckpoint()
+      .toDF("src", "dst").repartition(p, $"dst").localCheckpoint()
     // seed with the one-hop minimum (min of self and direct
     // neighbors) — the result of what would otherwise be round 1
     var labels = edges.groupBy($"src")
       .agg(least(min($"dst"), $"src").as("comp"))
-      .select($"src".as("id"), $"comp").localCheckpoint()
+      .select($"src".as("id"), $"comp")
+      .repartition(p, $"id").localCheckpoint()
     var converged = false
     while (!converged) {
-      val prop = edges.join(labels, $"dst" === $"id")
+      val prop = edges.join(labels.hint("shuffle_hash"), $"dst" === $"id")
         .groupBy($"src").agg(min($"comp").as("ncomp"))
       // carry the changed flag inside the checkpointed frame: one
       // materializing action per round instead of a second join+count
-      val next = labels.join(prop, $"id" === $"src", "left")
+      val next = labels.join(prop.hint("shuffle_hash"), $"id" === $"src", "left")
         .select($"id",
           least($"comp", coalesce($"ncomp", $"comp")).as("comp"),
           (coalesce($"ncomp", $"comp") < $"comp").as("chg"))

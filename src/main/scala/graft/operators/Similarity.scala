@@ -950,8 +950,19 @@ object Similarity {
     // candidate generation + scoring + the rank window (measured: 29
     // exchanges / 23 Window nodes in one s11 plan). n·kCand narrow
     // rows; freed after the eager result below materializes.
+    // r18: pin the pool's layout — hash(vec_id, p) with the literal
+    // conf partition count — so BOTH dominance sides, the dom-flag
+    // left join and the final (res, dom, rank0) rank window all plan
+    // exchange-free on the captured partitioning (before: the
+    // checkpoint captured the window's AQE-coalesced read and the
+    // dominance execution re-exchanged the pool three times + planned
+    // SortMergeJoins — plans/r18/s12_pagerank_before.txt exec 3). The
+    // realign moves the CUT pool (n·kCand narrow rows), not the full
+    // candidate set.
+    val np = s.sessionState.conf.numShufflePartitions
     val pool = scored.withColumn("rank0", row_number().over(w))
       .filter($"rank0" <= kCand)
+      .repartition(np, $"vec_id")
       .localCheckpoint()
     // per-node diversity selection: dominance flag per candidate
     // (∃ closer candidate s with cos(s,c) > cos(v,c)), then rank by
@@ -992,7 +1003,11 @@ object Similarity {
       .withColumn("dom", lit(true))
     val wSel = Window.partitionBy($"vec_id")
       .orderBy($"res", $"dom", $"rank0")
-    val out = pool.join(dom, Seq("vec_id", "neighbor_id"), "left")
+    // dom is pool-bounded and vector-free (two longs a row) — a safe
+    // hash build at any scale; the hint keeps the co-partitioned left
+    // join sort-free
+    val out = pool.join(dom.hint("shuffle_hash"),
+        Seq("vec_id", "neighbor_id"), "left")
       .select($"vec_id", $"neighbor_id", $"cos", $"rank0",
         ($"rank0" > KNN_KEEP).as("res"), coalesce($"dom", lit(false)).as("dom"))
       .withColumn("rank", row_number().over(wSel).cast("long"))
@@ -1111,14 +1126,33 @@ object Similarity {
     import s.implicits._
     // out-degree is LOOP-INVARIANT: fold it into the edge frame once,
     // partitioned by the join key (r16 re-aggregated and re-joined the
-    // degree table inside every round — the executed plan showed 10
-    // exchanges + 3 sort-merge joins per round for what is one
-    // edges⋈ranks join; guide §2.4, two operations keyed the same way
-    // share one exchange). The src-hash layout also co-partitions the
-    // per-round join with the rank snapshot's own hash(id) layout, so
-    // rounds exchange ONLY the contribution aggregate.
+    // degree table inside every round; guide §2.4, two operations
+    // keyed the same way share one exchange).
+    //
+    // r18 (VERDICT r17 #5 — the r17 co-partitioning claim did NOT
+    // hold): the r17 edge checkpoint was the output of a broadcast
+    // join, which reports UnknownPartitioning — that is what the
+    // checkpoint captured, so EVERY round re-exchanged all three
+    // frames and re-built a broadcast (measured: 8 hash exchanges +
+    // 2 SortMergeJoin + 2 BroadcastExchange per round,
+    // plans/r18/s12_pagerank_before.txt). The loop invariants now pin
+    // an EXPLICIT hash layout — repartition(p, key) with the literal
+    // partition count p read from spark.sql.shuffle.partitions
+    // (scale-adaptive via conf, and REPARTITION_BY_NUM is exempt from
+    // AQE coalescing, so the captured partitioning survives the
+    // checkpoint) — and each round's joins are SHUFFLE_HASH-hinted:
+    // both sides arrive co-partitioned, so the joins plan with ZERO
+    // exchanges, no sorts, and no per-round broadcast build. The one
+    // per-round data exchange left is the contribution aggregate's
+    // (with map-side partial sums — it is the fundamental shuffle of
+    // the operator), plus a state-sized realign of its output onto
+    // the pinned layout for the carry join.
+    val p = s.sessionState.conf.numShufflePartitions
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val edgesD = edges.join(deg, Seq("src"))
+      .repartition(p, $"src").localCheckpoint()
+    // distinct over the src-partitioned snapshot needs no exchange,
+    // and the alias keeps hash(src, p) ≡ hash(id, p) for the carry
     val nodes = edgesD.select($"src".as("id")).distinct().localCheckpoint()
     val n = nodes.count()
     val teleport = (1.0 - PR_DAMP) / n.toDouble
@@ -1126,11 +1160,13 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 1 to PR_ITERS) {
       val contrib = edgesD
-        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(r.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select($"dst", ($"r" / $"d").as("c"))
         .groupBy($"dst").agg(sum($"c").as("sc"))
       val next = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(contrib.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+          Seq("id"), "left")
         .select($"id",
           (lit(teleport) + lit(PR_DAMP) * coalesce($"sc", lit(0.0))).as("r"))
         .localCheckpoint()
@@ -1176,27 +1212,37 @@ object Similarity {
   private[graft] def labelPropOver(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val nodes = edges.select($"src".as("id")).distinct().localCheckpoint()
+    // r18 (the pageRankOver discipline — VERDICT r17 #5): pin the
+    // loop-invariant edge snapshot on an explicit hash(src, p) layout
+    // so every round's vote join is co-partitioned with the label
+    // snapshot (zero exchanges, SHUFFLE_HASH — before: the edge side
+    // and the label side were both re-exchanged per round), leaving
+    // the explicit repartition(p, dst) as the round's ONE exchange —
+    // hash(dst) still serves BOTH the (dst, slab) vote count and the
+    // per-dst argmax (the r17 shared-exchange trick, now with the
+    // literal p so the layout survives checkpoints uncoalesced).
+    val p = s.sessionState.conf.numShufflePartitions
+    val edgesP = edges.select($"src", $"dst")
+      .repartition(p, $"src").localCheckpoint()
+    val nodes = edgesP.select($"src".as("id")).distinct().localCheckpoint()
     var lab = nodes.select($"id", $"id".as("lab")).localCheckpoint()
     for (_ <- 1 to LPA_ITERS) {
-      // one exchange per round (guide §2.4): hash(dst) satisfies BOTH
-      // the (dst, slab) vote count and the per-dst argmax — without
-      // the explicit repartition each round pays two exchanges (the
-      // second keyed (dst, slab) cannot serve the dst-only argmax)
-      val votes = edges
-        .join(lab.select($"id".as("src"), $"lab".as("slab")), Seq("src"))
-        .repartition($"dst")
+      val votes = edgesP
+        .join(lab.select($"id".as("src"), $"lab".as("slab"))
+          .hint("shuffle_hash"), Seq("src"))
+        .repartition(p, $"dst")
         .groupBy($"dst", $"slab").agg(count(lit(1)).as("n"))
         .groupBy($"dst")
         .agg(min(struct((-$"n").as("negn"), $"slab".as("slab"))).as("best"))
         .select($"dst".as("id"), $"best.slab".as("newlab"))
-      val next = lab.join(votes, Seq("id"), "left")
+      val next = lab.join(votes.hint("shuffle_hash"), Seq("id"), "left")
         .select($"id", coalesce($"newlab", $"lab").as("lab"))
         .localCheckpoint()
       graft.functions.CheckpointOps.freeLocalCheckpoint(lab)
       lab = next
     }
     graft.functions.CheckpointOps.freeLocalCheckpoint(nodes)
+    graft.functions.CheckpointOps.freeLocalCheckpoint(edgesP)
     val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
     lab.join(sizes, Seq("lab"))
       .select($"id".as("vec_id"), $"lab".as("community"), $"community_size")
@@ -1397,6 +1443,28 @@ object Similarity {
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
   }
 
+  /** Broadcast-size guard for the walk/repair bodies (VERDICT r17 #2):
+    * the walk joins broadcast "query-batch-bounded" frames — but for
+    * the insert/re-embed faces the batch is an ingest shard, and a
+    * full-corpus re-embedding (s23's semantics at 100 TB) makes it
+    * corpus-proportional: a forced `broadcast()` of corpus×ef rows is
+    * a driver/executor OOM (the 8 GB / 512M-row broadcast cap, guide
+    * §3.1), not a wrong result. Every site now passes the frame's
+    * counted (or structurally bounded) row count; above the cap the
+    * hint is dropped and the planner falls back to a shuffle join —
+    * same rows, degraded not dead. The cap is conf-tunable
+    * (`graft.walk.broadcastMaxRows`) so a production session sizes it
+    * to its driver; the default (4M rows ≈ 100 MB at the 24 B walk
+    * state width) keeps every bench-scale batch on the broadcast
+    * path, so local plans are unchanged. */
+  private[graft] val WALK_BROADCAST_MAX_ROWS = 4000000L
+  private[graft] def maybeBroadcast(df: DataFrame, boundRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("graft.walk.broadcastMaxRows", WALK_BROADCAST_MAX_ROWS.toString)
+      .toLong
+    if (boundRows <= cap) broadcast(df) else df
+  }
+
   private def greedyWalk(edges: DataFrame, e: DataFrame,
       q: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
@@ -1412,7 +1480,10 @@ object Similarity {
     // at serving scale the frame is NQ rows against a corpus-sized
     // edge table — the frontier is the broadcast side by construction)
     val qc = q.localCheckpoint()
-    val qB = broadcast(qc)
+    // one count of the (checkpointed) batch bounds every broadcast in
+    // the walk: the carry frame stays one row per (query, entry)
+    val nq = qc.count()
+    val qB = maybeBroadcast(qc, nq)
     // per-hop localCheckpoint (the beamPool/d09 discipline): the hop
     // references `cur` twice (probe + carry), so an uncheckpointed
     // loop doubles the plan per hop — 2^hops branches over the walk
@@ -1429,7 +1500,7 @@ object Similarity {
     for (_ <- 1 to hops) {
       val prev = cur
       val probe = cur.select($"q_id", $"e0", $"node")
-      val best = broadcast(probe)
+      val best = maybeBroadcast(probe, nq * GREEDY_ENTRIES)
         .join(ed2, probe("node") === ed2("src"))
         .join(dstE, Seq("dst"))
         .join(qB, Seq("q_id"))
@@ -1443,7 +1514,8 @@ object Similarity {
       // best is one row per (query, entry) — ≤ NQ·GREEDY_ENTRIES, the
       // broadcast side by construction (a sort-merge join here would
       // exchange the same-sized walk state twice per hop for nothing)
-      cur = cur.join(broadcast(best), Seq("q_id", "e0"), "left")
+      cur = cur.join(maybeBroadcast(best, nq * GREEDY_ENTRIES),
+          Seq("q_id", "e0"), "left")
         .select($"q_id", $"e0",
           when($"bc" > $"cur_cos", $"bn").otherwise($"node").as("node"),
           when($"bc" > $"cur_cos", $"bc").otherwise($"cur_cos")
@@ -1573,12 +1645,13 @@ object Similarity {
     // and every hop's candidate scoring read it (broadcast) — the
     // greedyWalk discipline
     val qc = q.localCheckpoint()
+    val nq = qc.count()
     val ent = entrySet(e)
     val beam0 = qc.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
       .select($"q_id", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("c"))
-    val out = beamPool(edges, e, qc, beam0)
+    val out = beamPool(edges, e, qc, beam0, nq)
     graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
     out
   }
@@ -1590,7 +1663,7 @@ object Similarity {
     * the candidates' cosines to pick and wire the new node's
     * out-edges, where the search faces only need the ranked ids. */
   private def beamPool(edges: DataFrame, e: DataFrame, q: DataFrame,
-      beam0: DataFrame): DataFrame = {
+      beam0: DataFrame, nq: Long): DataFrame = {
     import e.sparkSession.implicits._
     // per-hop localCheckpoint (the d09/s12/labelProp iterative
     // discipline): each hop references the previous beam TWICE
@@ -1622,7 +1695,13 @@ object Similarity {
     val n = e.count()
     val hops = walkHops(n)
     val ef = walkEf(n)
-    val qB = broadcast(q)
+    val qB = maybeBroadcast(q, nq)
+    // structural frontier bound: after any hop's trim the beam holds
+    // ≤ nq·ef rows; hop 1's input (beam0) is bounded by the hier
+    // seed expansion's worst case, nq·ef·(1 + 2·[[KNN_DEG_MAX]])
+    // (coarse pool × undirected degree) — the flat callers' nq·entries
+    // is far below it
+    val frontierBound = nq * ef * (1 + 2 * KNN_DEG_MAX)
     var beam = beam0.localCheckpoint()
     val dstE = e.select($"vec_id".as("dst"), $"embedding".as("de"),
       $"nrm".as("dn"))
@@ -1630,7 +1709,7 @@ object Similarity {
     val ed2 = undirected(edges)
     for (_ <- 1 to hops) {
       val prev = beam
-      val cand = broadcast(prev.select($"q_id", $"node"))
+      val cand = maybeBroadcast(prev.select($"q_id", $"node"), frontierBound)
         .join(ed2, prev("node") === ed2("src"))
         .join(dstE, Seq("dst"))
         .join(qB, Seq("q_id"))
@@ -1758,6 +1837,7 @@ object Similarity {
     // coarse walk, the seed scoring and every base-beam hop broadcast
     // it (the r17 payload-free walk shape)
     val qc = q.localCheckpoint()
+    val nq = qc.count()
     // the coarse layer needs only the surviving node set — the pool,
     // not the rank-select (the window added nothing the seed
     // expansion's distinct doesn't re-derive)
@@ -1778,11 +1858,11 @@ object Similarity {
     val nodeE = e.select($"vec_id".as("node"), $"embedding".as("ne"),
       $"nrm".as("nn"))
     val beam0 = seeds.join(nodeE, Seq("node"))
-      .join(broadcast(qc), Seq("q_id"))
+      .join(maybeBroadcast(qc, nq), Seq("q_id"))
       .filter($"node" =!= $"q_id")
       .select($"q_id", $"node",
         cosine($"qe", $"qn", $"ne", $"nn").as("c"))
-    val out = beamPool(edges0, e, qc, beam0)
+    val out = beamPool(edges0, e, qc, beam0, nq)
     graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
     out
   }
@@ -1930,12 +2010,13 @@ object Similarity {
       newVecs: DataFrame): DataFrame = {
     import baseE.sparkSession.implicits._
     val qc = newVecs.localCheckpoint()
+    val nq = qc.count()
     val ent = entrySet(baseE)
     val beam0 = qc.crossJoin(broadcast(ent))
       .filter($"e0" =!= $"q_id")
       .select($"q_id", $"e0".as("node"),
         cosine($"qe", $"qn", $"ee", $"en").as("c"))
-    val out = cutTopK(beamPool(baseEdges, baseE, qc, beam0),
+    val out = cutTopK(beamPool(baseEdges, baseE, qc, beam0, nq),
       knnK(baseE.count()))
     graft.functions.CheckpointOps.freeLocalCheckpoint(qc)
     out
@@ -2128,9 +2209,12 @@ object Similarity {
       e: DataFrame, tombstones: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     // the tombstone set is deletion-batch-sized — broadcast it into
-    // every membership test (never a shuffle on the edge table)
-    val del = broadcast(tombstones.select($"vec_id".as("tomb"))
-      .distinct().localCheckpoint())
+    // every membership test (never a shuffle on the edge table);
+    // size-guarded (VERDICT r17 #2): a corpus-scale deletion batch
+    // falls back to shuffle joins instead of OOMing the driver
+    val delC = tombstones.select($"vec_id".as("tomb"))
+      .distinct().localCheckpoint()
+    val del = maybeBroadcast(delC, delC.count())
     val liveSrc = edgesCos.join(del, $"src" === $"tomb", "left_anti")
     val kept = liveSrc.join(del, $"dst" === $"tomb", "left_anti")
       .localCheckpoint()
@@ -2163,7 +2247,7 @@ object Similarity {
       .select($"src", $"dst", round($"cos", 4).as("cos_sim"))
       .orderBy($"src", $"dst")
       .localCheckpoint()
-    Seq(kept, del).foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
+    Seq(kept, delC).foreach(graft.functions.CheckpointOps.freeLocalCheckpoint)
     out
   }
 
